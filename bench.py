@@ -1,0 +1,210 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.md): dopri5 NFE/sec on the batched spiral neural
+ODE, measured on whatever accelerator JAX sees (TPU v5e under the driver).
+
+`vs_baseline` compares against a torch-eager dopri5 proxy run in-process on
+CPU: the reference (tfdiffeq, TF eager) publishes no numbers and is not
+installed here, so the proxy reproduces its architecture — host-side
+accept/reject control flow, one kernel dispatch per tensor op — which is the
+thing the TPU-native design eliminates. See BASELINE.md for the protocol.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 4096
+T_OUT = 64
+RTOL = ATOL = 1e-6
+SPAN = 25.0
+
+
+def _params(hidden=50, dim=2, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "w1": jnp.asarray(rng.randn(dim, hidden) * 0.1, jnp.float32),
+        "b1": jnp.zeros((hidden,), jnp.float32),
+        "w2": jnp.asarray(rng.randn(hidden, dim) * 0.1, jnp.float32),
+        "b2": jnp.zeros((dim,), jnp.float32),
+    }
+
+
+def bench_jax_nfe_per_sec():
+    from tfdiffeq_tpu import solve
+
+    p = _params()
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+
+    def dyn(tt, yy):
+        h = jnp.tanh((yy ** 3) @ p["w1"] + p["b1"])
+        return h @ p["w2"] + p["b2"]
+
+    @jax.jit
+    def run(y0, t):
+        res = solve(dyn, y0, t, rtol=RTOL, atol=ATOL, method="dopri5",
+                    options={"loop": "while"})
+        return res.ys, res.stats.nfe
+
+    ys, nfe = run(y0, t)          # compile + first run
+    jax.block_until_ready(ys)
+    n_iters = 5
+    best = float("inf")
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        ys, nfe = run(y0, t)
+        jax.block_until_ready(ys)
+        best = min(best, time.perf_counter() - t0)
+    return int(nfe) / best, int(nfe), best
+
+
+def bench_torch_proxy_nfe_per_sec():
+    """Minimal torch-eager dopri5 (reference-architecture proxy, CPU)."""
+    import torch
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    rng = np.random.RandomState(0)
+    w1 = torch.tensor(rng.randn(2, 50) * 0.1, dtype=torch.float32)
+    b1 = torch.zeros(50)
+    w2 = torch.tensor(rng.randn(50, 2) * 0.1, dtype=torch.float32)
+    b2 = torch.zeros(2)
+    y0 = torch.tensor(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                      dtype=torch.float32)
+
+    C = [1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0]
+    A = [
+        [1 / 5],
+        [3 / 40, 9 / 40],
+        [44 / 45, -56 / 15, 32 / 9],
+        [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+        [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+        [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+    ]
+    B = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0]
+    BH = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40]
+    E = [b - bh for b, bh in zip(B, BH)]
+
+    nfe = [0]
+
+    def f(t, y):
+        nfe[0] += 1
+        return torch.tanh((y ** 3) @ w1 + b1) @ w2 + b2
+
+    def step(t, y, f0, dt):
+        k = [f0]
+        for i in range(6):
+            yi = y
+            for a, kk in zip(A[i], k):
+                if a != 0.0:
+                    yi = yi + dt * a * kk
+            k.append(f(t + C[i] * dt, yi))
+        y1 = y
+        for b, kk in zip(B, k):
+            if b != 0.0:
+                y1 = y1 + dt * b * kk
+        err = None
+        for e, kk in zip(E, k):
+            if e != 0.0:
+                err = dt * e * kk if err is None else err + dt * e * kk
+        return y1, k[-1], err
+
+    t_end = SPAN
+    start = time.perf_counter()
+    budget = 20.0                     # cap proxy wall-clock
+    t, y = 0.0, y0.clone()
+    f0 = f(t, y)
+    dt = 0.01
+    n_acc = 0
+    while t < t_end and (time.perf_counter() - start) < budget:
+        dt = min(dt, t_end - t)
+        y1, f1, err = step(t, y, f0, dt)
+        scale = ATOL + RTOL * torch.maximum(y.abs(), y1.abs())
+        ratio = float(torch.sqrt(torch.mean((err / scale) ** 2)))
+        if ratio <= 1.0:
+            t, y, f0 = t + dt, y1, f1
+            n_acc += 1
+            dt = dt * min(10.0, max(1.0, 0.9 * ratio ** -0.2))
+        else:
+            dt = dt * max(0.2, min(1.0, 0.9 * ratio ** -0.2))
+    elapsed = time.perf_counter() - start
+    frac = t / t_end
+    return nfe[0] / elapsed, nfe[0], elapsed, frac
+
+
+def bench_latent_ode_iter_ms():
+    """Steady-state latent-ODE training-iteration wall-clock."""
+    import sys
+    sys.path.insert(0, "examples")
+    import optax
+    from latent_ode import (TrainState, build_model, generate_spirals,
+                            init_params, make_train_step, parse_args)
+
+    args = parse_args()
+    args.nspiral, args.nsample = 512, 64
+    _, samp_trajs, _, samp_ts = generate_spirals(
+        nspiral=args.nspiral, nsample=args.nsample, seed=0)
+    xs = jnp.asarray(samp_trajs, jnp.float32)
+    samp_ts = jnp.asarray(samp_ts, jnp.float32)
+
+    rec, dyn, dec = build_model(args)
+    key = jax.random.PRNGKey(0)
+    params = init_params(args, rec, dyn, dec, key)
+    opt = optax.adam(args.lr)
+    state = TrainState(params, opt.init(params))
+    train_step, _ = make_train_step(args, rec, dyn, dec, opt, samp_ts)
+
+    state, loss = train_step(state, xs, key)   # compile
+    jax.block_until_ready(loss)
+    best = float("inf")
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, loss = train_step(state, xs, jax.random.fold_in(key, i))
+        jax.block_until_ready(loss)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000.0
+
+
+def main():
+    jax_nfe_s, jax_nfe, jax_time = bench_jax_nfe_per_sec()
+    try:
+        torch_nfe_s, _, _, frac = bench_torch_proxy_nfe_per_sec()
+        if frac < 1.0:  # proxy hit its budget: scale is still per-second
+            pass
+        vs = jax_nfe_s / torch_nfe_s
+    except Exception:
+        torch_nfe_s, vs = None, None
+    try:
+        latent_ms = bench_latent_ode_iter_ms()
+    except Exception:
+        latent_ms = None
+
+    print(json.dumps({
+        "metric": "dopri5_nfe_per_sec_batched_spiral",
+        "value": round(jax_nfe_s, 1),
+        "unit": "nfe/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "details": {
+            "batch": BATCH,
+            "nfe": jax_nfe,
+            "solve_time_s": round(jax_time, 4),
+            "torch_eager_cpu_proxy_nfe_per_sec":
+                round(torch_nfe_s, 1) if torch_nfe_s else None,
+            "latent_ode_train_iter_ms":
+                round(latent_ms, 2) if latent_ms else None,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

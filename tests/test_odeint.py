@@ -1,0 +1,148 @@
+"""Solver correctness matrix: method x problem x time-direction.
+
+Parity with upstream `tests/odeint_tests.py` (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfdiffeq_tpu import Status, odeint, solve
+
+from problems import construct_problem
+
+ADAPTIVE = ["dopri5", "bosh3", "adaptive_heun", "tsit5"]
+FIXED = ["euler", "midpoint", "rk4", "rk4_38"]
+ADAMS = ["explicit_adams", "fixed_adams"]
+
+# (max |error| tolerance, rtol, step_size) per method at the test settings.
+TOL = {
+    "dopri5": (1e-6, 1e-7, None),
+    "tsit5": (1e-6, 1e-7, None),
+    "bosh3": (1e-5, 1e-7, None),
+    "adaptive_heun": (1e-2, 1e-4, None),
+    "euler": (0.1, None, 0.002),
+    "midpoint": (5e-3, None, 0.01),
+    "rk4": (1e-3, None, None),
+    "rk4_38": (1e-3, None, None),
+    "explicit_adams": (2e-2, None, None),
+    "fixed_adams": (1e-2, None, None),
+}
+
+PROBLEM_NAMES = ["constant", "sine", "linear"]
+
+
+def _run(method, problem, reverse, options=None):
+    p = construct_problem(problem, npts=80, reverse=reverse)
+    kwargs = dict(method=method, options=dict(options or {}))
+    if method in ADAPTIVE:
+        kwargs["rtol"] = TOL[method][1]
+        kwargs["atol"] = kwargs["rtol"] * 1e-2
+        # Accuracy matrix uses the lean while-loop; the bounded loop is
+        # covered by the agreement + gradient tests.
+        kwargs["options"]["loop"] = "while"
+    if TOL[method][2] is not None:
+        kwargs["options"]["step_size"] = TOL[method][2]
+    ys = odeint(p.func, p.y0, p.t, **kwargs)
+    err = float(jnp.max(jnp.abs(ys - p.y_exact(p.t))))
+    return err
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("problem", PROBLEM_NAMES)
+@pytest.mark.parametrize("method", ADAPTIVE + FIXED + ADAMS)
+def test_solver_accuracy(method, problem, reverse):
+    err = _run(method, problem, reverse)
+    assert err < TOL[method][0], f"{method}/{problem} rev={reverse}: err={err}"
+
+
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "tsit5"])
+def test_while_and_bounded_loops_agree(method):
+    p = construct_problem("linear", npts=20)
+    ys_b = odeint(p.func, p.y0, p.t, method=method,
+                  options={"loop": "bounded"})
+    ys_w = odeint(p.func, p.y0, p.t, method=method, options={"loop": "while"})
+    np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_w),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_dense_output_matches_direct():
+    # Integrating straight to sparse times must agree with integrating to
+    # dense times (dense output correctness).
+    p = construct_problem("linear", npts=77)
+    ys_dense = odeint(p.func, p.y0, p.t, method="dopri5")
+    sparse_idx = np.array([0, 13, 31, 76])
+    ys_sparse = odeint(p.func, p.y0, p.t[sparse_idx], method="dopri5")
+    np.testing.assert_allclose(np.asarray(ys_sparse),
+                               np.asarray(ys_dense[sparse_idx]),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_adaptive_convergence_with_tolerance():
+    p = construct_problem("linear", npts=10)
+    errs = []
+    for tol in [1e-4, 1e-6, 1e-8]:
+        ys = odeint(p.func, p.y0, p.t, rtol=tol, atol=tol, method="dopri5")
+        errs.append(float(jnp.max(jnp.abs(ys - p.y_exact(p.t)))))
+    assert errs[2] < errs[0]
+    assert errs[2] < 1e-7
+
+
+def test_fixed_grid_convergence_order():
+    # RK4 global error should scale ~h^4.
+    p = construct_problem("linear", npts=10)
+    errs = {}
+    for n in [40, 80]:
+        t = jnp.linspace(p.t[0], p.t[-1], n)
+        ys = odeint(p.func, p.y0, t, method="rk4")
+        errs[n] = float(jnp.max(jnp.abs(ys - p.y_exact(t))))
+    rate = np.log2(errs[40] / errs[80])
+    assert 3.5 < rate < 4.8, f"rk4 rate {rate}, errs {errs}"
+
+
+def test_stats_and_status():
+    p = construct_problem("linear", npts=10)
+    res = solve(p.func, p.y0, p.t, method="dopri5")
+    assert int(res.stats.status) == int(Status.OK)
+    assert int(res.stats.nfe) > 6
+    assert int(res.stats.n_accepted) > 0
+    # starved budget reports MAX_STEPS_REACHED
+    res2 = solve(p.func, p.y0, p.t, method="dopri5", rtol=1e-10, atol=1e-12,
+                 options={"max_steps": 8})
+    assert int(res2.stats.status) == int(Status.MAX_STEPS_REACHED)
+
+
+def test_jit_and_grid_options():
+    p = construct_problem("linear", npts=10)
+
+    @jax.jit
+    def go(y0, t):
+        return odeint(p.func, y0, t, method="dopri5")
+
+    ys = go(p.y0, p.t)
+    assert ys.shape == (10, 2)
+    err = float(jnp.max(jnp.abs(ys - p.y_exact(p.t))))
+    assert err < 1e-6
+
+    ys2 = odeint(p.func, p.y0, p.t, method="rk4",
+                 options={"step_size": 0.01})
+    err2 = float(jnp.max(jnp.abs(ys2 - p.y_exact(p.t))))
+    assert err2 < 1e-7
+
+    ys3 = odeint(p.func, p.y0, p.t, method="fixed_adams",
+                 options={"step_size": 0.01, "max_order": 5})
+    err3 = float(jnp.max(jnp.abs(ys3 - p.y_exact(p.t))))
+    assert err3 < 1e-6
+
+
+def test_float32_accuracy_budget():
+    # TPU is float32: adaptive solve at 1e-5 tolerances should still track
+    # the float64 reference within ~1e-3 on the benign spiral.
+    p64 = construct_problem("linear", npts=20)
+    p32 = construct_problem("linear", dtype=jnp.float32, npts=20)
+    ys = odeint(p32.func, p32.y0, p32.t, rtol=1e-5, atol=1e-7,
+                method="dopri5")
+    ref = p64.y_exact(p64.t)
+    err = float(jnp.max(jnp.abs(ys.astype(jnp.float64) - ref)))
+    assert err < 1e-3, err

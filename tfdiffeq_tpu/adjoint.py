@@ -1,0 +1,147 @@
+"""O(1)-memory gradients via the continuous adjoint ODE.
+
+Capability parity with upstream `tfdiffeq/adjoint.py` (SURVEY.md §2, §3.3):
+`odeint_adjoint` integrates the augmented adjoint system backward over each
+observation interval, re-injecting the output cotangent at every observation
+time, so memory is O(1) in trajectory length (the forward solve is not
+taped).
+
+JAX-native design differences:
+- The reference requires `func` to be a `tf.keras.Model` so its `.variables`
+  can be collected. JAX has no implicit variable collection: parameters are
+  passed explicitly as a pytree via `params`, and `func` is called as
+  `func(t, y, params)` (or `func(t, y)` when `params=None`). Gradients flow
+  to `y0`, `t`, and `params` through `jax.custom_vjp`.
+- The backward sweep over observation intervals is a `lax.scan`; each
+  interval runs the SAME compiled on-device solver (`loop='while'`) on the
+  augmented state, with `jax.vjp` of the dynamics inside the loop providing
+  the adjoint right-hand side. Reverse time needs no special casing: the
+  solver integrates decreasing-time intervals natively (solvers/base.py).
+- Time gradients follow the standard continuous-adjoint recipe (as in
+  `jax.experimental.ode`): the augmented state carries the accumulated
+  d(loss)/d(t0) term, and each observation time's gradient is
+  dot(func(t_i, y_i), g_i).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .odeint import solve
+from .ops.pytree import flatten_state
+
+Array = jax.Array
+
+
+def odeint_adjoint(
+    func: Callable,
+    y0: Any,
+    t,
+    *,
+    params: Any = None,
+    rtol=1e-7,
+    atol=1e-9,
+    method: Optional[str] = None,
+    options: Optional[dict] = None,
+    adjoint_rtol=None,
+    adjoint_atol=None,
+    adjoint_method: Optional[str] = None,
+    adjoint_options: Optional[dict] = None,
+) -> Any:
+    """Like `odeint`, but gradients use the augmented adjoint ODE.
+
+    func: callable(t, y, params) -> dy (or callable(t, y) if params is None).
+    Returns the trajectory pytree (leaves [T, ...]).
+    """
+    if params is None:
+        user_func = lambda t_, y_, p_: func(t_, y_)
+        params_in = ()
+    else:
+        user_func = func
+        params_in = params
+
+    adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
+    adjoint_atol = atol if adjoint_atol is None else adjoint_atol
+    adjoint_method = method if adjoint_method is None else adjoint_method
+    fwd_options = dict(options or {})
+    fwd_options.setdefault("loop", "while")
+    bwd_options = dict(adjoint_options if adjoint_options is not None
+                       else fwd_options)
+    bwd_options.setdefault("loop", "while")
+
+    def _impl(y0_, t_, params_):
+        return solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
+                     rtol=rtol, atol=atol, method=method,
+                     options=fwd_options).ys
+
+    @jax.custom_vjp
+    def _odeint(y0_, t_, params_):
+        return _impl(y0_, t_, params_)
+
+    def _fwd(y0_, t_, params_):
+        ys = _impl(y0_, t_, params_)
+        return ys, (ys, t_, params_)
+
+    def _bwd(res, g):
+        ys, t_, params_ = res
+        t_ = jnp.asarray(t_)
+        T = t_.shape[0]
+
+        # Flatten trajectory and cotangents to [T, N].
+        y_template = jax.tree_util.tree_map(lambda l: l[0], ys)
+        _, unravel = flatten_state(y_template)
+        ys_flat = jax.vmap(lambda tree: flatten_state(tree)[0])(ys)
+        g_flat = jax.vmap(lambda tree: flatten_state(tree)[0])(g)
+        N = ys_flat.shape[1]
+        ydtype = ys_flat.dtype
+
+        def f_flat(tt, y_flat, p_):
+            dy = user_func(tt, unravel(y_flat), p_)
+            return flatten_state(dy)[0].astype(ydtype)
+
+        def aug_dynamics(s, aug):
+            y, a_y, a_p, a_t = aug
+            dy, vjp_fn = jax.vjp(lambda y_, t__, p_: f_flat(t__, y_, p_),
+                                 y, s, params_)
+            v_y, v_t, v_p = vjp_fn(a_y)
+            return (dy, -v_y,
+                    jax.tree_util.tree_map(jnp.negative, v_p), -v_t)
+
+        zero_p = jax.tree_util.tree_map(jnp.zeros_like, params_)
+
+        def scan_fun(carry, i):
+            a_y, a_p, a_t0 = carry
+            # Gradient of the loss w.r.t. observation time t[i].
+            f_i = f_flat(t_[i], ys_flat[i], params_)
+            t_bar = jnp.dot(f_i, g_flat[i]).astype(t_.dtype)
+            a_t0 = a_t0 - t_bar
+            aug0 = (ys_flat[i], a_y, a_p, a_t0)
+            t_pair = jnp.stack([t_[i], t_[i - 1]])
+            aug_ys = solve(aug_dynamics, aug0, t_pair,
+                           rtol=adjoint_rtol, atol=adjoint_atol,
+                           method=adjoint_method, options=bwd_options).ys
+            _, a_y, a_p, a_t0 = jax.tree_util.tree_map(
+                lambda l: l[-1], aug_ys)
+            a_y = a_y + g_flat[i - 1]
+            return (a_y, a_p, a_t0), t_bar
+
+        if T > 1:
+            init = (g_flat[-1], zero_p,
+                    jnp.zeros((), t_.dtype))
+            idx = jnp.arange(T - 1, 0, -1)
+            (a_y, a_p, a_t0), rev_t_bars = jax.lax.scan(scan_fun, init, idx)
+            ts_bar = jnp.concatenate([a_t0[None], rev_t_bars[::-1]])
+        else:
+            a_y = g_flat[0]
+            a_p = zero_p
+            ts_bar = jnp.zeros_like(t_)
+
+        y0_bar = unravel(a_y)
+        return (y0_bar, ts_bar.astype(t_.dtype), a_p)
+
+    _odeint.defvjp(_fwd, _bwd)
+    ys_out = _odeint(y0, jnp.asarray(t), params_in)
+    return ys_out

@@ -1,0 +1,144 @@
+"""`odeint` front-end: validate inputs, dispatch to a solver, integrate.
+
+Capability parity with upstream `tfdiffeq/odeint.py` (SURVEY.md §2 "odeint
+front-end"): same signature `odeint(func, y0, t, rtol, atol, method, options)`,
+same `SOLVERS` method names, same defaults (rtol=1e-7, atol=1e-9,
+method='dopri5'), tuple/pytree state, reverse time, options dict.
+
+TPU-native extensions:
+- `solve(...)` returns a `SolveResult` with on-device solver statistics
+  (nfe / accepted / rejected / status) carried out of the compiled loop —
+  the reference's NFE counters and `max_num_steps` eager raises, reworked for
+  jit (SURVEY.md §5 "Tracing" / "Failure detection").
+- `options['loop']`: 'bounded' (default; differentiable with plain jax.grad,
+  closure-captured parameters included) or 'while' (fastest forward).
+- rtol/atol may be scalars or pytrees matching y0 (per-leaf tolerances).
+- Everything is jit-compatible: `jax.jit(lambda y0, t: odeint(f, y0, t))`
+  compiles ONE executable per (method, state structure); t, rtol, atol are
+  dynamic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.controller import StepController
+from .ops.pytree import flatten_state, unravel_trajectory
+from .ops import tableaus
+from .solvers.adaptive import AdaptiveConfig, solve_adaptive
+from .solvers.base import (SolveResult, canonicalize, check_options)
+from .solvers.fixed_grid import build_grid_from_options, solve_fixed_grid
+
+Array = jax.Array
+
+_FIXED_TABLEAUS = {
+    "euler": tableaus.EULER,
+    "midpoint": tableaus.MIDPOINT,
+    "rk4": tableaus.RK4,
+    "rk4_38": tableaus.RK4_38,
+}
+
+_ADAPTIVE_TABLEAUS = {
+    "dopri5": tableaus.DOPRI5,
+    "bosh3": tableaus.BOSH3,
+    "adaptive_heun": tableaus.ADAPTIVE_HEUN,
+    "tsit5": tableaus.TSIT5,
+}
+
+#: Public solver registry (parity with upstream `SOLVERS` dict in
+#: `tfdiffeq/odeint.py`; SURVEY.md §2). Adams-family methods are registered
+#: by `solvers/fixed_adams.py` / `solvers/adams.py` at import time.
+SOLVERS = {}
+SOLVERS.update({k: ("fixed", v) for k, v in _FIXED_TABLEAUS.items()})
+SOLVERS.update({k: ("adaptive", v) for k, v in _ADAPTIVE_TABLEAUS.items()})
+
+
+def register_solver(name: str, kind: str, impl) -> None:
+    SOLVERS[name] = (kind, impl)
+
+
+def _resolve_tolerance(tol, y0) -> Any:
+    """Scalar tolerance passes through; a pytree matching y0 is raveled."""
+    if isinstance(tol, (int, float)) or (
+            hasattr(tol, "ndim") and jnp.ndim(tol) == 0):
+        return tol
+    flat, _ = flatten_state(tol)
+    return flat
+
+
+def solve(
+    func: Callable,
+    y0: Any,
+    t,
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    method: Optional[str] = None,
+    options: Optional[dict] = None,
+) -> SolveResult:
+    """Integrate dy/dt = func(t, y) and return trajectory + solver stats."""
+    method = method or "dopri5"
+    if method not in SOLVERS:
+        raise ValueError(
+            f"Unknown method {method!r}; available: {sorted(SOLVERS)}")
+    options = check_options(options)
+
+    prob = canonicalize(func, y0, t)
+    rtol = _resolve_tolerance(rtol, y0)
+    atol = _resolve_tolerance(atol, y0)
+
+    kind, impl = SOLVERS[method]
+    if kind == "fixed":
+        grid = build_grid_from_options(jnp.asarray(t), options, prob)
+        result = solve_fixed_grid(prob, impl, grid=grid)
+    elif kind == "adaptive":
+        ctrl = StepController(
+            safety=float(options.get("safety", 0.9)),
+            ifactor=float(options.get("ifactor", 10.0)),
+            dfactor=float(options.get("dfactor", 0.2)),
+            icoeff=float(options.get("icoeff", 1.0)),
+            pcoeff=float(options.get("pcoeff", 0.0)),
+        )
+        cfg = AdaptiveConfig(
+            tableau=impl,
+            controller=ctrl,
+            loop=options.get("loop", "bounded"),
+            max_steps=int(options.get("max_steps", 4096)),
+            chunk_size=int(options.get("chunk_size", 32)),
+            norm=options.get("norm"),
+        )
+        result = solve_adaptive(
+            prob, cfg, rtol, atol,
+            first_step=options.get("first_step"),
+            dt_min=options.get("dt_min"),
+            max_num_steps=options.get("max_num_steps"),
+        )
+    else:  # custom registered solver: impl(prob, options, rtol, atol)
+        result = impl(prob, options, rtol, atol)
+
+    ys = unravel_trajectory(prob.unravel, result.ys)
+    return SolveResult(ys, result.stats)
+
+
+def odeint(
+    func: Callable,
+    y0: Any,
+    t,
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    method: Optional[str] = None,
+    options: Optional[dict] = None,
+) -> Any:
+    """Reference-compatible front-end: returns the trajectory pytree whose
+    leaves have a new leading time axis (ys[0] == y0).
+
+    Differentiable with plain `jax.grad` (the analogue of the reference's
+    taped direct backprop, SURVEY.md §3.4); use `odeint_adjoint` for
+    O(1)-memory gradients.
+    """
+    return solve(func, y0, t, rtol=rtol, atol=atol, method=method,
+                 options=options).ys

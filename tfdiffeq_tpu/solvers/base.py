@@ -1,0 +1,171 @@
+"""Problem canonicalization and solve results.
+
+Capability parity with upstream `tfdiffeq/misc.py` `_check_inputs` /
+`_ReverseFunc` / `_assert_increasing` and `tfdiffeq/solvers.py` base classes
+(SURVEY.md §2, §3.1) — redesigned for XLA:
+
+- The reference normalizes tuple-vs-tensor state and *eagerly* branches on
+  whether `t` is decreasing, negating both `t` and `f`. Under `jit`, time
+  values are traced, so direction is handled **algebraically**: we integrate
+  in tau = sign * t (always increasing) with g(tau, y) = sign * f(sign*tau, y),
+  where sign is a traced scalar. One compiled executable serves both
+  directions with zero retraces.
+- Status/error reporting: Python exceptions cannot cross `lax.while_loop`, so
+  solves carry an integer status code out of the loop (SURVEY.md §5 "Failure
+  detection"). `raise_on_failure` turns them into host-side errors via
+  `jax.debug` / checkify-style helpers in utils.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pytree import flat_ode_func, flatten_state
+
+Array = jax.Array
+
+
+class Status(enum.IntEnum):
+    OK = 0
+    MAX_STEPS_REACHED = 1
+    DT_UNDERFLOW = 2          # step size collapsed (usually non-finite f)
+
+
+class SolverStats(NamedTuple):
+    nfe: Array            # number of func evaluations
+    n_accepted: Array     # accepted steps
+    n_rejected: Array     # rejected steps
+    status: Array         # Status code (int32 scalar)
+
+
+class SolveResult(NamedTuple):
+    ys: Any               # pytree, leaves [T, ...]
+    stats: SolverStats
+
+
+class CanonicalProblem(NamedTuple):
+    func: Callable[[Array, Array], Array]   # g(tau, y_flat) -> dy_flat
+    y0: Array                               # [N] flat initial state
+    tau: Array                              # [T] increasing times
+    sign: Array                             # +1/-1 scalar (tau = sign * t)
+    unravel: Callable[[Array], Any]
+    dtype: Any                              # state dtype
+    time_dtype: Any
+
+
+def canonicalize(func: Callable, y0: Any, t: Array) -> CanonicalProblem:
+    """Normalize (func, y0, t) into a flat, forward-time problem."""
+    y_flat, unravel = flatten_state(y0)
+    if not jnp.issubdtype(y_flat.dtype, jnp.inexact):
+        raise TypeError(
+            f"y0 must have floating/complex dtype, got {y_flat.dtype}")
+    dtype = y_flat.dtype
+
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        t = t[None]
+    if t.ndim != 1:
+        raise ValueError(f"t must be a 1-D array of times, got shape {t.shape}")
+    time_dtype = t.dtype if jnp.issubdtype(t.dtype, jnp.floating) else (
+        jnp.real(y_flat).dtype if jnp.issubdtype(dtype, jnp.complexfloating)
+        else dtype)
+    t = t.astype(time_dtype)
+
+    # Eager monotonicity validation when times are concrete (the reference's
+    # `_assert_increasing`); skipped silently for traced t.
+    if not isinstance(t, jax.core.Tracer) and t.shape[0] > 1:
+        tv = np.asarray(t)
+        d = np.diff(tv)
+        if not (np.all(d > 0) or np.all(d < 0)):
+            raise ValueError("t must be strictly monotonic (increasing or "
+                             f"decreasing); got {tv}")
+
+    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(time_dtype)
+    tau = sign * t
+
+    f_flat = flat_ode_func(func, unravel, dtype)
+
+    def g(s: Array, y: Array) -> Array:
+        return sign.astype(dtype) * f_flat((sign * s).astype(time_dtype), y)
+
+    return CanonicalProblem(g, y_flat, tau, sign, unravel, dtype, time_dtype)
+
+
+def empty_stats(nfe: int = 0) -> SolverStats:
+    z = jnp.asarray(0, jnp.int32)
+    return SolverStats(jnp.asarray(nfe, jnp.int32), z, z,
+                       jnp.asarray(int(Status.OK), jnp.int32))
+
+
+_KNOWN_OPTIONS = frozenset({
+    # reference-compatible (upstream solver `options` dicts, SURVEY.md §5
+    # "Config / flag system")
+    "first_step", "safety", "ifactor", "dfactor", "max_num_steps",
+    "grid_constructor", "step_size", "max_order", "max_iters", "norm",
+    # TPU-native extensions
+    "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
+    "interp", "implicit",
+})
+
+
+def check_options(options: Optional[dict], allowed: Optional[set] = None) -> dict:
+    """Validate an options dict (reference: `_handle_unused_kwargs` warns on
+    unused kwargs; we raise on unknown keys to fail fast under jit)."""
+    options = dict(options or {})
+    allowed = allowed if allowed is not None else _KNOWN_OPTIONS
+    unknown = set(options) - set(allowed)
+    if unknown:
+        raise TypeError(f"Unknown solver options: {sorted(unknown)}; "
+                        f"allowed: {sorted(allowed)}")
+    return options
+
+
+def linear_interp_at(grid: Array, ys_grid: Array, ts: Array) -> Array:
+    """Linearly interpolate a grid trajectory onto requested times.
+
+    grid: [G] increasing; ys_grid: [G, N]; ts: [T] (within [grid[0], grid[-1]]).
+    Parity: the fixed-grid output interpolation in upstream
+    `tfdiffeq/solvers.py` `FixedGridODESolver.integrate` (SURVEY.md §3.2).
+    """
+    idx = jnp.clip(jnp.searchsorted(grid, ts, side="left"), 1,
+                   grid.shape[0] - 1)
+    t_lo = grid[idx - 1]
+    t_hi = grid[idx]
+    span = t_hi - t_lo
+    w = jnp.where(span > 0, (ts - t_lo) / jnp.where(span > 0, span, 1.0), 0.0)
+    w = w.astype(ys_grid.dtype)[:, None]
+    return ys_grid[idx - 1] * (1.0 - w) + ys_grid[idx] * w
+
+
+def hermite_interp_at(grid: Array, ys_grid: Array, fs_grid: Array,
+                      ts: Array) -> Array:
+    """Cubic-Hermite interpolation of a grid trajectory onto requested times.
+
+    Upgrade over the reference's linear output interpolation (O(h^2)): uses
+    the derivative values already computed at every grid node for O(h^4)
+    output accuracy at zero extra func evaluations.
+
+    grid: [G] increasing; ys_grid, fs_grid: [G, N]; ts: [T].
+    """
+    idx = jnp.clip(jnp.searchsorted(grid, ts, side="left"), 1,
+                   grid.shape[0] - 1)
+    t_lo = grid[idx - 1]
+    t_hi = grid[idx]
+    h = t_hi - t_lo
+    x = jnp.where(h > 0, (ts - t_lo) / jnp.where(h > 0, h, 1.0), 0.0)
+    x = x.astype(ys_grid.dtype)[:, None]
+    h = h.astype(ys_grid.dtype)[:, None]
+    y_lo, y_hi = ys_grid[idx - 1], ys_grid[idx]
+    f_lo, f_hi = fs_grid[idx - 1], fs_grid[idx]
+    x2 = x * x
+    x3 = x2 * x
+    h00 = 2 * x3 - 3 * x2 + 1
+    h10 = x3 - 2 * x2 + x
+    h01 = -2 * x3 + 3 * x2
+    h11 = x3 - x2
+    return h00 * y_lo + h10 * h * f_lo + h01 * y_hi + h11 * h * f_hi

@@ -1,0 +1,151 @@
+"""Fixed-grid explicit solvers: euler, midpoint, rk4 (+ generic tableaus).
+
+Capability parity with upstream `tfdiffeq/fixed_grid.py` and the
+`FixedGridODESolver` lifecycle in `tfdiffeq/solvers.py` (SURVEY.md §2, §3.2).
+
+TPU-native design: the reference walks the grid in host Python, dispatching
+eager TF ops per arithmetic step. Here the entire integration is ONE
+`lax.scan` over grid intervals — compiled once, fully fused, differentiable
+with standard `jax.grad` (reverse-mode through the scan gives the exact
+discrete gradient, the analogue of the reference's taped backprop in
+SURVEY.md §3.4). Outputs are emitted directly from the scan when the grid is
+the requested times (the reference's default `grid_constructor`), otherwise
+linearly interpolated onto `t` afterwards, matching reference semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rk import runge_kutta_step
+from ..ops.tableaus import ButcherTableau
+from .base import (CanonicalProblem, SolveResult, SolverStats, Status,
+                   hermite_interp_at)
+
+Array = jax.Array
+
+
+def _tableau_step(tableau: ButcherTableau):
+    """One fixed step y(t0) -> y(t0+dt) via an explicit tableau.
+
+    Returns (y1, f0, n_evals) — f0 = func(t0, y) is exposed so the engine can
+    build cubic-Hermite output interpolation at no extra evaluations.
+    """
+
+    def step(func, t0, dt, y):
+        f0 = func(t0, y)
+        res = runge_kutta_step(func, y, f0, t0, dt, tableau)
+        return res.y1, f0, res.n_evals + 1
+
+    return step
+
+
+def solve_fixed_grid(
+    prob: CanonicalProblem,
+    tableau: ButcherTableau,
+    grid: Optional[Array] = None,
+    step_fn: Optional[Callable] = None,
+) -> SolveResult:
+    """Integrate on a fixed grid (default: the requested times themselves).
+
+    `grid`, if given, must be a static-length increasing array in tau-space
+    covering [tau[0], tau[-1]] (the reference's `grid_constructor` contract).
+    `step_fn(func, t0, dt, y) -> (y1, n_evals)` overrides the tableau step
+    (used by hypersolvers, SURVEY.md §2 `hyper_solvers.py`).
+    """
+    func, y0, tau = prob.func, prob.y0, prob.tau
+    step = step_fn if step_fn is not None else _tableau_step(tableau)
+    T = tau.shape[0]
+
+    if grid is None:
+        grid = tau
+        grid_is_t = True
+    else:
+        grid = jnp.asarray(grid, tau.dtype)
+        grid_is_t = False
+
+    G = grid.shape[0]
+    if G < 2:
+        # Nothing to integrate: every output is y0.
+        ys = jnp.broadcast_to(y0[None], (T,) + y0.shape)
+        return SolveResult(ys, _stats(0, 0))
+
+    pairs = (grid[:-1], grid[1:])
+
+    def body(y, t01):
+        t0, t1 = t01
+        y1, f0, _ = step(func, t0, t1 - t0, y)
+        return y1, (y1, f0)
+
+    y_end, (ys_tail, fs_head) = jax.lax.scan(body, y0, pairs)
+
+    nevals_per_step = _count_evals(step, func, grid, y0)
+    nfe = nevals_per_step * (G - 1)
+
+    if grid_is_t:
+        out = jnp.concatenate([y0[None], ys_tail], axis=0)
+    else:
+        # Cubic-Hermite onto the requested times using the node derivatives
+        # the steps already computed (+1 eval for the final node).
+        ys_grid = jnp.concatenate([y0[None], ys_tail], axis=0)
+        f_end = func(grid[-1], y_end)
+        fs_grid = jnp.concatenate([fs_head, f_end[None]], axis=0)
+        nfe += 1
+        out = hermite_interp_at(grid, ys_grid, fs_grid, tau)
+        out = out.at[0].set(y0)
+
+    return SolveResult(out, _stats(nfe, G - 1))
+
+
+def _count_evals(step, func, grid, y0) -> int:
+    """Static evals-per-step (trace-free: use eval_shape to avoid compute)."""
+    count = [0]
+
+    def counting_func(t, y):
+        count[0] += 1
+        return func(t, y)
+
+    jax.eval_shape(lambda y: step(counting_func, grid[0], grid[1] - grid[0],
+                                  y)[:2], y0)
+    return count[0]
+
+
+def _stats(nfe, n_steps) -> SolverStats:
+    return SolverStats(
+        jnp.asarray(nfe, jnp.int32),
+        jnp.asarray(n_steps, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(int(Status.OK), jnp.int32),
+    )
+
+
+def build_grid_from_options(t: Array, options: dict,
+                            prob: CanonicalProblem) -> Optional[Array]:
+    """Resolve reference-style grid options to a static grid in tau-space.
+
+    Supports `grid_constructor(func, y0, t) -> grid` and `step_size` (uniform
+    grid). Grid length must be static: requires concrete `t` (host-known),
+    matching how the reference resolves these eagerly.
+    """
+    grid_constructor = options.get("grid_constructor")
+    step_size = options.get("step_size")
+    if grid_constructor is None and step_size is None:
+        return None
+    if isinstance(t, jax.core.Tracer):
+        raise ValueError(
+            "grid_constructor/step_size need concrete (non-traced) t so the "
+            "grid length is static under jit; pass t as a constant or use "
+            "the default grid (t itself).")
+    if grid_constructor is not None:
+        grid = jnp.asarray(grid_constructor(prob.func, prob.y0, t))
+        grid = (prob.sign * grid).astype(prob.time_dtype)
+        return grid
+    t_np = np.asarray(t, dtype=np.float64)
+    span = abs(float(t_np[-1] - t_np[0]))
+    n = max(1, int(np.ceil(span / float(step_size) - 1e-12)))
+    grid = jnp.linspace(prob.tau[0], prob.tau[-1], n + 1)
+    return grid.astype(prob.time_dtype)
