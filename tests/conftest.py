@@ -2,12 +2,18 @@
 
 Tests run on CPU with a virtual 8-device mesh (sharding tests) and float64
 enabled (accuracy references; TPU itself is float32 — dedicated tests cover
-f32 tolerance accounting). Must set env vars before jax initializes.
+f32 tolerance accounting).
+
+NOTE on this environment: a sitecustomize hook registers the experimental
+`axon` TPU backend and force-sets ``jax_platforms='axon,cpu'`` via
+`jax.config.update` at interpreter start — env vars alone cannot override
+it, so we re-override via `jax.config.update` after importing jax. The
+virtual host device count must still go in before the CPU client
+initializes, which it has not at conftest-import time.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +21,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

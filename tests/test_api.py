@@ -30,7 +30,7 @@ def test_tuple_state_roundtrip():
 def test_scalar_state():
     ys = odeint(lambda t, y: -y, jnp.asarray(1.0), jnp.asarray([0.0, 1.0]))
     assert ys.shape == (2,)
-    np.testing.assert_allclose(float(ys[-1]), np.exp(-1.0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys[-1]), [np.exp(-1.0)], rtol=1e-6)
 
 
 def test_reverse_time():
@@ -38,7 +38,7 @@ def test_reverse_time():
     t_bwd = jnp.asarray([1.0, 0.0])
     y1 = odeint(lambda t, y: -y, jnp.asarray([1.0]), t_fwd)[-1]
     y0_back = odeint(lambda t, y: -y, y1, t_bwd)[-1]
-    np.testing.assert_allclose(float(y0_back), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y0_back), [1.0], rtol=1e-6)
 
 
 def test_single_time_returns_y0():
@@ -106,4 +106,4 @@ def test_nan_dynamics_reports_dt_underflow():
 
 def test_int_times_accepted():
     ys = odeint(lambda t, y: -y, jnp.ones(1), jnp.asarray([0, 1]))
-    np.testing.assert_allclose(float(ys[-1]), np.exp(-1.0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys[-1]), [np.exp(-1.0)], rtol=1e-6)

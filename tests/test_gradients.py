@@ -33,8 +33,12 @@ def expm_at(tt):
 @pytest.mark.parametrize("method", ["dopri5", "rk4", "midpoint", "bosh3"])
 def test_grad_y0_matches_analytic_jacobian(method):
     # d y(T) / d y0 == expm(A*T) for the linear ODE.
+    # Fixed-grid methods integrate on the (coarse) output grid by default;
+    # use a fine step so the *discrete* Jacobian is close to expm(A*T).
+    options = None if method in ("dopri5", "bosh3") else {"step_size": 0.002}
+
     def endpoint(y0):
-        ys = odeint(linear_func, y0, T, method=method)
+        ys = odeint(linear_func, y0, T, method=method, options=options)
         return ys[-1]
 
     J = jax.jacrev(endpoint)(Y0)

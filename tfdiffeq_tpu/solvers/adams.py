@@ -1,0 +1,319 @@
+"""Variable-coefficient, variable-order Adams–Bashforth–Moulton (VCABM).
+
+Capability parity with upstream `tfdiffeq/adams.py` (SURVEY.md §2
+"Variable-coefficient Adams", [HIGH]): adaptive order (1..12) and adaptive
+step size via divided-difference phi arrays, the g-coefficient recurrence,
+and order adaptation driven by error estimates at orders k-1 / k / k+1
+(Shampine–Gordon). Public method name: ``'adams'``.
+
+TPU-native redesign (SURVEY.md §7 "hard parts" #2):
+
+- The reference mutates Python ``deque`` histories (``prev_t``, ``phi``) and
+  branches on materialized scalars on the host every step. Here the whole
+  solve is ONE on-device `lax.while_loop` over fixed-size buffers:
+  ``phi: [MAX_ORDER+2, N]`` divided differences, ``prev_t: [MAX_ORDER+2]``
+  times (newest first), with the dynamic order handled by masking — no
+  dynamic shapes, one compiled executable.
+- The g / beta / c recurrences unroll at trace time over the static
+  ``MAX_ORDER`` bound with `jnp.where` masking per dynamic order; divisions
+  are sanitized so garbage slots beyond the live history can never produce
+  NaN/Inf (masked-safe-divide pattern).
+- ``gamma_star`` is generated exactly at import time from its defining
+  recurrence with `fractions.Fraction` (the reference transcribes a table).
+- Output times are hit exactly by clamping each step to the next requested
+  time (the reference's ``advance`` + ``next_t = min(next_t, final_t)``
+  behavior), so no interpolant is required.
+
+Gradients: like ``loop='while'`` adaptive RK, the while-loop forward pass is
+not reverse-differentiable; use `odeint_adjoint` (continuous adjoint) for
+training, which only needs the forward solver.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction as Fr
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.norms import error_ratio, rms_norm, select_initial_step
+from .base import CanonicalProblem, SolveResult, SolverStats, Status
+
+Array = jax.Array
+
+MAX_ORDER = 12
+_K = MAX_ORDER + 2          # phi slots: indices 0 .. order+1 used
+
+
+def _gamma_star_table() -> np.ndarray:
+    """gamma*_m from the exact recurrence
+    sum_{j=0}^m gamma*_j / (m+1-j) = 0 (m>=1), gamma*_0 = 1
+    (Hairer–Nørsett–Wanner III.1; the reference hardcodes these values)."""
+    gs = [Fr(1)]
+    for m in range(1, _K + 1):
+        gs.append(-sum(gs[j] / (m + 1 - j) for j in range(m)))
+    return np.array([float(g) for g in gs], dtype=np.float64)
+
+
+GAMMA_STAR = _gamma_star_table()
+
+
+def _safe_div(num, den):
+    """num / den with den==0 replaced by 1 (caller masks the result)."""
+    safe = jnp.where(den == 0, jnp.ones_like(den), den)
+    return num / safe
+
+
+def _g_and_explicit_phi(prev_t: Array, next_t: Array, implicit_phi: Array,
+                        order: Array, rdtype):
+    """Adams g-coefficients and explicit divided differences for this step.
+
+    prev_t: [_K] times, newest first (prev_t[0] == current t).
+    implicit_phi: [_K, N] divided differences at the current point.
+    order: dynamic int32 in [1, MAX_ORDER].
+
+    Returns (g: [_K], explicit_phi: [_K, N]); entries beyond the live order
+    are zeroed. Mirrors upstream `g_and_explicit_phi` (tfdiffeq/adams.py)
+    with the c-recurrence unrolled over the static MAX_ORDER bound.
+    """
+    curr_t = prev_t[0]
+    dt = next_t - curr_t
+    ydtype = implicit_phi.dtype
+
+    g = jnp.zeros((_K,), rdtype).at[0].set(1.0)
+    c = (1.0 / jnp.arange(1, _K + 2, dtype=rdtype))
+    explicit_phi = jnp.zeros_like(implicit_phi).at[0].set(implicit_phi[0])
+    beta = jnp.asarray(1.0, rdtype)
+
+    for j in range(1, MAX_ORDER + 1):
+        # c-recurrence (valid for j <= order): at j==1 the factor is exactly
+        # dt/(next_t - prev_t[0]) == 1, recovering the reference's special
+        # case. c shrinks by one valid entry per iteration; we emulate with a
+        # fixed-size roll whose tail garbage is finite and never read.
+        factor = _safe_div(dt, next_t - prev_t[j - 1])
+        c_new = c - jnp.roll(c, -1) * factor
+        active_c = j <= order
+        c = jnp.where(active_c, c_new, c)
+        g = g.at[j].set(jnp.where(active_c, c[0], jnp.asarray(0.0, rdtype)))
+
+        # beta / explicit phi (valid for j <= order - 1).
+        beta_new = beta * _safe_div(next_t - prev_t[j - 1],
+                                    curr_t - prev_t[j])
+        active_b = j < order
+        beta = jnp.where(active_b, beta_new, beta)
+        explicit_phi = explicit_phi.at[j].set(
+            jnp.where(active_b, implicit_phi[j] * beta.astype(ydtype),
+                      jnp.zeros_like(implicit_phi[j])))
+    return g, explicit_phi
+
+
+def _compute_implicit_phi(explicit_phi: Array, f_next: Array,
+                          k: Array) -> Array:
+    """implicit_phi[0] = f_next; implicit_phi[j] = implicit_phi[j-1]
+    - explicit_phi[j-1], masked to the first k rows (upstream
+    `compute_implicit_phi`). One cumsum instead of a Python deque loop."""
+    csum = jnp.cumsum(explicit_phi[:-1], axis=0)
+    shifted = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+    phi = f_next[None] - shifted
+    rows = jnp.arange(_K)[:, None]
+    return jnp.where(rows < k, phi, jnp.zeros_like(phi))
+
+
+def _optimal_dt(dt: Array, ratio: Array, order: Array, safety, ifactor,
+                dfactor) -> Array:
+    """Reference `_optimal_step_size` with a dynamic order exponent."""
+    rdtype = dt.dtype
+    tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype)
+    r = jnp.maximum(ratio.astype(rdtype), tiny)
+    k = jnp.maximum(order.astype(rdtype), 1.0)
+    factor = safety * r ** (-1.0 / k)
+    factor = jnp.where(ratio <= 0.0, ifactor,
+                       jnp.clip(factor, dfactor, ifactor))
+    return dt * factor
+
+
+def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
+                ) -> SolveResult:
+    func, y0, tau = prob.func, prob.y0, prob.tau
+    dtype = prob.dtype
+    rdtype = jnp.finfo(prob.time_dtype).dtype
+    T = tau.shape[0]
+    N = y0.shape[0]
+
+    max_order = int(options.get("max_order", MAX_ORDER))
+    if not 1 <= max_order <= MAX_ORDER:
+        raise ValueError(f"max_order must be in [1, {MAX_ORDER}]")
+    safety = float(options.get("safety", 0.9))
+    ifactor = float(options.get("ifactor", 10.0))
+    dfactor = float(options.get("dfactor", 0.2))
+    max_num_steps = jnp.asarray(
+        int(options.get("max_num_steps", 2 ** 31 - 1)), jnp.int32)
+    norm = options.get("norm") or rms_norm
+
+    rtol = jnp.asarray(rtol, jnp.finfo(dtype).dtype)
+    atol = jnp.asarray(atol, jnp.finfo(dtype).dtype)
+
+    if T == 1:
+        return SolveResult(y0[None], SolverStats(
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(int(Status.OK), jnp.int32)))
+
+    t0 = tau[0]
+    f0 = func(t0, y0)
+    first_step = options.get("first_step")
+    if first_step is None:
+        dt0 = select_initial_step(func, t0, y0, f0, 1, rtol, atol, norm)
+        dt0 = jnp.asarray(dt0, rdtype)
+        nfe0 = 2
+    else:
+        dt0 = jnp.abs(jnp.asarray(first_step, rdtype))
+        nfe0 = 1
+
+    gamma_star = jnp.asarray(GAMMA_STAR, dtype)
+    dt_min = 4.0 * jnp.finfo(rdtype).eps * jnp.maximum(
+        jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])), 1.0)
+
+    # Loop state. prev_t garbage slots are initialized to distinct sentinel
+    # values (t0 - 1 - slot) so no masked-safe-divide ever sees 0/0.
+    init = dict(
+        y=y0,
+        phi=jnp.zeros((_K, N), dtype).at[0].set(f0),
+        prev_t=(t0 - 1.0 - jnp.arange(_K, dtype=rdtype)).at[0].set(t0),
+        next_t=t0 + dt0,
+        order=jnp.asarray(1, jnp.int32),
+        out=jnp.zeros((T, N), dtype).at[0].set(y0),
+        out_idx=jnp.asarray(1, jnp.int32),
+        n_acc=jnp.asarray(0, jnp.int32),
+        n_rej=jnp.asarray(0, jnp.int32),
+        nfe=jnp.asarray(nfe0, jnp.int32),
+        status=jnp.asarray(int(Status.OK), jnp.int32),
+    )
+
+    def cond(s):
+        return (s["out_idx"] < T) & (s["status"] == Status.OK)
+
+    def body(s):
+        y, phi, prev_t, order = s["y"], s["phi"], s["prev_t"], s["order"]
+        final_t = tau[jnp.minimum(s["out_idx"], T - 1)]
+        next_t = jnp.minimum(s["next_t"], final_t)
+        dt = next_t - prev_t[0]
+        dt_y = dt.astype(dtype)
+
+        g, explicit_phi = _g_and_explicit_phi(prev_t, next_t, phi, order,
+                                              rdtype)
+        g_y = g.astype(dtype)
+
+        # Explicit predictor over the first max(1, order-1) phi terms
+        # (Shampine–Gordon k = order-1; at order==1 the Euler predictor term
+        # stays so the embedded error estimate sees the trial point).
+        n_pred = jnp.maximum(order - 1, 1)
+        wmask = (jnp.arange(_K) < n_pred).astype(dtype)
+        p_next = y + dt_y * jnp.tensordot(g_y * wmask, explicit_phi, axes=1)
+
+        # Implicit correction at index max(order-1, 1).
+        # NOTE deviation from the reference lineage: torchdiffeq corrects with
+        # g[order-1]·phi_p[order-1], which at order==1 double-counts the
+        # derivative (predictor Euler term + corrector g[0]·f_pred) — an
+        # inconsistent step that effectively integrates 2·f. Upstream only
+        # ever takes one such (tiny) startup step, but options={'max_order':1}
+        # would integrate the wrong ODE. Clamping the corrector index to >= 1
+        # makes order 1 the Euler/trapezoid predictor–corrector pair while
+        # leaving every order >= 2 bit-identical to the reference.
+        f_pred = func(next_t, p_next)
+        implicit_phi_p = _compute_implicit_phi(explicit_phi, f_pred,
+                                               order + 1)
+        om1 = jnp.maximum(order - 1, 0)
+        cidx = jnp.maximum(order - 1, 1)
+        y_next = p_next + dt_y * g_y[cidx] * implicit_phi_p[cidx]
+
+        # Error at order k; accept iff ratio <= 1 (reference semantics).
+        err_k_vec = dt_y * (g_y[order] - g_y[om1]) * implicit_phi_p[order]
+        error_k = error_ratio(err_k_vec, rtol, atol, y, y_next, norm)
+        finite = jnp.all(jnp.isfinite(y_next)) & jnp.isfinite(error_k)
+        accept = (error_k <= 1.0) & finite
+        big = jnp.asarray(2.0, error_k.dtype) ** 20
+        error_ctrl = jnp.where(finite, error_k, big)
+
+        # ---- accepted-path quantities (computed unconditionally, masked) --
+        f_next = func(next_t, y_next)
+        implicit_phi = _compute_implicit_phi(explicit_phi, f_next, order + 2)
+
+        # Order adaptation (Shampine–Gordon, reference logic).
+        om2 = jnp.maximum(order - 2, 0)
+        om3 = jnp.maximum(order - 3, 0)
+        tol_scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_next))
+        def ratio_of(vec):
+            return norm(vec / tol_scale)
+        error_km1 = ratio_of(dt_y * (g_y[om1] - g_y[om2])
+                             * implicit_phi_p[om1])
+        error_km2 = ratio_of(dt_y * (g_y[om2] - g_y[om3])
+                             * implicit_phi_p[om2])
+        error_kp1 = ratio_of(dt_y * gamma_star[order]
+                             * implicit_phi[order])
+
+        startup = (s["n_acc"] + 1 <= 4) | (order < 3)
+        next_order_startup = jnp.minimum(jnp.minimum(order + 1, 3),
+                                         max_order)
+        dec = jnp.minimum(error_km1, error_km2) < error_k
+        inc = ((~dec) & (order < jnp.minimum(max_order, s["n_acc"] + 1))
+               & (error_kp1 < error_k))
+        next_order_adapt = jnp.where(dec, order - 1,
+                                     jnp.where(inc, order + 1, order))
+        next_order = jnp.where(startup, next_order_startup, next_order_adapt)
+        next_order = jnp.clip(next_order, 1, max_order)
+
+        # Step-size control: keep dt when raising the order, else standard
+        # controller at order k+1 (reference behavior).
+        dt_acc = jnp.where(next_order > order, dt,
+                           _optimal_dt(dt, error_ctrl, order + 1, safety,
+                                       ifactor, dfactor))
+        dt_rej = _optimal_dt(dt, error_ctrl, order, safety, ifactor, dfactor)
+
+        # Output write: accepted step landing exactly on final_t.
+        hit = accept & (next_t >= final_t)
+        oi = s["out_idx"]
+        out = jnp.where(
+            (jnp.arange(T) == jnp.minimum(oi, T - 1))[:, None] & hit,
+            y_next[None], s["out"])
+        out_idx = oi + hit.astype(jnp.int32)
+
+        prev_t_acc = jnp.concatenate([next_t[None], prev_t[:-1]])
+
+        n_att = s["n_acc"] + s["n_rej"] + 1
+        status = s["status"]
+        status = jnp.where(
+            ~accept & (dt_rej < dt_min) & (status == Status.OK),
+            jnp.asarray(int(Status.DT_UNDERFLOW), jnp.int32), status)
+        status = jnp.where(
+            (n_att >= max_num_steps) & (out_idx < T) & (status == Status.OK),
+            jnp.asarray(int(Status.MAX_STEPS_REACHED), jnp.int32), status)
+
+        return dict(
+            y=jnp.where(accept, y_next, y),
+            phi=jnp.where(accept, implicit_phi, phi),
+            prev_t=jnp.where(accept, prev_t_acc, prev_t),
+            next_t=jnp.where(accept, next_t + dt_acc, prev_t[0] + dt_rej),
+            order=jnp.where(accept, next_order, order),
+            out=out,
+            out_idx=out_idx,
+            n_acc=s["n_acc"] + accept.astype(jnp.int32),
+            n_rej=s["n_rej"] + (~accept).astype(jnp.int32),
+            nfe=s["nfe"] + 2,
+            status=status,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    stats = SolverStats(final["nfe"], final["n_acc"], final["n_rej"],
+                        final["status"])
+    return SolveResult(final["out"], stats)
+
+
+def _adams(prob, options, rtol, atol):
+    return solve_vcabm(prob, options, rtol, atol)
+
+
+from ..odeint import register_solver  # noqa: E402
+
+register_solver("adams", "custom", _adams)
