@@ -15,6 +15,7 @@ from .solvers.base import SolveResult, SolverStats, Status
 # Register the Adams family into SOLVERS (import side effect).
 from .solvers import fixed_adams as _fixed_adams  # noqa: F401
 from .solvers import adams as _adams  # noqa: F401
+from .solvers import hyper as _hyper  # noqa: F401
 
 from .adjoint import odeint_adjoint
 from .utils.device import cast_double, func_cast_double, move_to_device

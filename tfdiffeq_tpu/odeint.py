@@ -46,6 +46,7 @@ _ADAPTIVE_TABLEAUS = {
     "bosh3": tableaus.BOSH3,
     "adaptive_heun": tableaus.ADAPTIVE_HEUN,
     "tsit5": tableaus.TSIT5,
+    "dopri8": tableaus.DOPRI8,
 }
 
 #: Public solver registry (parity with upstream `SOLVERS` dict in

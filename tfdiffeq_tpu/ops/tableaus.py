@@ -240,3 +240,96 @@ RK4_38 = ButcherTableau(
     order=4,
     fsal=False,
 )
+
+
+# ---------------------------------------------------------------------------
+# Prince–Dormand 8(7) "13M" (Prince & Dormand 1981), 13 stages. Reference
+# capability: upstream `tfdiffeq/dopri8.py` (SURVEY.md §2, [MED]). The
+# rational coefficients below are the published PD8(7)13M values; order
+# conditions are asserted numerically at import (`_check_tableau`).
+# Dense output: 4th-order midpoint weights derived from the order conditions
+# (derive_c_mid), matching the reference family's 4th-order interpolant.
+# ---------------------------------------------------------------------------
+_DP8_C = (
+    Fr(0), Fr(1, 18), Fr(1, 12), Fr(1, 8), Fr(5, 16), Fr(3, 8),
+    Fr(59, 400), Fr(93, 200), Fr(5490023248, 9719169821), Fr(13, 20),
+    Fr(1201146811, 1299019798), Fr(1), Fr(1),
+)
+_DP8_A = (
+    (Fr(1, 18),),
+    (Fr(1, 48), Fr(1, 16)),
+    (Fr(1, 32), Fr(0), Fr(3, 32)),
+    (Fr(5, 16), Fr(0), Fr(-75, 64), Fr(75, 64)),
+    (Fr(3, 80), Fr(0), Fr(0), Fr(3, 16), Fr(3, 20)),
+    (Fr(29443841, 614563906), Fr(0), Fr(0), Fr(77736538, 692538347),
+     Fr(-28693883, 1125000000), Fr(23124283, 1800000000)),
+    (Fr(16016141, 946692911), Fr(0), Fr(0), Fr(61564180, 158732637),
+     Fr(22789713, 633445777), Fr(545815736, 2771057229),
+     Fr(-180193667, 1043307555)),
+    (Fr(39632708, 573591083), Fr(0), Fr(0), Fr(-433636366, 683701615),
+     Fr(-421739975, 2616292301), Fr(100302831, 723423059),
+     Fr(790204164, 839813087), Fr(800635310, 3783071287)),
+    (Fr(246121993, 1340847787), Fr(0), Fr(0),
+     Fr(-37695042795, 15268766246), Fr(-309121744, 1061227803),
+     Fr(-12992083, 490766935), Fr(6005943493, 2108947869),
+     Fr(393006217, 1396673457), Fr(123872331, 1001029789)),
+    (Fr(-1028468189, 846180014), Fr(0), Fr(0), Fr(8478235783, 508512852),
+     Fr(1311729495, 1432422823), Fr(-10304129995, 1701304382),
+     Fr(-48777925059, 3047939560), Fr(15336726248, 1032824649),
+     Fr(-45442868181, 3398467696), Fr(3065993473, 597172653)),
+    (Fr(185892177, 718116043), Fr(0), Fr(0), Fr(-3185094517, 667107341),
+     Fr(-477755414, 1098053517), Fr(-703635378, 230739211),
+     Fr(5731566787, 1027545527), Fr(5232866602, 850066563),
+     Fr(-4093664535, 808688257), Fr(3962137247, 1805957418),
+     Fr(65686358, 487910083)),
+    (Fr(403863854, 491063109), Fr(0), Fr(0), Fr(-5068492393, 434740067),
+     Fr(-411421997, 543043805), Fr(652783627, 914296604),
+     Fr(11173962825, 925320556), Fr(-13158990841, 6184727034),
+     Fr(3936647629, 1978049680), Fr(-160528059, 685178525),
+     Fr(248638103, 1413531060), Fr(0)),
+)
+_DP8_B_SOL = (
+    Fr(14005451, 335480064), Fr(0), Fr(0), Fr(0), Fr(0),
+    Fr(-59238493, 1068277825), Fr(181606767, 758867731),
+    Fr(561292985, 797845732), Fr(-1041891430, 1371343529),
+    Fr(760417239, 1151165299), Fr(118820643, 751138087),
+    Fr(-528747749, 2220607170), Fr(1, 4),
+)
+_DP8_B_HAT = (
+    Fr(13451932, 455176623), Fr(0), Fr(0), Fr(0), Fr(0),
+    Fr(-808719846, 976000145), Fr(1757004468, 5645159321),
+    Fr(656045339, 265891186), Fr(-3867574721, 1518517206),
+    Fr(465885868, 322736535), Fr(53011238, 667516719), Fr(2, 45), Fr(0),
+)
+
+
+def _check_tableau(c, a, b_sol, b_hat, order_sol: int, order_hat: int):
+    """Order-condition checks catching transcription typos: row-sum
+    consistency (sum a[i] ~= c[i]) and the quadrature conditions
+    sum b c^m ~= 1/(m+1) for m < order for both weight vectors. The
+    published PD coefficients are rational approximations accurate to
+    ~1e-18, so compare in float with a tight tolerance."""
+    tol = 5e-15
+    for i, row in enumerate(a):
+        assert abs(float(sum(row) - c[i + 1])) < tol, f"row {i + 1} sum != c"
+    for m in range(order_sol):
+        r = float(sum(b * ci ** m for b, ci in zip(b_sol, c)) - Fr(1, m + 1))
+        assert abs(r) < tol, f"b_sol fails quadrature order {m}: {r}"
+    for m in range(order_hat):
+        r = float(sum(b * ci ** m for b, ci in zip(b_hat, c)) - Fr(1, m + 1))
+        assert abs(r) < tol, f"b_hat fails quadrature order {m}: {r}"
+
+
+_check_tableau(_DP8_C, _DP8_A, _DP8_B_SOL, _DP8_B_HAT, 8, 7)
+
+DOPRI8 = ButcherTableau(
+    name="dopri8",
+    c=tuple(_f(x) for x in _DP8_C),
+    a=tuple(tuple(_f(x) for x in row) for row in _DP8_A),
+    b_sol=tuple(_f(x) for x in _DP8_B_SOL),
+    b_err=tuple(_f(s - h) for s, h in zip(_DP8_B_SOL, _DP8_B_HAT)),
+    order=8,
+    fsal=False,
+    c_mid=derive_c_mid(tuple(float(x) for x in _DP8_C),
+                       tuple(tuple(float(x) for x in row) for row in _DP8_A)),
+)

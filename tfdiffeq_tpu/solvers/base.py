@@ -109,7 +109,7 @@ _KNOWN_OPTIONS = frozenset({
     "grid_constructor", "step_size", "max_order", "max_iters", "norm",
     # TPU-native extensions
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "interp", "implicit",
+    "interp", "implicit", "hypernet",
 })
 
 
