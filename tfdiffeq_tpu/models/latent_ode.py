@@ -47,12 +47,19 @@ class RecognitionRNN(nn.Module):
     def __call__(self, xs: Array) -> Tuple[Array, Array]:
         """xs: [B, T, obs_dim] -> (qz0_mean, qz0_logvar), each [B, latent]."""
         B = xs.shape[0]
-        i2h = nn.Dense(self.hidden, name="i2h")
+        # Explicit cell parameters (a flax submodule cannot be first called
+        # inside a `lax.scan` body — variable creation in the scan trace
+        # leaks tracers at init).
+        w_i2h = self.param(
+            "i2h_kernel", nn.initializers.lecun_normal(),
+            (self.obs_dim + self.hidden, self.hidden))
+        b_i2h = self.param("i2h_bias", nn.initializers.zeros,
+                           (self.hidden,))
         h2o = nn.Dense(2 * self.latent_dim, name="h2o")
 
         def cell(h, x):
             combined = jnp.concatenate([x, h], axis=-1)
-            h = jnp.tanh(i2h(combined))
+            h = jnp.tanh(combined @ w_i2h + b_i2h)
             return h, None
 
         h0 = jnp.zeros((B, self.hidden), xs.dtype)

@@ -1,0 +1,408 @@
+"""Pallas TPU kernels: fully-fused dopri5 step for MLP neural-ODE dynamics.
+
+The north-star fast path (SURVEY.md §7 "Pallas tier", BASELINE.json): for the
+benchmark's tanh-MLP dynamics
+
+    f(t, y) = tanh(y^3 @ W1 + b1) @ W2 + b2        y: [B, D]
+
+the ENTIRE Dormand–Prince 5(4) step — all 7 stage evaluations, the solution /
+error-weight combines, the tolerance-scaled error, and the 4th-order
+dense-output midpoint — runs as ONE Pallas kernel per solver iteration
+instead of ~25 separate XLA ops. The generic `odeint` path cannot fuse the
+user's `func` into the stage arithmetic (it is an arbitrary callable); this
+module is the honest answer for the known benchmark dynamics.
+
+Design notes (per /opt/skills/guides/pallas_guide.md):
+- State is kept feature-major ``[D, B]`` inside the kernel so the batch axis
+  lies along VPU lanes (128) — with D ~ 2, a batch-major layout would waste
+  126/128 lanes on every elementwise op.
+- The tiny contractions (D -> H and H -> D, D ~ 2, H ~ 50) are expressed as
+  outer-product broadcasts ([H,1] * [1,TB]) plus sublane reductions, so no
+  in-kernel transposes/relayouts are needed and everything runs on the VPU
+  (at K = 2 the MXU would run almost empty). The hidden dim is padded to a
+  full sublane tile once, outside the loop (zero rows are exact no-ops
+  through tanh since tanh(0) = 0).
+- Grid over batch tiles of 512 lanes; weights are replicated into VMEM for
+  every tile (a few KB); all dopri5 coefficients are trace-time constants.
+- Everything stays in f32 (TPU native); the error output is pre-divided by
+  ``atol + rtol * max(|y0|, |y1|)`` so the caller only reduces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tableaus import DOPRI5
+
+Array = jax.Array
+
+_LANE = 128
+_SUBLANE = 8
+_DEFAULT_TILE_B = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_step_kernel(B: int, tile_b: int):
+    """Step-kernel factory; B (true batch) is static so padded lanes can be
+    masked out of the error reduction — f(0) != 0 when biases are nonzero,
+    so zero-padding alone does NOT keep pad lanes out of the error."""
+    tab = DOPRI5
+
+    def kernel(dt_ref, rtol_ref, atol_ref,
+               y_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               y1_ref, f1_ref, ymid_ref, sumsq_ref):
+        _step_kernel_body(tab, B, tile_b, dt_ref, rtol_ref, atol_ref,
+                          y_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                          y1_ref, f1_ref, ymid_ref, sumsq_ref)
+
+    return kernel
+
+
+def _step_kernel_body(tab, B, tile_b, dt_ref, rtol_ref, atol_ref,
+                      y_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      y1_ref, f1_ref, ymid_ref, sumsq_ref):
+    """One full dopri5 step on a [D, TB] batch tile.
+
+    w1: [HP, D] (column per input feature), b1: [HP, 1], w2: [HP, D]
+    (column per output feature), b2: [D, 1]. HP = hidden padded to sublanes.
+    """
+    dt = dt_ref[0, 0]
+    rtol = rtol_ref[0, 0]
+    atol = atol_ref[0, 0]
+    y0 = y_ref[:]
+    D = y0.shape[0]
+    b2 = b2_ref[:]           # [D, 1], broadcasts over lanes
+
+    def f(y):
+        y3 = y * y * y
+        h = b1_ref[:]                                     # [HP, 1]
+        acc = None
+        for i in range(D):
+            term = w1_ref[:, i : i + 1] * y3[i : i + 1, :]   # [HP, TB]
+            acc = term if acc is None else acc + term
+        h = jnp.tanh(acc + h)                             # [HP, TB]
+        rows = [jnp.sum(w2_ref[:, i : i + 1] * h, axis=0, keepdims=True)
+                for i in range(D)]                        # D x [1, TB]
+        return jnp.concatenate(rows, axis=0) + b2         # [D, TB]
+
+    k = [f0_ref[:]]
+    for i in range(1, tab.stages):
+        yi = y0
+        for aij, kj in zip(tab.a[i - 1], k):
+            if aij != 0.0:
+                yi = yi + (dt * aij) * kj
+        k.append(f(yi))
+
+    y1 = y0
+    for b, kj in zip(tab.b_sol, k):
+        if b != 0.0:
+            y1 = y1 + (dt * b) * kj
+
+    err = None
+    for e, kj in zip(tab.b_err, k):
+        if e != 0.0:
+            err = (dt * e) * kj if err is None else err + (dt * e) * kj
+
+    y_mid = y0
+    for c, kj in zip(tab.c_mid, k):
+        if c != 0.0:
+            y_mid = y_mid + (dt * c) * kj
+
+    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    esc = err / scale
+    # Mask batch-padding lanes out of the reduction and finiteness check.
+    gidx = (pl.program_id(0) * tile_b
+            + jax.lax.broadcasted_iota(jnp.int32, esc.shape, 1))
+    valid = gidx < B
+    esc = jnp.where(valid, esc, 0.0)
+    y1_chk = jnp.where(valid, y1, 0.0)
+    y1_ref[:] = y1
+    f1_ref[:] = k[-1]        # FSAL
+    ymid_ref[:] = y_mid
+    # Per-tile error reduction fused into the kernel (the caller sums G
+    # scalars instead of reducing [D, B] every loop iteration — the big
+    # per-step win). Non-finiteness is folded in as +inf so one scalar
+    # carries both the PI-controller ratio and the divergence flag.
+    ss = jnp.sum(esc * esc)
+    finite = jnp.isfinite(ss) & jnp.all(jnp.isfinite(y1_chk))
+    ss = jnp.where(finite, ss, jnp.asarray(jnp.inf, ss.dtype))
+    # TPU grids run sequentially, so all tiles can share one (1,1) SMEM
+    # accumulator: initialize on the first program, add on the rest.
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        sumsq_ref[0, 0] = ss
+
+    @pl.when(i > 0)
+    def _():
+        sumsq_ref[0, 0] = sumsq_ref[0, 0] + ss
+
+
+def _pad_params(params: dict, D: int, dtype):
+    H = params["w1"].shape[1]
+    HP = _round_up(H, _SUBLANE)
+    w1 = jnp.zeros((HP, D), dtype).at[:H, :].set(
+        params["w1"].astype(dtype).T)
+    b1 = jnp.zeros((HP, 1), dtype).at[:H, 0].set(params["b1"].astype(dtype))
+    w2 = jnp.zeros((HP, D), dtype).at[:H, :].set(params["w2"].astype(dtype))
+    b2 = params["b2"].astype(dtype).reshape(D, 1)
+    return w1, b1, w2, b2, HP
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
+                    rtol: Array, atol: Array, *, tile_b: int = _DEFAULT_TILE_B,
+                    interpret: bool = False
+                    ) -> Tuple[Array, Array, Array, Array]:
+    """Fused dopri5 step for tanh-MLP dynamics.
+
+    params: {'w1': [D, H], 'b1': [H], 'w2': [H, D], 'b2': [D]}.
+    y, f0: [D, B] feature-major state and cached derivative.
+    Returns (y1, f1, err_ratio, y_mid): y-like outputs are [D, B]; err_ratio
+    is the scalar RMS of err/(atol + rtol*max(|y0|,|y1|)), +inf when the
+    step produced non-finite values (accept iff <= 1).
+    """
+    D, B = y.shape
+    dtype = y.dtype
+    w1, b1, w2, b2, HP = _pad_params(params, D, dtype)
+
+    BP = _round_up(B, tile_b)
+    if BP != B:
+        y = jnp.pad(y, ((0, 0), (0, BP - B)))
+        f0 = jnp.pad(f0, ((0, 0), (0, BP - B)))
+    grid = (BP // tile_b,)
+
+    scalars = (jnp.reshape(dt.astype(dtype), (1, 1)),
+               jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+               jnp.reshape(jnp.asarray(atol, dtype), (1, 1)))
+
+    tile_spec = pl.BlockSpec((D, tile_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+
+    def rep_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((D, BP), dtype)] * 3 + [
+        jax.ShapeDtypeStruct((1, 1), dtype)]
+    ss_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    y1, f1, ymid, sumsq = pl.pallas_call(
+        _make_step_kernel(B, tile_b),
+        grid=grid,
+        in_specs=[smem, smem, smem,
+                  tile_spec, tile_spec,
+                  rep_spec((HP, D)), rep_spec((HP, 1)), rep_spec((HP, D)),
+                  rep_spec((D, 1))],
+        out_specs=[tile_spec] * 3 + [ss_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*scalars, y, f0, w1, b1, w2, b2)
+
+    if BP != B:
+        y1, f1, ymid = (a[:, :B] for a in (y1, f1, ymid))
+    # RMS over the D*B real elements (padded lanes contribute exactly 0).
+    ratio = jnp.sqrt(jnp.sum(sumsq) / (D * B))
+    return y1, f1, ratio, ymid
+
+
+def mlp_f(params: dict, y: Array) -> Array:
+    """Reference MLP dynamics in [D, B] layout (XLA, for init/testing)."""
+    h = jnp.tanh(jnp.einsum("ib,ij->jb", y * y * y, params["w1"])
+                 + params["b1"][:, None])
+    return jnp.einsum("jb,ji->ib", h, params["w2"]) + params["b2"][:, None]
+
+
+# ---------------------------------------------------------------------------
+# Whole-solve kernel: the ENTIRE adaptive dopri5 integration in ONE Pallas
+# kernel launch. Measurement on TPU v5e (this repo, /tmp bisect scripts):
+# a pallas_call inside `lax.while_loop` pays ~200-300us per iteration in
+# pipeline serialization (launch + cond sync), while the same step in a scan
+# costs ~130us and a fully-fused loop body runs at ~sub-us scale. Moving the
+# while loop INSIDE the kernel removes every per-step launch: state lives in
+# VMEM scratch, the accept/reject/PI-controller/dense-output logic runs on
+# scalars in registers/SMEM, and the solve returns only the [T, D, B] output
+# trajectory plus stats. This is the BASELINE.json north star ("entire
+# integrate loop on device, no host round-trips") taken to its end point.
+# ---------------------------------------------------------------------------
+
+def _make_solve_kernel(T: int, safety: float, ifactor: float,
+                       dfactor: float, max_steps: int, dt_min: float,
+                       denom: float):
+    tab = DOPRI5
+    order_inv = 1.0 / 5.0
+
+    def kernel(tau_ref, dt0_ref, rtol_ref, atol_ref,
+               y0_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               out_ref, stats_ref, y_s, f_s):
+        rtol = rtol_ref[0, 0]
+        atol = atol_ref[0, 0]
+        D = y0_ref.shape[0]
+        b2 = b2_ref[:]
+        t_end = tau_ref[0, T - 1]
+
+        y_s[:] = y0_ref[:]
+        f_s[:] = f0_ref[:]
+        out_ref[0] = y0_ref[:]
+
+        def f(y):
+            y3 = y * y * y
+            acc = None
+            for i in range(D):
+                term = w1_ref[:, i : i + 1] * y3[i : i + 1, :]
+                acc = term if acc is None else acc + term
+            h = jnp.tanh(acc + b1_ref[:])
+            rows = [jnp.sum(w2_ref[:, i : i + 1] * h, axis=0,
+                            keepdims=True) for i in range(D)]
+            return jnp.concatenate(rows, axis=0) + b2
+
+        def cond(c):
+            t, dt, nfe, nacc, nrej, status = c
+            return (t < t_end) & (status == 0)
+
+        def body(c):
+            t, dt, nfe, nacc, nrej, status = c
+            rem = t_end - t
+            dt_eff = jnp.minimum(dt, rem)
+            is_last = dt >= rem
+            t1 = jnp.where(is_last, t_end, t + dt_eff)
+            dth = t1 - t
+
+            y0 = y_s[:]
+            k = [f_s[:]]
+            for i in range(1, tab.stages):
+                yi = y0
+                for aij, kj in zip(tab.a[i - 1], k):
+                    if aij != 0.0:
+                        yi = yi + (dth * aij) * kj
+                k.append(f(yi))
+
+            y1 = y0
+            for b, kj in zip(tab.b_sol, k):
+                if b != 0.0:
+                    y1 = y1 + (dth * b) * kj
+            err = None
+            for e, kj in zip(tab.b_err, k):
+                if e != 0.0:
+                    err = (dth * e) * kj if err is None else (
+                        err + (dth * e) * kj)
+            y_mid = y0
+            for cm, kj in zip(tab.c_mid, k):
+                if cm != 0.0:
+                    y_mid = y_mid + (dth * cm) * kj
+
+            scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+            esc = err / scale
+            ss = jnp.sum(esc * esc)
+            ratio = jnp.sqrt(ss / denom)
+            finite = jnp.isfinite(ss) & jnp.all(jnp.isfinite(y1))
+            accept = (ratio <= 1.0) & finite
+
+            # I-controller (reference `_optimal_step_size` semantics).
+            tiny = jnp.asarray(1e-38, ratio.dtype)
+            r = jnp.maximum(jnp.where(finite, ratio, 2.0 ** 20), tiny)
+            # r ** (-1/5) via exp/log (scalar powf does not lower in Mosaic)
+            fac = safety * jnp.exp(-order_inv * jnp.log(r))
+            fac = jnp.where(ratio <= 0.0, ifactor, fac)
+            lo = jnp.where(accept, 1.0, dfactor)
+            hi = jnp.where(accept, ifactor, 1.0)
+            dt_next = dt * jnp.clip(fac, lo, hi)
+
+            # Dense output: 4th-order interpolant over [t, t1] written for
+            # every requested time inside the step (exact at t1).
+            df0 = dth * k[0]
+            df1 = dth * k[-1]
+            r1 = y1 - y0 - df0
+            r2 = df1 - df0
+            r3 = 16.0 * (y_mid - y0) - 8.0 * df0
+            ca = r3 + 2.0 * r2 - 8.0 * r1
+            cb = r2 - 2.0 * r1 - 2.0 * ca
+            cc = r1 - ca - cb
+
+            @pl.when(accept)
+            def _():
+                y_s[:] = y1
+                f_s[:] = k[-1]
+                for j in range(1, T):
+                    tj = tau_ref[0, j]
+
+                    @pl.when((tj > t) & (tj <= t1))
+                    def _():
+                        x = (tj - t) / dth
+                        val = (((ca * x + cb) * x + cc) * x + df0) * x + y0
+                        out_ref[j] = jnp.where(tj == t1, y1, val)
+
+            n_att = nacc + nrej + 1
+            status = jnp.where(
+                (~accept) & (dt_next < dt_min), jnp.int32(2), status)
+            status = jnp.where(
+                (n_att >= max_steps) & (t1 < t_end), jnp.int32(1), status)
+            return (jnp.where(accept, t1, t), dt_next, nfe + 6,
+                    nacc + accept.astype(jnp.int32),
+                    nrej + (~accept).astype(jnp.int32), status)
+
+        init = (tau_ref[0, 0], dt0_ref[0, 0], jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0))
+        t, dt, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body, init)
+        stats_ref[0, 0] = nfe
+        stats_ref[0, 1] = nacc
+        stats_ref[0, 2] = nrej
+        stats_ref[0, 3] = status
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("safety", "ifactor", "dfactor",
+                                    "max_steps", "interpret"))
+def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
+                     rtol, atol, *, safety: float = 0.9,
+                     ifactor: float = 10.0, dfactor: float = 0.2,
+                     max_steps: int = 2 ** 31 - 1,
+                     interpret: bool = False):
+    """Whole-solve fused dopri5 for tanh-MLP dynamics, one kernel launch.
+
+    y0: [D, B] feature-major; tau: [T] increasing times (tau[0] = t0).
+    Returns (out [T, D, B], stats [4] int32: nfe/accepted/rejected/status).
+    """
+    D, B = y0.shape
+    T = int(tau.shape[0])
+    dtype = y0.dtype
+    w1, b1, w2, b2, HP = _pad_params(params, D, dtype)
+    f0 = mlp_f(params, y0)
+
+    dt_min = 4.0 * float(jnp.finfo(dtype).eps)
+    kernel = _make_solve_kernel(T, safety, ifactor, dfactor,
+                                int(max_steps), dt_min, float(D * B))
+
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out, stats = pl.pallas_call(
+        kernel,
+        in_specs=[smem_t, smem_t, smem_t, smem_t,
+                  vmem, vmem, vmem, vmem, vmem, vmem],
+        out_specs=[vmem, smem_t],
+        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                   jax.ShapeDtypeStruct((1, 4), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((D, B), dtype),
+                        pltpu.VMEM((D, B), dtype)],
+        interpret=interpret,
+    )(tau.astype(dtype).reshape(1, T),
+      jnp.reshape(dt0.astype(dtype), (1, 1)),
+      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+      y0, f0, w1, b1, w2, b2)
+    return out, stats[0]

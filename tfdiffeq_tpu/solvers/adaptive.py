@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from ..ops.controller import StepController, next_step_size
 from ..ops.norms import error_ratio, rms_norm, select_initial_step
-from ..ops.rk import interp_evaluate, interp_fit, runge_kutta_step
+from ..ops.rk import (RKStepResult, interp_evaluate, interp_fit,
+                      interp_fit_quartic, runge_kutta_step)
 from ..ops.tableaus import ButcherTableau
 from .base import CanonicalProblem, SolveResult, SolverStats, Status
 
@@ -58,6 +59,12 @@ class AdaptiveConfig:
     max_steps: int = 4096            # static budget (bounded mode)
     chunk_size: int = 32             # steps per checkpointed chunk
     norm: Optional[Callable[[Array], Array]] = None
+    # Fused step kernel (Pallas fast path, ops/pallas_kernels.py):
+    # step_override(t, y, f, dt) -> (y1, f1, err_ratio, y_mid, n_evals)
+    # replaces runge_kutta_step + error norm + midpoint for known dynamics;
+    # err_ratio is the fully-reduced scalar (accept iff <= 1), +inf when the
+    # step is non-finite — so the loop body does no big-vector reductions.
+    step_override: Optional[Callable] = None
 
 
 class _Core(NamedTuple):
@@ -95,9 +102,19 @@ def _make_attempt(func, cfg: AdaptiveConfig, rtol, atol, tau_end, dt_min,
         t1 = jnp.where(is_last, tau_end, core.t + dt_eff)
         dt_step = t1 - core.t
 
-        res = runge_kutta_step(func, core.y, core.f, core.t, dt_step, tableau)
-        ratio = error_ratio(res.y_err, rtol, atol, core.y, res.y1, norm)
-        finite = jnp.all(jnp.isfinite(res.y1)) & jnp.isfinite(ratio)
+        if cfg.step_override is not None:
+            y1_o, f1_o, ratio, ymid_o, n_evals_o = cfg.step_override(
+                core.t, core.y, core.f, dt_step)
+            coeffs_o = interp_fit_quartic(
+                core.y, y1_o, ymid_o, core.f, f1_o,
+                dt_step.astype(core.y.dtype))
+            res = RKStepResult(y1_o, f1_o, ratio, coeffs_o, n_evals_o)
+            finite = jnp.isfinite(ratio)   # kernel folds y1-finiteness in
+        else:
+            res = runge_kutta_step(func, core.y, core.f, core.t, dt_step,
+                                   tableau)
+            ratio = error_ratio(res.y_err, rtol, atol, core.y, res.y1, norm)
+            finite = jnp.all(jnp.isfinite(res.y1)) & jnp.isfinite(ratio)
         accept = (ratio <= 1.0) & finite
 
         # Controller runs on a sanitized ratio (non-finite => force shrink).
@@ -113,8 +130,11 @@ def _make_attempt(func, cfg: AdaptiveConfig, rtol, atol, tau_end, dt_min,
         dt_next = _stop(dt_next)
         prev_next = _stop(prev_next)
 
-        coeffs = interp_fit(tableau, core.y, res.y1, core.f, res.f1, res.k,
-                            dt_step.astype(core.y.dtype))
+        if cfg.step_override is not None:
+            coeffs = res.k            # already the fitted coeffs (see above)
+        else:
+            coeffs = interp_fit(tableau, core.y, res.y1, core.f, res.f1,
+                                res.k, dt_step.astype(core.y.dtype))
 
         n_att = core.n_acc + core.n_rej + 1
         status = core.status
