@@ -23,6 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run as a script from anywhere
 from tfdiffeq_tpu import odeint
 from tfdiffeq_tpu.models.latent_ode import (Decoder, LatentODEFunc,
                                             RecognitionRNN, log_normal_pdf,
@@ -169,10 +173,11 @@ def main():
     for itr in range(1, args.niters + 1):
         key, sub = jax.random.split(key)
         state, loss = train_step(state, xs, sub)
-        if itr % 20 == 0:
+        if itr == 1 or itr % 20 == 0 or itr == args.niters:
             print(f"Iter {itr:04d} | -ELBO {float(loss):.4f} | "
                   f"{(time.time() - start) / itr * 1000:.1f} ms/it")
 
+    print(f"done: {args.niters} iters in {time.time() - start:.1f}s")
     return state
 
 

@@ -23,6 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run as a script from anywhere
 from tfdiffeq_tpu.models.odenet import ODENetMNIST
 
 
@@ -109,7 +113,10 @@ def main():
     model = ODENetMNIST(network=args.network, adjoint=args.adjoint,
                         tol=args.tol)
     key = jax.random.PRNGKey(args.seed)
-    params = model.init(key, jnp.ones((1, 28, 28, 1)))
+    variables = model.init(key, jnp.ones((1, 28, 28, 1)))
+    # Differentiate only the 'params' collection; 'diagnostics' carries the
+    # int32 NFE counter sown by ODEBlock.
+    params = variables["params"]
 
     steps_per_epoch = len(x_train) // args.batch_size
     sched = optax.piecewise_constant_schedule(
@@ -121,7 +128,8 @@ def main():
     @jax.jit
     def train_step(params, opt_state, xb, yb):
         def loss_fn(p):
-            logits = model.apply(p, xb)
+            logits, _ = model.apply({"params": p}, xb,
+                                    mutable=["diagnostics"])
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, yb).mean()
 
@@ -131,7 +139,8 @@ def main():
 
     @jax.jit
     def accuracy(params, xb, yb):
-        logits, diag = model.apply(params, xb, mutable=["diagnostics"])
+        logits, diag = model.apply({"params": params}, xb,
+                                   mutable=["diagnostics"])
         acc = jnp.mean(jnp.argmax(logits, -1) == yb)
         nfe = jnp.asarray(0, jnp.int32)
         if args.network == "odenet":
