@@ -146,3 +146,20 @@ def test_float32_accuracy_budget():
     ref = p64.y_exact(p64.t)
     err = float(jnp.max(jnp.abs(ys.astype(jnp.float64) - ref)))
     assert err < 1e-3, err
+
+
+def test_f32_long_grid_compensated_accumulation():
+    """Kahan-compensated state accumulation keeps a 25k-step float32 rk4
+    integration within the f32 error budget (~2.3e-7 vs 5.5e-7 plain on the
+    spiral; SURVEY.md §7 'compensated summation')."""
+    A = np.array([[-0.1, 2.0], [-2.0, -0.1]])
+    f64 = lambda tt, yy: yy @ jnp.asarray(A).T
+    t2 = jnp.asarray([0.0, 25.0])
+    ref = odeint(f64, jnp.asarray([2.0, 0.0]), t2, rtol=1e-13, atol=1e-15,
+                 method="dopri5", options={"loop": "while"})
+    f32 = lambda tt, yy: yy @ jnp.asarray(A, jnp.float32).T
+    ys = odeint(f32, jnp.asarray([2.0, 0.0], jnp.float32),
+                t2.astype(jnp.float32), method="rk4",
+                options={"step_size": 0.001})
+    dev = float(jnp.abs(ys[-1].astype(jnp.float64) - ref[-1]).max())
+    assert dev < 4e-7, dev

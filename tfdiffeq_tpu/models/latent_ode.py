@@ -23,17 +23,22 @@ Array = jax.Array
 
 
 class LatentODEFunc(nn.Module):
-    """Latent dynamics MLP (reference `LatentODEfunc`)."""
+    """Latent dynamics MLP (reference `LatentODEfunc`).
+
+    Matmuls run at HIGHEST precision: the dynamics feed dopri5's embedded
+    error estimate, and TPU's default-bf16 matmul noise (~1e-3 relative)
+    otherwise inflates the adaptive step count ~9x (see bench.py)."""
     latent_dim: int = 4
     hidden: int = 20
 
     @nn.compact
     def __call__(self, t, z):
-        x = nn.Dense(self.hidden)(z)
+        hi = jax.lax.Precision.HIGHEST
+        x = nn.Dense(self.hidden, precision=hi)(z)
         x = nn.elu(x)
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, precision=hi)(x)
         x = nn.elu(x)
-        return nn.Dense(self.latent_dim)(x)
+        return nn.Dense(self.latent_dim, precision=hi)(x)
 
 
 class RecognitionRNN(nn.Module):

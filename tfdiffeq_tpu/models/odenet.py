@@ -27,7 +27,11 @@ Array = jax.Array
 
 
 class ConcatConv2d(nn.Module):
-    """Conv2D on [x, t·1] channel concatenation (reference `ConcatConv2d`)."""
+    """Conv2D on [x, t·1] channel concatenation (reference `ConcatConv2d`).
+
+    Runs at HIGHEST precision: these convs are the ODE dynamics feeding
+    dopri5's error estimate; TPU's default bf16 conv noise would inflate
+    adaptive step counts (see models/latent_ode.py, bench.py)."""
     features: int
     kernel: int = 3
     stride: int = 1
@@ -38,7 +42,8 @@ class ConcatConv2d(nn.Module):
                               x.shape[:-1] + (1,))
         xt = jnp.concatenate([x, tt], axis=-1)
         return nn.Conv(self.features, (self.kernel, self.kernel),
-                       strides=(self.stride, self.stride), padding="SAME")(xt)
+                       strides=(self.stride, self.stride), padding="SAME",
+                       precision=jax.lax.Precision.HIGHEST)(xt)
 
 
 class ODEConvFunc(nn.Module):

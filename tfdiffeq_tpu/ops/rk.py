@@ -33,6 +33,8 @@ class RKStepResult(NamedTuple):
     y_err: Array       # [N] embedded error estimate (zeros if no estimate)
     k: Array           # [S, N] stage derivatives
     n_evals: int       # static: fresh func evaluations performed
+    delta: Array = None  # [N] y1 - y0 as the exact weighted stage sum
+    #                      (for compensated accumulation at the loop level)
 
 
 def _combine(y0: Array, dt: Array, coeffs, k_list) -> Array:
@@ -87,7 +89,8 @@ def runge_kutta_step(
 
     # FSAL tableaus have last stage == (t0+dt, y1), so y1 uses b_sol == a[-1]
     # and f1 is the last stage for free.
-    y1 = _combine(y0, dt_y, tableau.b_sol, k_list)
+    delta = _weighted_sum(dt_y, tableau.b_sol, k_list)
+    y1 = y0 + delta
     if tableau.fsal:
         f1 = k_list[-1]
         n_evals = S - 1
@@ -98,7 +101,7 @@ def runge_kutta_step(
         y_err = _weighted_sum(dt_y, tableau.b_err, k_list)
     else:
         y_err = jnp.zeros_like(y0)
-    return RKStepResult(y1, f1, y_err, jnp.stack(k_list), n_evals)
+    return RKStepResult(y1, f1, y_err, jnp.stack(k_list), n_evals, delta)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ def _tableau_step(tableau: ButcherTableau):
     def step(func, t0, dt, y):
         f0 = func(t0, y)
         res = runge_kutta_step(func, y, f0, t0, dt, tableau)
-        return res.y1, f0, res.n_evals + 1
+        return res.y1, f0, res.n_evals + 1, res.delta
 
     return step
 
@@ -76,12 +76,23 @@ def solve_fixed_grid(
 
     pairs = (grid[:-1], grid[1:])
 
-    def body(y, t01):
+    def body(carry, t01):
+        y, comp = carry
         t0, t1 = t01
-        y1, f0, _ = step(func, t0, t1 - t0, y)
-        return y1, (y1, f0)
+        out = step(func, t0, t1 - t0, y)
+        if len(out) == 4 and out[3] is not None:
+            # Kahan-compensated accumulation: long float32 grids otherwise
+            # accumulate a sqrt(n)-ulp random walk in the state.
+            y1, f0, _, delta = out
+            adj = delta - comp
+            y1 = y + adj
+            comp = (y1 - y) - adj
+        else:
+            y1, f0 = out[0], out[1]
+        return (y1, comp), (y1, f0)
 
-    y_end, (ys_tail, fs_head) = jax.lax.scan(body, y0, pairs)
+    (y_end, _), (ys_tail, fs_head) = jax.lax.scan(
+        body, (y0, jnp.zeros_like(y0)), pairs)
 
     nevals_per_step = _count_evals(step, func, grid, y0)
     nfe = nevals_per_step * (G - 1)
