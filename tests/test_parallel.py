@@ -1,0 +1,108 @@
+"""Multi-device sharding and compile-cache tests (8 virtual CPU devices).
+
+The reference is single-device (SURVEY.md §2 "no parallelism strategies");
+these tests cover the TPU-native scale-out story: batch-axis data
+parallelism via jax.sharding + jit, and the jit-retrace discipline
+(SURVEY.md §7 hard part #5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tfdiffeq_tpu import odeint, solve
+from tfdiffeq_tpu.parallel.sharding import batch_sharding, make_mesh
+
+
+def _f(t, y):
+    return -0.5 * y
+
+
+def test_data_parallel_solve_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must set 8 host devices"
+    mesh = make_mesh((8,), ("data",))
+    y0 = jnp.arange(64.0 * 3).reshape(64, 3) / 17.0
+    t = jnp.linspace(0.0, 1.0, 5)
+
+    ref = odeint(_f, y0, t, rtol=1e-8, atol=1e-10)
+
+    y0_sh = jax.device_put(y0, batch_sharding(mesh, y0.ndim))
+
+    @jax.jit
+    def go(y0):
+        return odeint(_f, y0, t, rtol=1e-8, atol=1e-10)
+
+    out = go(y0_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_training_step_psum_grads():
+    mesh = make_mesh((8,), ("data",))
+    B, D = 32, 2
+    rng = np.random.RandomState(0)
+    W = jnp.asarray(rng.randn(D, D) * 0.1)
+    y0 = jnp.asarray(rng.randn(B, D))
+    target = -y0
+    t = jnp.linspace(0.0, 1.0, 3)
+    data_sh = NamedSharding(mesh, P("data", None))
+
+    def loss_fn(W, y0, target):
+        ys = odeint(lambda tt, yy: yy @ W.T, y0, t, rtol=1e-4, atol=1e-6,
+                    options={"max_steps": 64, "chunk_size": 8})
+        return jnp.mean((ys[-1] - target) ** 2)
+
+    g_ref = jax.grad(loss_fn)(W, y0, target)
+
+    step = jax.jit(jax.grad(loss_fn),
+                   in_shardings=(None, data_sh, data_sh))
+    g = step(W, jax.device_put(y0, data_sh),
+             jax.device_put(target, data_sh))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-8)
+
+
+def test_no_retrace_on_tolerance_or_time_values():
+    trace_count = [0]
+
+    def f(t, y):
+        trace_count[0] += 1
+        return -y
+
+    y0 = jnp.ones(4)
+
+    @jax.jit
+    def go(y0, t, rtol, atol):
+        return odeint(f, y0, t, rtol=rtol, atol=atol,
+                      options={"loop": "while"})
+
+    go(y0, jnp.linspace(0.0, 1.0, 5), 1e-6, 1e-8)
+    n_first = trace_count[0]
+    assert n_first > 0
+    # Different time VALUES, tolerances: same executable, no retrace.
+    go(y0, jnp.linspace(0.0, 2.0, 5), 1e-7, 1e-9)
+    go(y0, jnp.linspace(1.0, 0.0, 5), 1e-5, 1e-7)   # reverse time too
+    assert trace_count[0] == n_first
+
+
+def test_raise_on_failure_and_checkify():
+    from tfdiffeq_tpu.utils.debug import (SolverFailure, checkify_solve,
+                                          raise_on_failure)
+
+    res = solve(_f, jnp.ones(2), jnp.asarray([0.0, 1.0]))
+    assert raise_on_failure(res) is res
+
+    bad = solve(lambda t, y: -y, jnp.ones(2), jnp.asarray([0.0, 50.0]),
+                rtol=1e-10, atol=1e-12, method="dopri5",
+                options={"max_num_steps": 2, "loop": "while"})
+    with pytest.raises(SolverFailure, match="MAX_STEPS"):
+        raise_on_failure(bad)
+
+    checked = checkify_solve(
+        lambda y0: solve(lambda t, y: -y, y0, jnp.asarray([0.0, 50.0]),
+                         rtol=1e-10, atol=1e-12,
+                         options={"max_num_steps": 2, "loop": "while"}))
+    err, _ = checked(jnp.ones(2))
+    with pytest.raises(Exception, match="status"):
+        err.throw()
