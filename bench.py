@@ -232,7 +232,22 @@ def bench_latent_ode_iter_ms():
     return best * 1000.0
 
 
+def batch_sweep():
+    """BASELINE.md protocol: sustained fused NFE/s swept over batch sizes."""
+    global BATCH
+    out = {}
+    for b in (1, 256, 4096):
+        saved, BATCH = BATCH, b
+        try:
+            nfe_s, _, _ = bench_fused_nfe_per_sec(reps=32)
+            out[b] = round(nfe_s, 1)
+        finally:
+            BATCH = saved
+    return out
+
+
 def main():
+    import sys
     fused_nfe_s, fused_nfe1, fused_t1 = bench_fused_nfe_per_sec()
     try:
         gen_nfe_s, gen_nfe, gen_time = bench_jax_nfe_per_sec()
@@ -267,6 +282,8 @@ def main():
                 round(torch_nfe_s, 1) if torch_nfe_s else None,
             "latent_ode_train_iter_ms":
                 round(latent_ms, 2) if latent_ms else None,
+            "batch_sweep_nfe_per_sec":
+                batch_sweep() if "--sweep" in sys.argv else None,
             "device": str(jax.devices()[0]),
         },
     }))

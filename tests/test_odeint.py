@@ -163,3 +163,18 @@ def test_f32_long_grid_compensated_accumulation():
                 options={"step_size": 0.001})
     dev = float(jnp.abs(ys[-1].astype(jnp.float64) - ref[-1]).max())
     assert dev < 4e-7, dev
+
+
+def test_complex_state_integration():
+    """Complex pytree states (capability extension over the reference):
+    dy/dt = i*w*y has exact solution y0*exp(i*w*t); the RMS error norm must
+    use |x|^2 for the controller to behave."""
+    w = 2.0
+    y0 = jnp.asarray([1.0 + 0.5j, 0.3 - 0.2j])
+    t = jnp.linspace(0.0, 3.0, 7)
+    exact = y0[None, :] * jnp.exp(1j * w * t)[:, None]
+    for method in ("dopri5", "adams", "rk4"):
+        ys = odeint(lambda tt, yy: 1j * w * yy, y0, t, rtol=1e-9,
+                    atol=1e-11, method=method,
+                    options={"step_size": 0.01} if method == "rk4" else None)
+        assert float(jnp.abs(ys - exact).max()) < 1e-5, method

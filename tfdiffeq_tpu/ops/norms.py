@@ -21,8 +21,14 @@ Array = jax.Array
 
 
 def rms_norm(x: Array) -> Array:
-    """Root-mean-square norm with a NaN-safe gradient at 0."""
-    m = jnp.mean(x * x)
+    """Root-mean-square norm with a NaN-safe gradient at 0.
+
+    Uses |x|^2 so complex states (supported as a capability extension over
+    the reference) get the correct real-valued norm."""
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        m = jnp.mean(jnp.real(x * jnp.conj(x)))
+    else:
+        m = jnp.mean(x * x)
     safe = jnp.where(m > 0.0, m, 1.0)
     return jnp.where(m > 0.0, jnp.sqrt(safe), 0.0)
 
