@@ -95,7 +95,10 @@ def bench_fused_nfe_per_sec(reps: int = 64):
         def body(c, _):
             y, total = c
             ys, nfe = one(y)
-            return (y + 0.0 * ys[-1], total + nfe), None
+            # Real data dependency: each rep starts from the previous
+            # endpoint (the spiral is bounded, so the chain stays in
+            # distribution and XLA cannot hoist the solve).
+            return (ys[-1], total + nfe), None
         (_, total), _ = jax.lax.scan(body, (y0, jnp.int32(0)), None,
                                      length=reps)
         return total

@@ -101,3 +101,49 @@ def test_fused_solve_input_validation():
         solve_mlp(params, y0[0], jnp.asarray([0.0, 1.0]))
     with pytest.raises(ValueError, match="increasing"):
         solve_mlp(params, y0, jnp.asarray([1.0, 0.0]))
+
+
+def test_fused_solve_invalid_times_under_jit():
+    """Traced t bypasses eager validation; the kernel must report
+    INVALID_TIMES (3) and return a deterministic zero-filled tail."""
+    params, y0 = _setup(B=16)
+
+    @jax.jit
+    def go(t):
+        r = solve_mlp(params, y0, t, interpret=True)
+        return r.ys, r.stats.status
+
+    ys, status = go(jnp.asarray([1.0, 0.0]))
+    assert int(status) == 3
+    np.testing.assert_array_equal(np.asarray(ys[1]), 0.0)
+
+
+def test_fused_solve_early_exit_output_is_deterministic():
+    params, y0 = _setup(B=16)
+    t = jnp.linspace(0.0, 50.0, 6, dtype=jnp.float32)
+    r = solve_mlp(params, y0, t, rtol=1e-7, atol=1e-9, interpret=True,
+                  max_num_steps=2, first_step=0.01)
+    assert int(r.stats.status) == 1
+    # Unreached output rows are zeros, not uninitialized memory.
+    np.testing.assert_array_equal(np.asarray(r.ys[-1]), 0.0)
+
+
+def test_hyper_reverse_time_sign():
+    """Reverse-time hypersolver correction must still cancel the truncation
+    error (sign**(p+1) factor); regression for the review finding."""
+    import scipy.linalg as sla
+    from tfdiffeq_tpu import odeint
+
+    A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], jnp.float64)
+    f = lambda tt, yy: A @ yy
+    t = jnp.linspace(0.0, -2.0, 21)   # decreasing
+    exact = np.stack([sla.expm(np.asarray(A) * float(ti))
+                      @ np.array([2.0, 0.0]) for ti in t])
+    y0 = jnp.asarray([2.0, 0.0])
+    g3 = lambda tt, yy, ff: (A @ (A @ (A @ yy))) / 6.0
+    ys_base = odeint(f, y0, t, method="midpoint")
+    ys_h = odeint(f, y0, t, method="hyper_midpoint",
+                  options={"hypernet": g3})
+    err_b = np.abs(np.asarray(ys_base) - exact).max()
+    err_h = np.abs(np.asarray(ys_h) - exact).max()
+    assert err_h < err_b, (err_h, err_b)

@@ -72,21 +72,22 @@ def solve_mlp(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     dtype = y0.dtype
     yT = y0.T                                  # [D, B] feature-major
 
+    f0 = mlp_f(params, yT)
     if first_step is None:
-        f0 = mlp_f(params, yT)
         flat_f = lambda tt, yf: mlp_f(params, yf.reshape(yT.shape)).ravel()
         dt0 = select_initial_step(flat_f, t[0].astype(dtype), yT.ravel(),
                                   f0.ravel(), 4,
                                   jnp.asarray(rtol, dtype),
                                   jnp.asarray(atol, dtype))
-        extra_nfe = 2
+        extra_nfe = 2            # f0 + the HNW probe evaluation
     else:
         dt0 = jnp.abs(jnp.asarray(first_step, dtype))
-        extra_nfe = 1
+        extra_nfe = 1            # f0 only
 
     out, stats = dopri5_mlp_solve(
-        params, yT, t.astype(dtype), dt0, rtol, atol,
-        max_steps=int(max_num_steps) if max_num_steps else 2 ** 31 - 1,
+        params, yT, t.astype(dtype), dt0, rtol, atol, f0=f0,
+        max_steps=(int(max_num_steps) if max_num_steps is not None
+                   else 2 ** 31 - 1),
         interpret=interpret)
     ys = jnp.transpose(out, (0, 2, 1))         # [T, B, D]
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])

@@ -73,23 +73,24 @@ def select_initial_step(
     evaluation, all on device.
     """
     norm = norm or rms_norm
-    dtype = y0.dtype
+    # Step sizes are REAL even for complex states (norms are real-valued).
+    rdt = jnp.finfo(y0.dtype).dtype
     scale = atol + jnp.abs(y0) * rtol
     d0 = norm(y0 / scale)
     d1 = norm(f0 / scale)
 
     small = (d0 < 1e-5) | (d1 < 1e-5)
-    h0 = jnp.where(small, jnp.asarray(1e-6, dtype),
-                   0.01 * d0 / jnp.where(d1 > 0.0, d1, 1.0))
+    h0 = jnp.where(small, jnp.asarray(1e-6, rdt),
+                   0.01 * d0 / jnp.where(d1 > 0.0, d1, 1.0)).astype(rdt)
 
-    y1 = y0 + h0 * f0
+    y1 = y0 + h0.astype(y0.dtype) * f0
     f1 = func(t0 + h0, y1)
     d2 = norm((f1 - f0) / scale) / h0
 
     d_max = jnp.maximum(d1, d2)
     h1 = jnp.where(
         d_max <= 1e-15,
-        jnp.maximum(jnp.asarray(1e-6, dtype), h0 * 1e-3),
+        jnp.maximum(jnp.asarray(1e-6, rdt), h0 * 1e-3),
         (0.01 / jnp.where(d_max > 0.0, d_max, 1.0)) ** (1.0 / (order + 1)),
     )
-    return jnp.minimum(100.0 * h0, h1).astype(dtype)
+    return jnp.minimum(100.0 * h0, h1).astype(rdt)

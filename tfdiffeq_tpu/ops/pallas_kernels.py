@@ -1,31 +1,38 @@
-"""Pallas TPU kernels: fully-fused dopri5 step for MLP neural-ODE dynamics.
+"""Pallas TPU kernels: fully-fused dopri5 for MLP neural-ODE dynamics.
 
 The north-star fast path (SURVEY.md §7 "Pallas tier", BASELINE.json): for the
 benchmark's tanh-MLP dynamics
 
     f(t, y) = tanh(y^3 @ W1 + b1) @ W2 + b2        y: [B, D]
 
-the ENTIRE Dormand–Prince 5(4) step — all 7 stage evaluations, the solution /
-error-weight combines, the tolerance-scaled error, and the 4th-order
-dense-output midpoint — runs as ONE Pallas kernel per solver iteration
-instead of ~25 separate XLA ops. The generic `odeint` path cannot fuse the
-user's `func` into the stage arithmetic (it is an arbitrary callable); this
-module is the honest answer for the known benchmark dynamics.
+two fusion levels are provided:
+
+1. `dopri5_mlp_step` — ONE kernel per solver step: all 7 stage evaluations,
+   the solution / error-weight combines, the tolerance-scaled error RMS
+   (reduced in-kernel to a scalar), and the 4th-order dense-output midpoint.
+2. `dopri5_mlp_solve` — ONE kernel per SOLVE: the entire adaptive
+   integration (accept/reject loop, I-controller, dense-output writes) runs
+   in-kernel with state in VMEM scratch. Measured on TPU v5e the marginal
+   cost is ~5.4 us/step vs ~83 us/step for the generic XLA while-loop path
+   (the testbed additionally has ~26 ms fixed latency per device dispatch —
+   see bench.py).
 
 Design notes (per /opt/skills/guides/pallas_guide.md):
-- State is kept feature-major ``[D, B]`` inside the kernel so the batch axis
-  lies along VPU lanes (128) — with D ~ 2, a batch-major layout would waste
-  126/128 lanes on every elementwise op.
+- State is kept feature-major ``[D, B]`` so the batch axis lies along VPU
+  lanes (128); with D ~ 2, batch-major would waste 126/128 lanes on every
+  elementwise op.
 - The tiny contractions (D -> H and H -> D, D ~ 2, H ~ 50) are expressed as
-  outer-product broadcasts ([H,1] * [1,TB]) plus sublane reductions, so no
-  in-kernel transposes/relayouts are needed and everything runs on the VPU
-  (at K = 2 the MXU would run almost empty). The hidden dim is padded to a
-  full sublane tile once, outside the loop (zero rows are exact no-ops
-  through tanh since tanh(0) = 0).
-- Grid over batch tiles of 512 lanes; weights are replicated into VMEM for
-  every tile (a few KB); all dopri5 coefficients are trace-time constants.
-- Everything stays in f32 (TPU native); the error output is pre-divided by
-  ``atol + rtol * max(|y0|, |y1|)`` so the caller only reduces.
+  outer-product broadcasts ([H,1] * [1,TB]) plus sublane reductions — no
+  in-kernel transposes, all VPU (at K = 2 the MXU would run almost empty).
+  The hidden dim is padded to a sublane tile once, outside the loop (zero
+  rows are exact no-ops through tanh since tanh(0) = 0). NOTE: zero-padded
+  *batch* lanes are NOT no-ops when biases are nonzero (f(0) != 0), so the
+  step kernel masks them out of the error reduction by static true-B.
+- All dopri5 coefficients are trace-time constants; scalar powf does not
+  lower in Mosaic (use exp/log); SMEM outputs use the sequential-grid
+  single-accumulator pattern.
+- f32 throughout (TPU native); state accumulation across accepted steps is
+  Kahan-compensated, matching the generic solver.
 """
 
 from __future__ import annotations
@@ -51,50 +58,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_step_kernel(B: int, tile_b: int):
-    """Step-kernel factory; B (true batch) is static so padded lanes can be
-    masked out of the error reduction — f(0) != 0 when biases are nonzero,
-    so zero-padding alone does NOT keep pad lanes out of the error."""
-    tab = DOPRI5
+# ---------------------------------------------------------------------------
+# Shared in-kernel pieces
+# ---------------------------------------------------------------------------
 
-    def kernel(dt_ref, rtol_ref, atol_ref,
-               y_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               y1_ref, f1_ref, ymid_ref, sumsq_ref):
-        _step_kernel_body(tab, B, tile_b, dt_ref, rtol_ref, atol_ref,
-                          y_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                          y1_ref, f1_ref, ymid_ref, sumsq_ref)
-
-    return kernel
-
-
-def _step_kernel_body(tab, B, tile_b, dt_ref, rtol_ref, atol_ref,
-                      y_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                      y1_ref, f1_ref, ymid_ref, sumsq_ref):
-    """One full dopri5 step on a [D, TB] batch tile.
+def _make_mlp(w1_ref, b1_ref, w2_ref, b2):
+    """Build f(y): [D, TB] -> [D, TB] from VMEM weight refs.
 
     w1: [HP, D] (column per input feature), b1: [HP, 1], w2: [HP, D]
     (column per output feature), b2: [D, 1]. HP = hidden padded to sublanes.
     """
-    dt = dt_ref[0, 0]
-    rtol = rtol_ref[0, 0]
-    atol = atol_ref[0, 0]
-    y0 = y_ref[:]
-    D = y0.shape[0]
-    b2 = b2_ref[:]           # [D, 1], broadcasts over lanes
 
     def f(y):
+        D = y.shape[0]
         y3 = y * y * y
-        h = b1_ref[:]                                     # [HP, 1]
         acc = None
         for i in range(D):
             term = w1_ref[:, i : i + 1] * y3[i : i + 1, :]   # [HP, TB]
             acc = term if acc is None else acc + term
-        h = jnp.tanh(acc + h)                             # [HP, TB]
+        h = jnp.tanh(acc + b1_ref[:])                        # [HP, TB]
         rows = [jnp.sum(w2_ref[:, i : i + 1] * h, axis=0, keepdims=True)
-                for i in range(D)]                        # D x [1, TB]
-        return jnp.concatenate(rows, axis=0) + b2         # [D, TB]
+                for i in range(D)]                           # D x [1, TB]
+        return jnp.concatenate(rows, axis=0) + b2            # [D, TB]
 
-    k = [f0_ref[:]]
+    return f
+
+
+def _dopri5_stages(f, y0, f0, dt):
+    """Evaluate all stages and the solution/error/midpoint combines.
+
+    Returns (k, delta, err, y_mid) with y1 = y0 + delta; coefficients are
+    trace-time constants so XLA folds them into the fused arithmetic.
+    """
+    tab = DOPRI5
+    k = [f0]
     for i in range(1, tab.stages):
         yi = y0
         for aij, kj in zip(tab.a[i - 1], k):
@@ -102,10 +99,10 @@ def _step_kernel_body(tab, B, tile_b, dt_ref, rtol_ref, atol_ref,
                 yi = yi + (dt * aij) * kj
         k.append(f(yi))
 
-    y1 = y0
+    delta = None
     for b, kj in zip(tab.b_sol, k):
         if b != 0.0:
-            y1 = y1 + (dt * b) * kj
+            delta = (dt * b) * kj if delta is None else delta + (dt * b) * kj
 
     err = None
     for e, kj in zip(tab.b_err, k):
@@ -113,39 +110,23 @@ def _step_kernel_body(tab, B, tile_b, dt_ref, rtol_ref, atol_ref,
             err = (dt * e) * kj if err is None else err + (dt * e) * kj
 
     y_mid = y0
-    for c, kj in zip(tab.c_mid, k):
-        if c != 0.0:
-            y_mid = y_mid + (dt * c) * kj
+    for cm, kj in zip(tab.c_mid, k):
+        if cm != 0.0:
+            y_mid = y_mid + (dt * cm) * kj
+    return k, delta, err, y_mid
 
-    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    esc = err / scale
-    # Mask batch-padding lanes out of the reduction and finiteness check.
-    gidx = (pl.program_id(0) * tile_b
-            + jax.lax.broadcasted_iota(jnp.int32, esc.shape, 1))
-    valid = gidx < B
-    esc = jnp.where(valid, esc, 0.0)
-    y1_chk = jnp.where(valid, y1, 0.0)
-    y1_ref[:] = y1
-    f1_ref[:] = k[-1]        # FSAL
-    ymid_ref[:] = y_mid
-    # Per-tile error reduction fused into the kernel (the caller sums G
-    # scalars instead of reducing [D, B] every loop iteration — the big
-    # per-step win). Non-finiteness is folded in as +inf so one scalar
-    # carries both the PI-controller ratio and the divergence flag.
-    ss = jnp.sum(esc * esc)
-    finite = jnp.isfinite(ss) & jnp.all(jnp.isfinite(y1_chk))
-    ss = jnp.where(finite, ss, jnp.asarray(jnp.inf, ss.dtype))
-    # TPU grids run sequentially, so all tiles can share one (1,1) SMEM
-    # accumulator: initialize on the first program, add on the rest.
-    i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        sumsq_ref[0, 0] = ss
+def _controller_factor(ratio, finite, accept, safety, ifactor, dfactor):
+    """Reference `_optimal_step_size` semantics, branch-free scalars.
 
-    @pl.when(i > 0)
-    def _():
-        sumsq_ref[0, 0] = sumsq_ref[0, 0] + ss
+    r ** (-1/5) via exp/log — scalar powf does not lower in Mosaic."""
+    tiny = jnp.asarray(1e-38, ratio.dtype)
+    r = jnp.maximum(jnp.where(finite, ratio, 2.0 ** 20), tiny)
+    fac = safety * jnp.exp((-1.0 / 5.0) * jnp.log(r))
+    fac = jnp.where(ratio <= 0.0, ifactor, fac)
+    lo = jnp.where(accept, 1.0, dfactor)
+    hi = jnp.where(accept, ifactor, 1.0)
+    return jnp.clip(fac, lo, hi)
 
 
 def _pad_params(params: dict, D: int, dtype):
@@ -157,6 +138,67 @@ def _pad_params(params: dict, D: int, dtype):
     w2 = jnp.zeros((HP, D), dtype).at[:H, :].set(params["w2"].astype(dtype))
     b2 = params["b2"].astype(dtype).reshape(D, 1)
     return w1, b1, w2, b2, HP
+
+
+def mlp_f(params: dict, y: Array) -> Array:
+    """Reference MLP dynamics in [D, B] layout (XLA, for init/testing)."""
+    h = jnp.tanh(jnp.einsum("ib,ij->jb", y * y * y, params["w1"])
+                 + params["b1"][:, None])
+    return jnp.einsum("jb,ji->ib", h, params["w2"]) + params["b2"][:, None]
+
+
+# ---------------------------------------------------------------------------
+# Single-step kernel (one launch per solver step; composes with the generic
+# adaptive engine via AdaptiveConfig.step_override)
+# ---------------------------------------------------------------------------
+
+def _make_step_kernel(B: int, tile_b: int):
+    """B (true batch) is static so padded lanes can be masked out of the
+    error reduction."""
+
+    def kernel(dt_ref, rtol_ref, atol_ref,
+               y_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               y1_ref, f1_ref, ymid_ref, sumsq_ref):
+        dt = dt_ref[0, 0]
+        rtol = rtol_ref[0, 0]
+        atol = atol_ref[0, 0]
+        y0 = y_ref[:]
+        f = _make_mlp(w1_ref, b1_ref, w2_ref, b2_ref[:])
+
+        k, delta, err, y_mid = _dopri5_stages(f, y0, f0_ref[:], dt)
+        y1 = y0 + delta
+
+        scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+        esc = err / scale
+        # Mask batch-padding lanes out of the reduction/finiteness check.
+        gidx = (pl.program_id(0) * tile_b
+                + jax.lax.broadcasted_iota(jnp.int32, esc.shape, 1))
+        valid = gidx < B
+        esc = jnp.where(valid, esc, 0.0)
+        y1_chk = jnp.where(valid, y1, 0.0)
+        y1_ref[:] = y1
+        f1_ref[:] = k[-1]        # FSAL
+        ymid_ref[:] = y_mid
+        # Per-tile error reduction fused into the kernel (the caller sums G
+        # scalars instead of reducing [D, B] every loop iteration).
+        # Non-finiteness is folded in as +inf so one scalar carries both the
+        # controller ratio and the divergence flag.
+        ss = jnp.sum(esc * esc)
+        finite = jnp.isfinite(ss) & jnp.all(jnp.isfinite(y1_chk))
+        ss = jnp.where(finite, ss, jnp.asarray(jnp.inf, ss.dtype))
+        # TPU grids run sequentially: all tiles share one (1,1) SMEM
+        # accumulator — initialize on the first program, add on the rest.
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            sumsq_ref[0, 0] = ss
+
+        @pl.when(i > 0)
+        def _():
+            sumsq_ref[0, 0] = sumsq_ref[0, 0] + ss
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
@@ -213,60 +255,37 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
 
     if BP != B:
         y1, f1, ymid = (a[:, :B] for a in (y1, f1, ymid))
-    # RMS over the D*B real elements (padded lanes contribute exactly 0).
+    # RMS over the D*B real elements (padded lanes were masked in-kernel).
     ratio = jnp.sqrt(jnp.sum(sumsq) / (D * B))
     return y1, f1, ratio, ymid
 
 
-def mlp_f(params: dict, y: Array) -> Array:
-    """Reference MLP dynamics in [D, B] layout (XLA, for init/testing)."""
-    h = jnp.tanh(jnp.einsum("ib,ij->jb", y * y * y, params["w1"])
-                 + params["b1"][:, None])
-    return jnp.einsum("jb,ji->ib", h, params["w2"]) + params["b2"][:, None]
-
-
 # ---------------------------------------------------------------------------
-# Whole-solve kernel: the ENTIRE adaptive dopri5 integration in ONE Pallas
-# kernel launch. Measurement on TPU v5e (this repo, /tmp bisect scripts):
-# a pallas_call inside `lax.while_loop` pays ~200-300us per iteration in
-# pipeline serialization (launch + cond sync), while the same step in a scan
-# costs ~130us and a fully-fused loop body runs at ~sub-us scale. Moving the
-# while loop INSIDE the kernel removes every per-step launch: state lives in
-# VMEM scratch, the accept/reject/PI-controller/dense-output logic runs on
-# scalars in registers/SMEM, and the solve returns only the [T, D, B] output
-# trajectory plus stats. This is the BASELINE.json north star ("entire
-# integrate loop on device, no host round-trips") taken to its end point.
+# Whole-solve kernel: the ENTIRE adaptive dopri5 integration in ONE launch.
+# State lives in VMEM scratch; the accept/reject/controller/dense-output
+# logic runs on scalars; only [T, D, B] + 4 stats ints leave the chip.
 # ---------------------------------------------------------------------------
 
 def _make_solve_kernel(T: int, safety: float, ifactor: float,
-                       dfactor: float, max_steps: int, dt_min: float,
-                       denom: float):
-    tab = DOPRI5
-    order_inv = 1.0 / 5.0
+                       dfactor: float, max_steps: int, denom: float):
 
-    def kernel(tau_ref, dt0_ref, rtol_ref, atol_ref,
+    def kernel(tau_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref,
                y0_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               out_ref, stats_ref, y_s, f_s):
+               out_ref, stats_ref, y_s, f_s, comp_s):
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
-        D = y0_ref.shape[0]
-        b2 = b2_ref[:]
+        dt_min = dtmin_ref[0, 0]
         t_end = tau_ref[0, T - 1]
+        t_start = tau_ref[0, 0]
 
+        # Deterministic output on early exit: zero-fill, then y0 row.
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[0] = y0_ref[:]
         y_s[:] = y0_ref[:]
         f_s[:] = f0_ref[:]
-        out_ref[0] = y0_ref[:]
+        comp_s[:] = jnp.zeros_like(comp_s)
 
-        def f(y):
-            y3 = y * y * y
-            acc = None
-            for i in range(D):
-                term = w1_ref[:, i : i + 1] * y3[i : i + 1, :]
-                acc = term if acc is None else acc + term
-            h = jnp.tanh(acc + b1_ref[:])
-            rows = [jnp.sum(w2_ref[:, i : i + 1] * h, axis=0,
-                            keepdims=True) for i in range(D)]
-            return jnp.concatenate(rows, axis=0) + b2
+        f = _make_mlp(w1_ref, b1_ref, w2_ref, b2_ref[:])
 
         def cond(c):
             t, dt, nfe, nacc, nrej, status = c
@@ -281,27 +300,8 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
             dth = t1 - t
 
             y0 = y_s[:]
-            k = [f_s[:]]
-            for i in range(1, tab.stages):
-                yi = y0
-                for aij, kj in zip(tab.a[i - 1], k):
-                    if aij != 0.0:
-                        yi = yi + (dth * aij) * kj
-                k.append(f(yi))
-
-            y1 = y0
-            for b, kj in zip(tab.b_sol, k):
-                if b != 0.0:
-                    y1 = y1 + (dth * b) * kj
-            err = None
-            for e, kj in zip(tab.b_err, k):
-                if e != 0.0:
-                    err = (dth * e) * kj if err is None else (
-                        err + (dth * e) * kj)
-            y_mid = y0
-            for cm, kj in zip(tab.c_mid, k):
-                if cm != 0.0:
-                    y_mid = y_mid + (dth * cm) * kj
+            k, delta, err, y_mid = _dopri5_stages(f, y0, f_s[:], dth)
+            y1 = y0 + delta
 
             scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
             esc = err / scale
@@ -310,18 +310,11 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
             finite = jnp.isfinite(ss) & jnp.all(jnp.isfinite(y1))
             accept = (ratio <= 1.0) & finite
 
-            # I-controller (reference `_optimal_step_size` semantics).
-            tiny = jnp.asarray(1e-38, ratio.dtype)
-            r = jnp.maximum(jnp.where(finite, ratio, 2.0 ** 20), tiny)
-            # r ** (-1/5) via exp/log (scalar powf does not lower in Mosaic)
-            fac = safety * jnp.exp(-order_inv * jnp.log(r))
-            fac = jnp.where(ratio <= 0.0, ifactor, fac)
-            lo = jnp.where(accept, 1.0, dfactor)
-            hi = jnp.where(accept, ifactor, 1.0)
-            dt_next = dt * jnp.clip(fac, lo, hi)
+            fac = _controller_factor(ratio, finite, accept, safety,
+                                     ifactor, dfactor)
+            dt_next = dt * fac
 
-            # Dense output: 4th-order interpolant over [t, t1] written for
-            # every requested time inside the step (exact at t1).
+            # Dense output: 4th-order interpolant over [t, t1], exact at t1.
             df0 = dth * k[0]
             df1 = dth * k[-1]
             r1 = y1 - y0 - df0
@@ -333,7 +326,13 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
 
             @pl.when(accept)
             def _():
-                y_s[:] = y1
+                # Kahan-compensated state accumulation (matches the generic
+                # solver; removes the sqrt(n_steps)-ulp f32 random walk).
+                comp = comp_s[:]
+                adj = delta - comp
+                y_new = y0 + adj
+                comp_s[:] = (y_new - y0) - adj
+                y_s[:] = y_new
                 f_s[:] = k[-1]
                 for j in range(1, T):
                     tj = tau_ref[0, j]
@@ -342,7 +341,7 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
                     def _():
                         x = (tj - t) / dth
                         val = (((ca * x + cb) * x + cc) * x + df0) * x + y0
-                        out_ref[j] = jnp.where(tj == t1, y1, val)
+                        out_ref[j] = jnp.where(tj == t1, y_new, val)
 
             n_att = nacc + nrej + 1
             status = jnp.where(
@@ -353,8 +352,12 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
                     nacc + accept.astype(jnp.int32),
                     nrej + (~accept).astype(jnp.int32), status)
 
-        init = (tau_ref[0, 0], dt0_ref[0, 0], jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), jnp.int32(0))
+        # Invalid (non-increasing) time span: report status 3, leave out
+        # zero-filled beyond row 0 (traced t bypasses the eager validation
+        # in fast.py, so this is the only guard under jit).
+        status0 = jnp.where(t_end > t_start, jnp.int32(0), jnp.int32(3))
+        init = (t_start, dt0_ref[0, 0], jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), status0)
         t, dt, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body, init)
         stats_ref[0, 0] = nfe
         stats_ref[0, 1] = nacc
@@ -368,41 +371,52 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
                    static_argnames=("safety", "ifactor", "dfactor",
                                     "max_steps", "interpret"))
 def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
-                     rtol, atol, *, safety: float = 0.9,
+                     rtol, atol, *, f0: Array = None, safety: float = 0.9,
                      ifactor: float = 10.0, dfactor: float = 0.2,
                      max_steps: int = 2 ** 31 - 1,
                      interpret: bool = False):
     """Whole-solve fused dopri5 for tanh-MLP dynamics, one kernel launch.
 
-    y0: [D, B] feature-major; tau: [T] increasing times (tau[0] = t0).
+    y0: [D, B] feature-major; tau: [T] increasing times (tau[0] = t0);
+    f0: optional precomputed f(t0, y0) (avoids a duplicate evaluation when
+    the caller already needed it for initial-step selection).
     Returns (out [T, D, B], stats [4] int32: nfe/accepted/rejected/status).
+    Status: 0 OK, 1 MAX_STEPS_REACHED, 2 DT_UNDERFLOW, 3 INVALID_TIMES.
     """
     D, B = y0.shape
     T = int(tau.shape[0])
     dtype = y0.dtype
     w1, b1, w2, b2, HP = _pad_params(params, D, dtype)
-    f0 = mlp_f(params, y0)
+    if f0 is None:
+        f0 = mlp_f(params, y0)
 
-    dt_min = 4.0 * float(jnp.finfo(dtype).eps)
+    # Span-scaled minimum step (matches the generic _default_dt_min): an
+    # absolute 4*eps would never trigger when |t| is large, leaving the
+    # in-kernel loop spinning without progress.
+    dt_min = (4.0 * jnp.finfo(dtype).eps
+              * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
+                            1.0)).astype(dtype)
+
     kernel = _make_solve_kernel(T, safety, ifactor, dfactor,
-                                int(max_steps), dt_min, float(D * B))
+                                int(max_steps), float(D * B))
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out, stats = pl.pallas_call(
         kernel,
-        in_specs=[smem_t, smem_t, smem_t, smem_t,
-                  vmem, vmem, vmem, vmem, vmem, vmem],
+        in_specs=[smem_t] * 5 + [vmem] * 6,
         out_specs=[vmem, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((1, 4), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((D, B), dtype),
+                        pltpu.VMEM((D, B), dtype),
                         pltpu.VMEM((D, B), dtype)],
         interpret=interpret,
     )(tau.astype(dtype).reshape(1, T),
       jnp.reshape(dt0.astype(dtype), (1, 1)),
       jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
       jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+      jnp.reshape(dt_min, (1, 1)),
       y0, f0, w1, b1, w2, b2)
     return out, stats[0]

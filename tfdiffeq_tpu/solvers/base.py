@@ -34,6 +34,8 @@ class Status(enum.IntEnum):
     OK = 0
     MAX_STEPS_REACHED = 1
     DT_UNDERFLOW = 2          # step size collapsed (usually non-finite f)
+    INVALID_TIMES = 3         # non-increasing time span reached a compiled
+    #                           solve (traced t bypasses eager validation)
 
 
 class SolverStats(NamedTuple):

@@ -54,8 +54,10 @@ def solve_fixed_grid(
 
     `grid`, if given, must be a static-length increasing array in tau-space
     covering [tau[0], tau[-1]] (the reference's `grid_constructor` contract).
-    `step_fn(func, t0, dt, y) -> (y1, n_evals)` overrides the tableau step
-    (used by hypersolvers, SURVEY.md §2 `hyper_solvers.py`).
+    `step_fn(func, t0, dt, y) -> (y1, f0, n_evals[, delta])` overrides the
+    tableau step (used by hypersolvers, SURVEY.md §2 `hyper_solvers.py`):
+    f0 is func(t0, y) so the engine can Hermite-interpolate outputs; the
+    optional 4th element is the exact increment for Kahan accumulation.
     """
     func, y0, tau = prob.func, prob.y0, prob.tau
     step = step_fn if step_fn is not None else _tableau_step(tableau)

@@ -58,6 +58,12 @@ def _wrap_hypernet(prob: CanonicalProblem, hypernet: Callable) -> Callable:
 def _hyper_step(prob: CanonicalProblem, hypernet: Callable, kind: str):
     g = _wrap_hypernet(prob, hypernet)
     dtype = prob.dtype
+    # The solver integrates in tau = sign*t with dt_tau > 0; the learned
+    # residual approximates the USER-time truncation error, whose step
+    # factor is dt_user^(p+1) = (sign*dt_tau)^(p+1). For odd p+1 the sign
+    # matters — without it a reverse-time solve ADDS the forward-trained
+    # correction and degrades below the base method.
+    sign_y = prob.sign.astype(dtype)
 
     def step(func, t0, dt, y):
         f0 = func(t0, y)
@@ -75,7 +81,7 @@ def _hyper_step(prob: CanonicalProblem, hypernet: Callable, kind: str):
             power, n_evals = 3, 2
         else:  # pragma: no cover
             raise ValueError(kind)
-        y1 = y + dt_y * base + dt_y ** power * g(t0, y, f0)
+        y1 = y + dt_y * base + (sign_y * dt_y) ** power * g(t0, y, f0)
         return y1, f0, n_evals
 
     return step
