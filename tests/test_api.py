@@ -107,3 +107,26 @@ def test_nan_dynamics_reports_dt_underflow():
 def test_int_times_accepted():
     ys = odeint(lambda t, y: -y, jnp.ones(1), jnp.asarray([0, 1]))
     np.testing.assert_allclose(np.asarray(ys[-1]), [np.exp(-1.0)], rtol=1e-6)
+
+
+def test_step_telemetry():
+    """options={'telemetry': True} returns per-attempt (t0, dt, accepted,
+    active) arrays consistent with the solver stats (SURVEY.md §5
+    tracing/profiling aux)."""
+    from tfdiffeq_tpu import solve
+
+    res = solve(lambda t, y: -y, jnp.ones(3), jnp.linspace(0.0, 2.0, 5),
+                options={"telemetry": True, "max_steps": 64,
+                         "chunk_size": 8})
+    tel = res.telemetry
+    assert tel is not None
+    assert int(tel.accepted.sum()) == int(res.stats.n_accepted)
+    assert int(tel.active.sum()) == (int(res.stats.n_accepted)
+                                     + int(res.stats.n_rejected))
+    # dt values of active attempts are positive; inactive slots inert.
+    act = np.asarray(tel.active)
+    assert (np.asarray(tel.dt)[act] > 0).all()
+
+    with pytest.raises(ValueError, match="telemetry"):
+        solve(lambda t, y: -y, jnp.ones(3), jnp.linspace(0.0, 2.0, 5),
+              options={"telemetry": True, "loop": "while"})

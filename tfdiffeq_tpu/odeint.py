@@ -103,10 +103,16 @@ def solve(
             icoeff=float(options.get("icoeff", 1.0)),
             pcoeff=float(options.get("pcoeff", 0.0)),
         )
+        if options.get("telemetry") and options.get("loop",
+                                                     "bounded") != "bounded":
+            raise ValueError("options={'telemetry': True} requires the "
+                             "bounded loop (per-attempt history needs a "
+                             "static step budget)")
         cfg = AdaptiveConfig(
             tableau=impl,
             controller=ctrl,
             loop=options.get("loop", "bounded"),
+            telemetry=bool(options.get("telemetry", False)),
             max_steps=int(options.get("max_steps", 4096)),
             chunk_size=int(options.get("chunk_size", 32)),
             norm=options.get("norm"),
@@ -121,7 +127,7 @@ def solve(
         result = impl(prob, options, rtol, atol)
 
     ys = unravel_trajectory(prob.unravel, result.ys)
-    return SolveResult(ys, result.stats)
+    return SolveResult(ys, result.stats, result.telemetry)
 
 
 def odeint(

@@ -59,6 +59,10 @@ class AdaptiveConfig:
     max_steps: int = 4096            # static budget (bounded mode)
     chunk_size: int = 32             # steps per checkpointed chunk
     norm: Optional[Callable[[Array], Array]] = None
+    # Per-attempt telemetry (bounded mode only): returns StepTelemetry with
+    # [max_steps] arrays (t0, dt, accepted, active) for dt histograms /
+    # accept-ratio diagnostics (SURVEY.md §5 "Tracing / profiling").
+    telemetry: bool = False
     # Compensated (Kahan) accumulation of the state across accepted steps:
     # in float32, plain y += delta accumulates a sqrt(n_steps)-ulp random
     # walk that dominates tight-tolerance trajectories on TPU; the carried
@@ -84,6 +88,14 @@ class _Core(NamedTuple):
     n_rej: Array
     nfe: Array
     status: Array
+
+
+class StepTelemetry(NamedTuple):
+    """Per-attempt solver telemetry (bounded mode)."""
+    t0: Array          # [max_steps] attempt start times (tau space)
+    dt: Array          # [max_steps] attempted step sizes
+    accepted: Array    # [max_steps] bool
+    active: Array      # [max_steps] bool: attempt actually executed
 
 
 class _StepOut(NamedTuple):
@@ -288,10 +300,10 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
     def active(s: _ScanState):
         return (s.core.t < tau_end) & (s.core.status == Status.OK)
 
-    def one_step(s: _ScanState) -> _ScanState:
+    def one_step(s: _ScanState):
         o = attempt(s.core)
         t1 = (o.t0 + o.dt_step).astype(rdtype)
-        return _ScanState(
+        s2 = _ScanState(
             core=o.core,
             cache_t0=jnp.where(o.accept, o.t0.astype(rdtype), s.cache_t0),
             cache_t1=jnp.where(o.accept, t1, s.cache_t1),
@@ -299,16 +311,25 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
                                s.cache_dt),
             cache_coeffs=jnp.where(o.accept, o.coeffs, s.cache_coeffs),
         )
+        tel = (o.t0.astype(rdtype), o.dt_step.astype(rdtype), o.accept,
+               jnp.asarray(True))
+        return s2, tel
+
+    def skip_step(s):
+        zero = jnp.asarray(0.0, rdtype)
+        return s, (zero, zero, jnp.asarray(False), jnp.asarray(False))
 
     def inner(s, _):
-        s2 = jax.lax.cond(active(s), one_step, lambda x: x, s)
-        return s2, _emission(s2)
+        s2, tel = jax.lax.cond(active(s), one_step, skip_step, s)
+        return s2, (_emission(s2), tel)
 
     def run_chunk(s):
         return jax.lax.scan(inner, s, None, length=chunk)
 
     def skip_chunk(s):
-        em = _emission(s)
+        zero = jnp.asarray(0.0, rdtype)
+        em = (_emission(s), (zero, zero, jnp.asarray(False),
+                             jnp.asarray(False)))
         ems = jax.tree_util.tree_map(
             lambda e: jnp.broadcast_to(e[None], (chunk,) + e.shape), em)
         return s, ems
@@ -316,8 +337,8 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
     def chunk_body(s, _):
         return jax.lax.cond(active(s), run_chunk, skip_chunk, s)
 
-    final, ems = jax.lax.scan(jax.checkpoint(chunk_body), init, None,
-                              length=num_chunks)
+    final, (ems, tels) = jax.lax.scan(jax.checkpoint(chunk_body), init,
+                                      None, length=num_chunks)
     t0s, t1s, dts, coeffs = jax.tree_util.tree_map(
         lambda e: e.reshape((num_chunks * chunk,) + e.shape[2:]), ems)
 
@@ -339,7 +360,12 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
 
     stats = SolverStats(final.core.nfe, final.core.n_acc, final.core.n_rej,
                         status)
-    return SolveResult(out, stats)
+    telemetry = None
+    if cfg.telemetry:
+        tt0, tdt, tacc, tact = jax.tree_util.tree_map(
+            lambda e: e.reshape((num_chunks * chunk,) + e.shape[2:]), tels)
+        telemetry = StepTelemetry(tt0, tdt, tacc, tact)
+    return SolveResult(out, stats, telemetry)
 
 
 def interp_evaluate_batched(coeffs: Array, t0: Array, dt: Array, t: Array,

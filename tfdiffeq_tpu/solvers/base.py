@@ -48,6 +48,7 @@ class SolverStats(NamedTuple):
 class SolveResult(NamedTuple):
     ys: Any               # pytree, leaves [T, ...]
     stats: SolverStats
+    telemetry: Any = None  # optional StepTelemetry (options={'telemetry':1})
 
 
 class CanonicalProblem(NamedTuple):
@@ -111,7 +112,7 @@ _KNOWN_OPTIONS = frozenset({
     "grid_constructor", "step_size", "max_order", "max_iters", "norm",
     # TPU-native extensions
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "interp", "implicit", "hypernet",
+    "interp", "implicit", "hypernet", "telemetry",
 })
 
 
