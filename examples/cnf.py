@@ -1,0 +1,90 @@
+"""Continuous normalizing flow on a 2-D toy density (FFJORD-style).
+
+Capability-extension example (beyond the reference's three workloads):
+trains `tfdiffeq_tpu.models.cnf.CNFDynamics` by maximum likelihood — the
+log-density is one augmented on-device dopri5 solve per batch, and plain
+`jax.grad` differentiates through it (bounded loop).
+
+    python examples/cnf.py --niters 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run as a script from anywhere
+
+from tfdiffeq_tpu.models.cnf import CNFDynamics, log_prob, sample
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--niters", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--rtol", type=float, default=1e-5)
+    p.add_argument("--atol", type=float, default=1e-7)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def two_moons(n, rng):
+    """Two interleaved half-circles with noise."""
+    i = rng.randint(0, 2, n)
+    theta = rng.rand(n) * np.pi
+    x = np.stack([np.cos(theta) * (1 - 2 * i) + i,
+                  np.sin(theta) * (1 - 2 * i) + 0.3 * i], axis=-1)
+    return (x + rng.randn(n, 2) * 0.08).astype(np.float32)
+
+
+def main():
+    args = parse_args()
+    rng = np.random.RandomState(args.seed)
+    model = CNFDynamics(dim=2, hidden=args.hidden)
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(key, jnp.zeros(()), jnp.zeros((1, 2)))
+
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    solver_opts = {"max_steps": 256, "chunk_size": 16}
+
+    @jax.jit
+    def train_step(params, opt_state, xb):
+        def nll(p):
+            f = lambda t, z: model.apply(p, t, z)
+            return -jnp.mean(log_prob(f, xb, rtol=args.rtol, atol=args.atol,
+                                      options=solver_opts))
+
+        loss, grads = jax.value_and_grad(nll)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    start = time.time()
+    for itr in range(1, args.niters + 1):
+        xb = jnp.asarray(two_moons(args.batch_size, rng))
+        params, opt_state, loss = train_step(params, opt_state, xb)
+        if itr == 1 or itr % 50 == 0 or itr == args.niters:
+            print(f"Iter {itr:04d} | NLL {float(loss):.4f} | "
+                  f"{(time.time() - start) / itr * 1000:.1f} ms/it")
+
+    # Sample from the learned flow.
+    f = lambda t, z: model.apply(params, t, z)
+    xs = sample(f, jax.random.PRNGKey(1), 1000, 2, rtol=args.rtol,
+                atol=args.atol, options=solver_opts)
+    xs = np.asarray(xs)
+    print(f"samples: mean {xs.mean(0).round(3)} std {xs.std(0).round(3)}")
+    print(f"done: {args.niters} iters in {time.time() - start:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

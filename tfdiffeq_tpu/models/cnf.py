@@ -1,0 +1,124 @@
+"""Continuous normalizing flows (Chen et al. 2018 §4 / FFJORD).
+
+Capability extension beyond the reference's example set (SURVEY.md §2 lists
+spiral / latent-ODE / ODE-Net MNIST): density modeling with an ODE flow
+
+    dz/dt = f_theta(t, z),    d log p(z(t))/dt = -tr(df/dz)
+
+solved as ONE augmented on-device solve. The trace is exact via `jacfwd`
+(cheap for low-dimensional flows: D extra forward-mode passes) or estimated
+with Hutchinson probes (`trace='hutchinson'`) for high dimensions.
+
+Everything is jit/grad-compatible: training maximizes log-likelihood by
+integrating data points backward to the base distribution through
+`odeint` (differentiable bounded loop) or `odeint_adjoint`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class CNFDynamics(nn.Module):
+    """Time-conditioned MLP flow field f(t, z) (tanh, concat-time)."""
+    dim: int = 2
+    hidden: int = 64
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, t, z):
+        hi = jax.lax.Precision.HIGHEST
+        tt = jnp.broadcast_to(jnp.asarray(t, z.dtype), z.shape[:-1] + (1,))
+        h = jnp.concatenate([z, tt], axis=-1)
+        for _ in range(self.depth - 1):
+            h = jnp.tanh(nn.Dense(self.hidden, precision=hi)(h))
+        return nn.Dense(self.dim, precision=hi)(h)
+
+
+def augmented_dynamics(f: Callable, *, trace: str = "exact",
+                       n_probes: int = 1,
+                       key: Optional[Array] = None) -> Callable:
+    """Lift f(t, z[B, D]) -> dz into ((z, logp) -> (dz, -tr df/dz)).
+
+    trace='exact' uses forward-mode Jacobian diagonals (D jvp passes —
+    right for small D); 'hutchinson' uses Rademacher probes (needs `key`).
+    """
+
+    def aug(t, state):
+        z, _ = state
+
+        if trace == "exact":
+            def f_single(zi):
+                return f(t, zi[None, :])[0]
+
+            def div_single(zi):
+                jac = jax.jacfwd(f_single)(zi)
+                return jnp.trace(jac)
+
+            dz = f(t, z)
+            div = jax.vmap(div_single)(z)
+        elif trace == "hutchinson":
+            if key is None:
+                raise ValueError("trace='hutchinson' requires key=")
+            dz, vjp_fn = jax.vjp(lambda zz: f(t, zz), z)
+            div = jnp.zeros(z.shape[0], z.dtype)
+            for i in range(n_probes):
+                eps = jax.random.rademacher(
+                    jax.random.fold_in(key, i), z.shape,
+                    dtype=z.dtype)
+                (vjp_eps,) = vjp_fn(eps)
+                div = div + jnp.sum(vjp_eps * eps, axis=-1)
+            div = div / n_probes
+        else:  # pragma: no cover
+            raise ValueError(trace)
+        return dz, -div
+
+    return aug
+
+
+def log_prob(f: Callable, x: Array, *, t0: float = 0.0, t1: float = 1.0,
+             rtol: float = 1e-5, atol: float = 1e-7,
+             trace: str = "exact", n_probes: int = 1,
+             key: Optional[Array] = None, method: str = "dopri5",
+             options: Optional[dict] = None) -> Array:
+    """log p(x) under the flow z(t1) ~ x, z(t0) ~ N(0, I).
+
+    Integrates (x, 0) BACKWARD from t1 to t0 through the augmented system;
+    log p(x) = log N(z(t0)) + accumulated log-det. Differentiable w.r.t.
+    the flow parameters closed over by `f` (bounded loop by default).
+    """
+    from ..odeint import odeint
+
+    aug = augmented_dynamics(f, trace=trace, n_probes=n_probes, key=key)
+    B, D = x.shape
+    t = jnp.asarray([t1, t0], x.dtype)
+    z0 = (x, jnp.zeros(B, x.dtype))
+    zs, dlogs = odeint(aug, z0, t, rtol=rtol, atol=atol, method=method,
+                       options=options)
+    z_base, dlog = zs[-1], dlogs[-1]
+    logp_base = -0.5 * jnp.sum(z_base ** 2, axis=-1) \
+        - 0.5 * D * jnp.log(2.0 * jnp.pi)
+    # Backward integration of dl/dt = -tr from (t1, 0) down to t0 yields
+    # l(t0) = +int_{t0}^{t1} tr dt, so log p(x) = log p0(z(t0)) - l(t0)
+    # (verified against the analytic linear flow in tests).
+    return logp_base - dlog
+
+
+def sample(f: Callable, key: Array, n: int, dim: int, *,
+           t0: float = 0.0, t1: float = 1.0, rtol: float = 1e-5,
+           atol: float = 1e-7, method: str = "dopri5",
+           options: Optional[dict] = None) -> Array:
+    """Draw samples by integrating base noise forward through the flow."""
+    from ..odeint import odeint
+
+    z = jax.random.normal(key, (n, dim))
+    t = jnp.asarray([t0, t1], z.dtype)
+    zs = odeint(f, z, t, rtol=rtol, atol=atol, method=method,
+                options=options)
+    return zs[-1]
