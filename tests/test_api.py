@@ -130,3 +130,57 @@ def test_step_telemetry():
     with pytest.raises(ValueError, match="telemetry"):
         solve(lambda t, y: -y, jnp.ones(3), jnp.linspace(0.0, 2.0, 5),
               options={"telemetry": True, "loop": "while"})
+
+
+def test_per_leaf_tolerance_pytree():
+    """rtol/atol may be pytrees of per-leaf scalars (broadcast to leaves)."""
+    f = lambda t, y: {"a": -y["a"], "b": -y["b"]}
+    y0 = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    ys = odeint(f, y0, jnp.asarray([0.0, 1.0]),
+                rtol={"a": 1e-8, "b": 1e-4}, atol={"a": 1e-10, "b": 1e-6})
+    np.testing.assert_allclose(np.asarray(ys["a"][-1]),
+                               np.exp(-1.0) * np.ones(3), rtol=1e-6)
+
+
+def test_invalid_times_status_under_jit():
+    """Traced non-monotonic t cannot be validated eagerly; the generic path
+    must report Status.INVALID_TIMES and zero the outputs beyond y0."""
+    from tfdiffeq_tpu import Status, solve
+
+    @jax.jit
+    def go(t):
+        r = solve(lambda tt, y: -y, jnp.ones(2), t)
+        return r.stats.status, r.ys
+
+    st, ys = go(jnp.asarray([0.0, 1.0, 0.5]))
+    assert int(st) == int(Status.INVALID_TIMES)
+    np.testing.assert_array_equal(np.asarray(ys[1]), 0.0)
+    # Valid traced t through the same executable stays OK.
+    st2, _ = go(jnp.asarray([0.0, 0.5, 1.0]))
+    assert int(st2) == int(Status.OK)
+
+
+def test_grid_constructor_receives_user_func_and_y0():
+    calls = {}
+
+    def gc(func, y0, t):
+        calls["y0_is_dict"] = isinstance(y0, dict)
+        _ = func(t[0], y0)["a"]        # user-space call must work
+        return jnp.linspace(t[0], t[-1], 33)
+
+    ys = odeint(lambda t, y: {"a": -y["a"]}, {"a": jnp.ones(3)},
+                jnp.asarray([0.0, 1.0]), method="rk4",
+                options={"grid_constructor": gc})
+    assert calls["y0_is_dict"]
+    np.testing.assert_allclose(np.asarray(ys["a"][-1]),
+                               np.exp(-1.0) * np.ones(3), rtol=1e-5)
+
+
+def test_per_kind_option_validation():
+    f = lambda t, y: -y
+    y0 = jnp.ones(1)
+    t = jnp.asarray([0.0, 1.0])
+    with pytest.raises(TypeError, match="step_size"):
+        odeint(f, y0, t, method="dopri5", options={"step_size": 0.5})
+    with pytest.raises(TypeError, match="safety"):
+        odeint(f, y0, t, method="rk4", options={"safety": 0.8})

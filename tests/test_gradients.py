@@ -130,3 +130,26 @@ def test_grad_through_fixed_grid_scan_value_and_grad():
     v, g = jax.value_and_grad(loss)(Y0)
     assert np.isfinite(v)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_adjoint_with_fixed_grid_step_size():
+    """odeint_adjoint must work with fixed-grid methods + step_size (the
+    backward converts it to a static per-interval num_steps)."""
+    def f(t, y, p):
+        return -p * y
+
+    def loss(p):
+        ys = odeint_adjoint(f, jnp.ones(2), jnp.linspace(0.0, 1.0, 4),
+                            params=p, method="rk4",
+                            options={"step_size": 0.05})
+        return ys[-1].sum()
+
+    g = jax.grad(loss)(jnp.asarray(1.0))
+    # d/dp [2 exp(-p)] at p=1 = -2/e
+    np.testing.assert_allclose(float(g), -2.0 * np.exp(-1.0), rtol=1e-5)
+
+
+def test_adjoint_scalar_t():
+    g = jax.grad(lambda y: odeint_adjoint(lambda t, yy: -yy, y, 0.5
+                                          ).sum())(jnp.ones(2))
+    np.testing.assert_allclose(np.asarray(g), np.ones(2))

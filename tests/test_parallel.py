@@ -106,3 +106,18 @@ def test_raise_on_failure_and_checkify():
     err, _ = checked(jnp.ones(2))
     with pytest.raises(Exception, match="status"):
         err.throw()
+
+
+def test_shard_batch_scalar_leaves_replicated():
+    from tfdiffeq_tpu.parallel.sharding import make_mesh, shard_batch
+
+    mesh = make_mesh((8,), ("data",))
+    out = shard_batch({"x": jnp.ones((8, 3)), "s": jnp.asarray(2.0)}, mesh)
+    assert float(out["s"]) == 2.0
+
+
+def test_make_mesh_extends_axis_names():
+    from tfdiffeq_tpu.parallel.sharding import make_mesh
+
+    m = make_mesh((8, 1, 1))
+    assert m.axis_names == ("data", "model", "ax2")

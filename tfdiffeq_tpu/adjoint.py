@@ -66,11 +66,37 @@ def odeint_adjoint(
     adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
     adjoint_atol = atol if adjoint_atol is None else adjoint_atol
     adjoint_method = method if adjoint_method is None else adjoint_method
+    from .odeint import SOLVERS
+
+    def _is_adaptive(m):
+        return SOLVERS.get(m or "dopri5", ("", None))[0] == "adaptive"
+
     fwd_options = dict(options or {})
-    fwd_options.setdefault("loop", "while")
+    if _is_adaptive(method):
+        # The forward pass needs no reverse-differentiability (custom_vjp
+        # supplies gradients): use the lean while-loop.
+        fwd_options.setdefault("loop", "while")
     bwd_options = dict(adjoint_options if adjoint_options is not None
                        else fwd_options)
-    bwd_options.setdefault("loop", "while")
+    if _is_adaptive(adjoint_method):
+        bwd_options.setdefault("loop", "while")
+    else:
+        bwd_options.pop("loop", None)
+
+    # The backward sweep solves each observation interval with TRACED
+    # endpoints (inside lax.scan), where grid options that need concrete t
+    # cannot apply. Convert step_size to a static per-interval num_steps
+    # when t is concrete; otherwise drop it with the adaptive default.
+    bwd_options.pop("grid_constructor", None)
+    step_size = bwd_options.pop("step_size", None)
+    if step_size is not None and "num_steps" not in bwd_options:
+        t_arr = jnp.asarray(t)
+        if not isinstance(t_arr, jax.core.Tracer) and t_arr.ndim == 1                 and t_arr.shape[0] > 1:
+            import numpy as _np
+            max_span = float(_np.max(_np.abs(_np.diff(
+                _np.asarray(t_arr, dtype=_np.float64)))))
+            bwd_options["num_steps"] = max(
+                1, int(_np.ceil(max_span / float(step_size))))
 
     def _impl(y0_, t_, params_):
         return solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
@@ -143,5 +169,10 @@ def odeint_adjoint(
         return (y0_bar, ts_bar.astype(t_.dtype), a_p)
 
     _odeint.defvjp(_fwd, _bwd)
-    ys_out = _odeint(y0, jnp.asarray(t), params_in)
+    t_in = jnp.asarray(t)
+    if t_in.ndim == 0:
+        # canonicalize accepts 0-d t for the forward pass; expand here so
+        # the backward sweep's T = t.shape[0] is well-defined.
+        t_in = t_in[None]
+    ys_out = _odeint(y0, t_in, params_in)
     return ys_out

@@ -62,11 +62,17 @@ def register_solver(name: str, kind: str, impl) -> None:
 
 
 def _resolve_tolerance(tol, y0) -> Any:
-    """Scalar tolerance passes through; a pytree matching y0 is raveled."""
+    """Scalar tolerance passes through; a pytree matching y0's structure is
+    broadcast leaf-wise to y0's leaf shapes, then raveled to align with the
+    flat [N] state (per-leaf scalar tolerances work)."""
     if isinstance(tol, (int, float)) or (
-            hasattr(tol, "ndim") and jnp.ndim(tol) == 0):
+            hasattr(tol, "ndim") and jnp.ndim(tol) == 0
+            and not isinstance(tol, dict)):
         return tol
-    flat, _ = flatten_state(tol)
+    tol_b = jax.tree_util.tree_map(
+        lambda tl, yl: jnp.broadcast_to(jnp.asarray(tl, yl.dtype), yl.shape),
+        tol, y0)
+    flat, _ = flatten_state(tol_b)
     return flat
 
 
@@ -85,13 +91,24 @@ def solve(
     if method not in SOLVERS:
         raise ValueError(
             f"Unknown method {method!r}; available: {sorted(SOLVERS)}")
-    options = check_options(options)
+    kind = SOLVERS[method][0]
+    # Per-kind allowlists fail fast on options the chosen method would
+    # silently ignore (the reference merely warns via _handle_unused_kwargs).
+    if kind == "fixed":
+        allowed = {"grid_constructor", "step_size", "num_steps", "interp"}
+    elif kind == "adaptive":
+        allowed = {"first_step", "safety", "ifactor", "dfactor",
+                   "max_num_steps", "norm", "max_steps", "chunk_size",
+                   "loop", "pcoeff", "icoeff", "dt_min", "telemetry"}
+    else:
+        allowed = None   # custom solvers validate against the global set
+    options = check_options(options, allowed)
 
     prob = canonicalize(func, y0, t)
     rtol = _resolve_tolerance(rtol, y0)
     atol = _resolve_tolerance(atol, y0)
 
-    kind, impl = SOLVERS[method]
+    _, impl = SOLVERS[method]
     if kind == "fixed":
         grid = build_grid_from_options(jnp.asarray(t), options, prob)
         result = solve_fixed_grid(prob, impl, grid=grid)
@@ -126,8 +143,19 @@ def solve(
     else:  # custom registered solver: impl(prob, options, rtol, atol)
         result = impl(prob, options, rtol, atol)
 
-    ys = unravel_trajectory(prob.unravel, result.ys)
-    return SolveResult(ys, result.stats, result.telemetry)
+    # Traced non-monotonic t bypasses the eager check in canonicalize:
+    # flag it on-device and zero the (meaningless) outputs beyond y0.
+    stats = result.stats
+    ys_flat = result.ys
+    if prob.valid is not None:
+        from .solvers.base import Status as _St
+        stats = stats._replace(status=jnp.where(
+            prob.valid, stats.status,
+            jnp.asarray(int(_St.INVALID_TIMES), jnp.int32)))
+        keep = prob.valid | (jnp.arange(ys_flat.shape[0]) == 0)[:, None]
+        ys_flat = jnp.where(keep, ys_flat, jnp.zeros_like(ys_flat))
+    ys = unravel_trajectory(prob.unravel, ys_flat)
+    return SolveResult(ys, stats, result.telemetry)
 
 
 def odeint(

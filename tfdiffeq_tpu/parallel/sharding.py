@@ -42,7 +42,12 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices),)
-    axis_names = tuple(axis_names)[: len(shape)]
+    axis_names = tuple(axis_names)
+    if len(axis_names) > len(shape):
+        axis_names = axis_names[: len(shape)]
+    elif len(axis_names) < len(shape):
+        axis_names = axis_names + tuple(
+            f"ax{i}" for i in range(len(axis_names), len(shape)))
     n = int(np.prod(shape))
     if n != len(devices):
         raise ValueError(f"mesh shape {shape} needs {n} devices, "
@@ -54,6 +59,8 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
 def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Place a pytree with its leading (batch) axis sharded over `axis`."""
     def put(x):
+        if jnp.ndim(x) == 0:          # scalar leaves: replicate
+            return jax.device_put(x, NamedSharding(mesh, P()))
         spec = P(axis, *([None] * (jnp.ndim(x) - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(put, tree)

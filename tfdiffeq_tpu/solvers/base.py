@@ -59,6 +59,11 @@ class CanonicalProblem(NamedTuple):
     unravel: Callable[[Array], Any]
     dtype: Any                              # state dtype
     time_dtype: Any
+    user_func: Any = None                   # original func(t, y_pytree)
+    user_y0: Any = None                     # original pytree y0
+    valid: Any = None                       # scalar bool: tau increasing
+    #   (traced t bypasses the eager monotonicity check; solvers report
+    #    Status.INVALID_TIMES when this is False)
 
 
 def canonicalize(func: Callable, y0: Any, t: Array) -> CanonicalProblem:
@@ -90,13 +95,16 @@ def canonicalize(func: Callable, y0: Any, t: Array) -> CanonicalProblem:
 
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(time_dtype)
     tau = sign * t
+    valid = (jnp.all(jnp.diff(tau) > 0) if t.shape[0] > 1
+             else jnp.asarray(True))
 
     f_flat = flat_ode_func(func, unravel, dtype)
 
     def g(s: Array, y: Array) -> Array:
         return sign.astype(dtype) * f_flat((sign * s).astype(time_dtype), y)
 
-    return CanonicalProblem(g, y_flat, tau, sign, unravel, dtype, time_dtype)
+    return CanonicalProblem(g, y_flat, tau, sign, unravel, dtype, time_dtype,
+                            user_func=func, user_y0=y0, valid=valid)
 
 
 def empty_stats(nfe: int = 0) -> SolverStats:

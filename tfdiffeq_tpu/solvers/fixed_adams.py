@@ -110,7 +110,6 @@ def solve_fixed_adams(
         grid = tau
         grid_is_t = True
     else:
-        grid_is_t = bool(grid.shape[0] == T)  # still interp below if not t
         grid_is_t = False
     G = grid.shape[0]
     if G < 2:
@@ -144,7 +143,7 @@ def solve_fixed_adams(
             beta = ab[k_eff - 1]                   # [K]
             y_pred = y + dt_y * jnp.tensordot(beta, hist, axes=1)
             if not implicit:
-                return y_pred, jnp.asarray(0, jnp.int32)
+                return y_pred, func(t1, y_pred), jnp.asarray(1, jnp.int32)
             gamma = am[k_eff - 1]                  # [K]
             # Corrector history part: g_1 f_n + g_2 f_{n-1} + ...
             hist_part = jnp.tensordot(gamma[1:], hist[:-1], axes=1)
@@ -165,21 +164,22 @@ def solve_fixed_adams(
                 corrector, (y_pred, jnp.asarray(False),
                             jnp.asarray(0, jnp.int32)), None,
                 length=max_iters)
-            return y1, nfe_c
+            return y1, func(t1, y1), nfe_c + 1
 
         def rk4_step(y, hist):
+            # RK4 is non-FSAL: runge_kutta_step already evaluated
+            # f1 = func(t0+dt, y1); reuse it instead of re-evaluating.
             res = runge_kutta_step(func, y, hist[0], t0, dt, RK4)
-            return res.y1, jnp.asarray(res.n_evals, jnp.int32)
+            return res.y1, res.f1, jnp.asarray(res.n_evals, jnp.int32)
 
         if bootstrap > 0:
-            y1, n_evals = jax.lax.cond(n < bootstrap, rk4_step, adams_step,
-                                       y, hist)
+            y1, f1, n_evals = jax.lax.cond(n < bootstrap, rk4_step,
+                                           adams_step, y, hist)
         else:
-            y1, n_evals = adams_step(y, hist)
+            y1, f1, n_evals = adams_step(y, hist)
 
-        f1 = func(t1, y1)
         hist = jnp.roll(hist, 1, axis=0).at[0].set(f1)
-        return (y1, hist, n + 1, nfe + n_evals + 1), (y1, f1)
+        return (y1, hist, n + 1, nfe + n_evals), (y1, f1)
 
     init = (y0, hist0, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32))
     (_, _, _, nfe), (ys_tail, fs_tail) = jax.lax.scan(

@@ -140,22 +140,34 @@ def build_grid_from_options(t: Array, options: dict,
                             prob: CanonicalProblem) -> Optional[Array]:
     """Resolve reference-style grid options to a static grid in tau-space.
 
-    Supports `grid_constructor(func, y0, t) -> grid` and `step_size` (uniform
-    grid). Grid length must be static: requires concrete `t` (host-known),
-    matching how the reference resolves these eagerly.
+    Supports `grid_constructor(func, y0, t) -> grid` (called with the USER's
+    original func/y0/t, matching the upstream contract), `step_size`
+    (uniform grid; needs concrete t so the length is static), and
+    `num_steps` (static int: uniform grid of n+1 points — works with traced
+    endpoints; used by the adjoint backward pass).
     """
     grid_constructor = options.get("grid_constructor")
     step_size = options.get("step_size")
-    if grid_constructor is None and step_size is None:
+    num_steps = options.get("num_steps")
+    if grid_constructor is None and step_size is None and num_steps is None:
         return None
+    if num_steps is not None:
+        n = int(num_steps)
+        if n < 1:
+            raise ValueError(f"num_steps must be >= 1, got {n}")
+        return jnp.linspace(prob.tau[0], prob.tau[-1],
+                            n + 1).astype(prob.time_dtype)
     if isinstance(t, jax.core.Tracer):
         raise ValueError(
             "grid_constructor/step_size need concrete (non-traced) t so the "
-            "grid length is static under jit; pass t as a constant or use "
-            "the default grid (t itself).")
+            "grid length is static under jit; pass t as a constant, use "
+            "options={'num_steps': n}, or use the default grid (t itself).")
     if grid_constructor is not None:
-        grid = jnp.asarray(grid_constructor(prob.func, prob.y0, t))
-        grid = (prob.sign * grid).astype(prob.time_dtype)
+        user_func = prob.user_func if prob.user_func is not None else prob.func
+        user_y0 = prob.user_y0 if prob.user_y0 is not None else prob.y0
+        grid = jnp.asarray(grid_constructor(user_func, user_y0,
+                                            jnp.asarray(t)))
+        grid = (prob.sign * grid.astype(prob.time_dtype))
         return grid
     t_np = np.asarray(t, dtype=np.float64)
     span = abs(float(t_np[-1] - t_np[0]))
