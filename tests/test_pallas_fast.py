@@ -147,3 +147,19 @@ def test_hyper_reverse_time_sign():
     err_b = np.abs(np.asarray(ys_base) - exact).max()
     err_h = np.abs(np.asarray(ys_h) - exact).max()
     assert err_h < err_b, (err_h, err_b)
+
+
+@pytest.mark.parametrize("method", ["bosh3", "adaptive_heun", "tsit5",
+                                    "dopri8"])
+def test_fused_solve_other_tableaus(method):
+    """The whole-solve kernel is tableau-parametrized; each method must
+    match the generic engine's trajectory at the solve tolerance."""
+    params, y0 = _setup(B=64)
+    t = jnp.linspace(0.0, 5.0, 12, dtype=jnp.float32)
+    r = solve_mlp(params, y0, t, rtol=1e-5, atol=1e-7, method=method,
+                  interpret=True, first_step=0.01)
+    r2 = solve(_dyn(params), y0, t, rtol=1e-5, atol=1e-7, method=method,
+               options={"loop": "while", "first_step": 0.01})
+    assert int(r.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(r.ys), np.asarray(r2.ys),
+                               rtol=2e-2, atol=5e-3)

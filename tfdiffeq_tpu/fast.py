@@ -60,10 +60,12 @@ def _auto_interpret(interpret: Optional[bool]) -> bool:
 
 
 def solve_mlp(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
-              interpret: Optional[bool] = None, max_num_steps=None,
-              first_step=None) -> SolveResult:
-    """Whole-solve fused dopri5 for the tanh-MLP neural ODE. y0: [B, D].
+              method: str = "dopri5", interpret: Optional[bool] = None,
+              max_num_steps=None, first_step=None) -> SolveResult:
+    """Whole-solve fused adaptive RK for the tanh-MLP neural ODE. y0: [B, D].
 
+    `method`: 'dopri5' (default), 'bosh3', 'adaptive_heun', 'tsit5', or
+    'dopri8' — the whole-solve kernel is tableau-parametrized.
     Returns a SolveResult whose ys has shape [T, B, D]. `interpret=None`
     auto-selects Pallas interpret mode off-TPU (CPU testing).
     """
@@ -85,7 +87,7 @@ def solve_mlp(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         extra_nfe = 1            # f0 only
 
     out, stats = dopri5_mlp_solve(
-        params, yT, t.astype(dtype), dt0, rtol, atol, f0=f0,
+        params, yT, t.astype(dtype), dt0, rtol, atol, f0=f0, method=method,
         max_steps=(int(max_num_steps) if max_num_steps is not None
                    else 2 ** 31 - 1),
         interpret=interpret)

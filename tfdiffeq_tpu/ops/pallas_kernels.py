@@ -84,13 +84,13 @@ def _make_mlp(w1_ref, b1_ref, w2_ref, b2):
     return f
 
 
-def _dopri5_stages(f, y0, f0, dt):
+def _rk_stages(tab, f, y0, f0, dt):
     """Evaluate all stages and the solution/error/midpoint combines.
 
-    Returns (k, delta, err, y_mid) with y1 = y0 + delta; coefficients are
+    Returns (k, delta, err, y_mid) with y1 = y0 + delta (y_mid is None for
+    tableaus without 4th-order dense-output weights); coefficients are
     trace-time constants so XLA folds them into the fused arithmetic.
     """
-    tab = DOPRI5
     k = [f0]
     for i in range(1, tab.stages):
         yi = y0
@@ -109,20 +109,42 @@ def _dopri5_stages(f, y0, f0, dt):
         if e != 0.0:
             err = (dt * e) * kj if err is None else err + (dt * e) * kj
 
-    y_mid = y0
-    for cm, kj in zip(tab.c_mid, k):
-        if cm != 0.0:
-            y_mid = y_mid + (dt * cm) * kj
+    y_mid = None
+    if tab.c_mid is not None:
+        y_mid = y0
+        for cm, kj in zip(tab.c_mid, k):
+            if cm != 0.0:
+                y_mid = y_mid + (dt * cm) * kj
     return k, delta, err, y_mid
 
 
-def _controller_factor(ratio, finite, accept, safety, ifactor, dfactor):
+def _interp_coeffs(y0, y1, y_mid, df0, df1):
+    """Dense-output coefficients in the scaled variable x = (t-t0)/dt:
+    4th-order through the midpoint when available, else cubic Hermite
+    (matching ops/rk.py interp_fit_*). Returns (ca, cb, cc); the full
+    polynomial is (((ca x + cb) x + cc) x + df0) x + y0."""
+    r1 = y1 - y0 - df0
+    r2 = df1 - df0
+    if y_mid is not None:
+        r3 = 16.0 * (y_mid - y0) - 8.0 * df0
+        ca = r3 + 2.0 * r2 - 8.0 * r1
+        cb = r2 - 2.0 * r1 - 2.0 * ca
+        cc = r1 - ca - cb
+    else:
+        ca = jnp.zeros_like(y0)
+        cb = 2.0 * (y0 - y1) + df0 + df1
+        cc = 3.0 * (y1 - y0) - 2.0 * df0 - df1
+    return ca, cb, cc
+
+
+def _controller_factor(ratio, finite, accept, safety, ifactor, dfactor,
+                       order=5):
     """Reference `_optimal_step_size` semantics, branch-free scalars.
 
-    r ** (-1/5) via exp/log — scalar powf does not lower in Mosaic."""
+    r ** (-1/order) via exp/log — scalar powf does not lower in Mosaic."""
     tiny = jnp.asarray(1e-38, ratio.dtype)
     r = jnp.maximum(jnp.where(finite, ratio, 2.0 ** 20), tiny)
-    fac = safety * jnp.exp((-1.0 / 5.0) * jnp.log(r))
+    fac = safety * jnp.exp((-1.0 / float(order)) * jnp.log(r))
     fac = jnp.where(ratio <= 0.0, ifactor, fac)
     lo = jnp.where(accept, 1.0, dfactor)
     hi = jnp.where(accept, ifactor, 1.0)
@@ -165,7 +187,7 @@ def _make_step_kernel(B: int, tile_b: int):
         y0 = y_ref[:]
         f = _make_mlp(w1_ref, b1_ref, w2_ref, b2_ref[:])
 
-        k, delta, err, y_mid = _dopri5_stages(f, y0, f0_ref[:], dt)
+        k, delta, err, y_mid = _rk_stages(DOPRI5, f, y0, f0_ref[:], dt)
         y1 = y0 + delta
 
         scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
@@ -266,8 +288,9 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
 # logic runs on scalars; only [T, D, B] + 4 stats ints leave the chip.
 # ---------------------------------------------------------------------------
 
-def _make_solve_kernel(T: int, safety: float, ifactor: float,
+def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                        dfactor: float, max_steps: int, denom: float):
+    evals = tab.evals_per_step
 
     def kernel(tau_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref,
                y0_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -300,7 +323,7 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
             dth = t1 - t
 
             y0 = y_s[:]
-            k, delta, err, y_mid = _dopri5_stages(f, y0, f_s[:], dth)
+            k, delta, err, y_mid = _rk_stages(tab, f, y0, f_s[:], dth)
             y1 = y0 + delta
 
             scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
@@ -311,18 +334,18 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
             accept = (ratio <= 1.0) & finite
 
             fac = _controller_factor(ratio, finite, accept, safety,
-                                     ifactor, dfactor)
+                                     ifactor, dfactor, tab.order)
             dt_next = dt * fac
 
-            # Dense output: 4th-order interpolant over [t, t1], exact at t1.
+            # Derivative at the step end: FSAL tableaus get it for free;
+            # others pay one extra evaluation (counted below).
+            f1 = k[-1] if tab.fsal else f(y1)
+
+            # Dense output over [t, t1], exact at t1 (4th-order through the
+            # midpoint when the tableau provides one, else cubic Hermite).
             df0 = dth * k[0]
-            df1 = dth * k[-1]
-            r1 = y1 - y0 - df0
-            r2 = df1 - df0
-            r3 = 16.0 * (y_mid - y0) - 8.0 * df0
-            ca = r3 + 2.0 * r2 - 8.0 * r1
-            cb = r2 - 2.0 * r1 - 2.0 * ca
-            cc = r1 - ca - cb
+            df1 = dth * f1
+            ca, cb, cc = _interp_coeffs(y0, y1, y_mid, df0, df1)
 
             @pl.when(accept)
             def _():
@@ -333,7 +356,7 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
                 y_new = y0 + adj
                 comp_s[:] = (y_new - y0) - adj
                 y_s[:] = y_new
-                f_s[:] = k[-1]
+                f_s[:] = f1
                 for j in range(1, T):
                     tj = tau_ref[0, j]
 
@@ -348,7 +371,9 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
                 (~accept) & (dt_next < dt_min), jnp.int32(2), status)
             status = jnp.where(
                 (n_att >= max_steps) & (t1 < t_end), jnp.int32(1), status)
-            return (jnp.where(accept, t1, t), dt_next, nfe + 6,
+            # evals_per_step counts the unconditional f1 for non-FSAL
+            # tableaus (same convention as the generic runge_kutta_step).
+            return (jnp.where(accept, t1, t), dt_next, nfe + evals,
                     nacc + accept.astype(jnp.int32),
                     nrej + (~accept).astype(jnp.int32), status)
 
@@ -368,14 +393,18 @@ def _make_solve_kernel(T: int, safety: float, ifactor: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("safety", "ifactor", "dfactor",
+                   static_argnames=("method", "safety", "ifactor", "dfactor",
                                     "max_steps", "interpret"))
 def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
-                     rtol, atol, *, f0: Array = None, safety: float = 0.9,
+                     rtol, atol, *, f0: Array = None,
+                     method: str = "dopri5", safety: float = 0.9,
                      ifactor: float = 10.0, dfactor: float = 0.2,
                      max_steps: int = 2 ** 31 - 1,
                      interpret: bool = False):
-    """Whole-solve fused dopri5 for tanh-MLP dynamics, one kernel launch.
+    """Whole-solve fused adaptive RK for tanh-MLP dynamics, one kernel
+    launch. `method` selects the tableau ('dopri5', 'bosh3',
+    'adaptive_heun', 'tsit5', 'dopri8'); non-FSAL tableaus pay one extra
+    evaluation per accepted step for the dense-output end derivative.
 
     y0: [D, B] feature-major; tau: [T] increasing times (tau[0] = t0);
     f0: optional precomputed f(t0, y0) (avoids a duplicate evaluation when
@@ -383,6 +412,10 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
     Returns (out [T, D, B], stats [4] int32: nfe/accepted/rejected/status).
     Status: 0 OK, 1 MAX_STEPS_REACHED, 2 DT_UNDERFLOW, 3 INVALID_TIMES.
     """
+    from . import tableaus as _tabs
+    tab = {"dopri5": _tabs.DOPRI5, "bosh3": _tabs.BOSH3,
+           "adaptive_heun": _tabs.ADAPTIVE_HEUN, "tsit5": _tabs.TSIT5,
+           "dopri8": _tabs.DOPRI8}[method]
     D, B = y0.shape
     T = int(tau.shape[0])
     dtype = y0.dtype
@@ -397,7 +430,7 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
               * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
                             1.0)).astype(dtype)
 
-    kernel = _make_solve_kernel(T, safety, ifactor, dfactor,
+    kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
                                 int(max_steps), float(D * B))
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
