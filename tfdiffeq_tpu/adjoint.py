@@ -50,11 +50,19 @@ def odeint_adjoint(
     adjoint_atol=None,
     adjoint_method: Optional[str] = None,
     adjoint_options: Optional[dict] = None,
+    adjoint_seminorm: bool = False,
 ) -> Any:
     """Like `odeint`, but gradients use the augmented adjoint ODE.
 
     func: callable(t, y, params) -> dy (or callable(t, y) if params is None).
     Returns the trajectory pytree (leaves [T, ...]).
+
+    adjoint_seminorm: control the backward step size with a seminorm over
+    only the (y, adjoint-y) components, excluding the parameter/time
+    adjoints — they are pure quadratures that never feed back into the
+    augmented dynamics, so erroring on them wastes steps (Kidger et al.
+    2020, "Hey, that's not an ODE": typically 20-60%% fewer backward NFE
+    at unchanged gradient accuracy).
     """
     if params is None:
         user_func = lambda t_, y_, p_: func(t_, y_)
@@ -127,6 +135,15 @@ def odeint_adjoint(
         def f_flat(tt, y_flat, p_):
             dy = user_func(tt, unravel(y_flat), p_)
             return flatten_state(dy)[0].astype(ydtype)
+
+        if adjoint_seminorm:
+            from .ops.norms import rms_norm
+
+            def _seminorm(x_flat):
+                # Augmented flat layout: [y (N), a_y (N), a_params..., a_t].
+                return rms_norm(x_flat[: 2 * N])
+
+            bwd_options.setdefault("norm", _seminorm)
 
         def aug_dynamics(s, aug):
             y, a_y, a_p, a_t = aug
