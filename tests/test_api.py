@@ -184,3 +184,22 @@ def test_per_kind_option_validation():
         odeint(f, y0, t, method="dopri5", options={"step_size": 0.5})
     with pytest.raises(TypeError, match="safety"):
         odeint(f, y0, t, method="rk4", options={"safety": 0.8})
+
+
+def test_vmap_per_sample_adaptive_stepping():
+    """torchode-style per-sample step-size control falls out of vmap over
+    solves: each sample gets its own accept/reject sequence and NFE count
+    (lanes run masked until the slowest finishes)."""
+    from tfdiffeq_tpu import solve
+
+    rates = jnp.asarray([0.1, 1.0, 10.0])
+    t = jnp.asarray([0.0, 5.0])
+    per = jax.vmap(lambda y0, r: solve(
+        lambda tt, yy: -r * yy, y0, t, rtol=1e-8, atol=1e-10,
+        options={"loop": "while"}))
+    res = per(jnp.ones((3, 1)), rates)
+    nfes = np.asarray(res.stats.nfe)
+    assert nfes[0] < nfes[1] < nfes[2]          # work tracks stiffness
+    np.testing.assert_allclose(
+        np.asarray(res.ys[:, -1, 0]), np.exp(-np.asarray(rates) * 5.0),
+        rtol=1e-6, atol=1e-9)
