@@ -37,7 +37,7 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--niters", type=int, default=2000)
     p.add_argument("--nspiral", type=int, default=1000)
-    p.add_argument("--ntimes", type=int, default=100)
+    p.add_argument("--ntimes", type=int, default=500)
     p.add_argument("--nsample", type=int, default=100)
     p.add_argument("--latent_dim", type=int, default=4)
     p.add_argument("--nhidden", type=int, default=20)
@@ -63,7 +63,10 @@ def generate_spirals(nspiral=1000, ntotal=500, nsample=100, start=0.0,
 
     # counter-clockwise spiral: r = a + b * t
     zs_cc = stop + 1.0 - orig_ts
-    rs_cc = a + b / (zs_cc + 0.1)
+    # Hyperbolic-like radius at the same scale as the cw spiral (the
+    # upstream example uses a + b*50/zs); a sub-noise-std radius would make
+    # the ccw class indistinguishable from observation noise.
+    rs_cc = a + b * 50.0 / (zs_cc + 2.0)
     xs_cc, ys_cc = rs_cc * np.cos(zs_cc) - 5.0, rs_cc * np.sin(zs_cc)
     cc_traj = np.stack([xs_cc, ys_cc], axis=1)
 
@@ -156,7 +159,7 @@ def main():
     key = jax.random.PRNGKey(args.seed)
 
     _, samp_trajs, _, samp_ts = generate_spirals(
-        nspiral=args.nspiral, nsample=args.nsample,
+        nspiral=args.nspiral, ntotal=args.ntimes, nsample=args.nsample,
         noise_std=args.noise_std, seed=args.seed)
     xs = jnp.asarray(samp_trajs, jnp.float32)
     samp_ts = jnp.asarray(samp_ts, jnp.float32)

@@ -22,10 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-import os as _os
 import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))  # run as a script from anywhere
+_sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run as a script from anywhere
 from tfdiffeq_tpu import odeint, odeint_adjoint
 from tfdiffeq_tpu.models.dynamics import make_ode_func, spiral_dynamics
 

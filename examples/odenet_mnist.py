@@ -36,7 +36,9 @@ def parse_args():
                    default="odenet")
     p.add_argument("--adjoint", action="store_true")
     p.add_argument("--tol", type=float, default=1e-3)
-    p.add_argument("--nepochs", type=int, default=20)
+    # The reference trains 160 epochs with decay at 60/100/140; shorter
+    # runs simply never reach the decay boundaries.
+    p.add_argument("--nepochs", type=int, default=160)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--data_dir", default="data/mnist")
@@ -119,6 +121,9 @@ def main():
     params = variables["params"]
 
     steps_per_epoch = len(x_train) // args.batch_size
+    if steps_per_epoch == 0:
+        raise SystemExit(f"batch_size {args.batch_size} exceeds the "
+                         f"training set ({len(x_train)} examples)")
     sched = optax.piecewise_constant_schedule(
         args.lr, {steps_per_epoch * 60: 0.1, steps_per_epoch * 100: 0.1,
                   steps_per_epoch * 140: 0.1})

@@ -80,8 +80,12 @@ class ODEBlock(nn.Module):
         t = jnp.asarray([0.0, 1.0], x.dtype)
 
         if self.is_initializing():
-            # Materialize params with one dynamics call.
+            # One dynamics call materializes every parameter; skip the
+            # throwaway 256-step solve that shape inference doesn't need
+            # (ys[-1] has x's shape) — saves minutes of init compile.
             _ = func_mod(jnp.asarray(0.0, x.dtype), x)
+            self.sow("diagnostics", "nfe", jnp.asarray(0, jnp.int32))
+            return x
 
         params = func_mod.variables
 
@@ -90,7 +94,9 @@ class ODEBlock(nn.Module):
                 return func_mod.apply(p, tt, yy)
             ys = odeint_adjoint(f, x, t, params=params, rtol=self.tol,
                                 atol=self.tol, method=self.method)
-            self.sow("diagnostics", "nfe", jnp.asarray(0, jnp.int32))
+            # The adjoint path has no stats channel; -1 marks "unknown"
+            # rather than pretending the solve was free.
+            self.sow("diagnostics", "nfe", jnp.asarray(-1, jnp.int32))
             return ys[-1]
 
         def f(tt, yy):

@@ -8,7 +8,7 @@ batched (vmapped) device call rather than a Python double loop.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
