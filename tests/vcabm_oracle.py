@@ -37,8 +37,11 @@ def err_ratio(vec, tol):
     return float(np.sqrt(np.mean((vec/tol)**2)))
 
 def opt_dt(dt, ratio, order, safety=0.9, ifactor=10., dfactor=0.2):
+    # Reference `_optimal_step_size`: accepted steps (ratio <= 1) never
+    # shrink (lower clip forced to 1); rejected steps never grow.
     if ratio == 0: return dt*ifactor
-    return dt*np.clip(safety*ratio**(-1.0/order), dfactor, ifactor)
+    lo, hi = (1.0, ifactor) if ratio <= 1.0 else (dfactor, 1.0)
+    return dt*np.clip(safety*ratio**(-1.0/order), lo, hi)
 
 def vcabm(f, y0, ts, rtol, atol, max_order=12, first_step=None):
     t0 = ts[0]

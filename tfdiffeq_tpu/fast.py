@@ -74,11 +74,22 @@ def solve_mlp(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     dtype = y0.dtype
     yT = y0.T                                  # [D, B] feature-major
 
+    if t.shape[0] == 1:
+        # Single requested time: a valid no-op solve (matches the generic
+        # engine; the kernel would misread t_end == t_start as invalid).
+        z = jnp.asarray(0, jnp.int32)
+        return SolveResult(y0[None], SolverStats(z, z, z, z))
+
+    from .ops.tableaus import (ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, TSIT5)
+    order = {"dopri5": DOPRI5, "bosh3": BOSH3,
+             "adaptive_heun": ADAPTIVE_HEUN, "tsit5": TSIT5,
+             "dopri8": DOPRI8}[method].order
+
     f0 = mlp_f(params, yT)
     if first_step is None:
         flat_f = lambda tt, yf: mlp_f(params, yf.reshape(yT.shape)).ravel()
         dt0 = select_initial_step(flat_f, t[0].astype(dtype), yT.ravel(),
-                                  f0.ravel(), 4,
+                                  f0.ravel(), order - 1,
                                   jnp.asarray(rtol, dtype),
                                   jnp.asarray(atol, dtype))
         extra_nfe = 2            # f0 + the HNW probe evaluation

@@ -60,9 +60,12 @@ def next_step_size(
     # matching the reference's `if error_ratio == 0: return last * ifactor`.
     factor = jnp.where(ratio <= 0.0, ctrl.ifactor, factor)
 
-    # Accept: clip to [1, ifactor] (never shrink an accepted step — the
-    # reference forces dfactor=1 when ratio < 1). Reject: clip to [dfactor, 1].
-    lo = jnp.where(accepted, 1.0, ctrl.dfactor)
+    # Accept with I-only gains: clip to [1, ifactor] (never shrink an
+    # accepted step — the reference forces dfactor=1 when ratio < 1). A PI
+    # controller (pcoeff != 0) must be able to damp an accepted step, so
+    # its accept-side lower clip stays dfactor. Reject: clip to [dfactor, 1].
+    lo_acc = 1.0 if ctrl.pcoeff == 0.0 else ctrl.dfactor
+    lo = jnp.where(accepted, lo_acc, ctrl.dfactor)
     hi = jnp.where(accepted, ctrl.ifactor, 1.0)
     dt_next = dt * jnp.clip(factor, lo, hi)
 

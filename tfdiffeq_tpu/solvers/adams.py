@@ -121,15 +121,19 @@ def _compute_implicit_phi(explicit_phi: Array, f_next: Array,
 
 
 def _optimal_dt(dt: Array, ratio: Array, order: Array, safety, ifactor,
-                dfactor) -> Array:
-    """Reference `_optimal_step_size` with a dynamic order exponent."""
+                dfactor, accepted: bool) -> Array:
+    """Reference `_optimal_step_size` with a dynamic order exponent.
+
+    Accepted steps never shrink (the reference forces the lower clip to 1
+    when error_ratio < 1, same as ops/controller.py); rejected steps never
+    grow."""
     rdtype = dt.dtype
     tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype)
     r = jnp.maximum(ratio.astype(rdtype), tiny)
     k = jnp.maximum(order.astype(rdtype), 1.0)
     factor = safety * r ** (-1.0 / k)
-    factor = jnp.where(ratio <= 0.0, ifactor,
-                       jnp.clip(factor, dfactor, ifactor))
+    lo, hi = (1.0, ifactor) if accepted else (dfactor, 1.0)
+    factor = jnp.where(ratio <= 0.0, ifactor, jnp.clip(factor, lo, hi))
     return dt * factor
 
 
@@ -160,6 +164,11 @@ def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
             jnp.asarray(0, jnp.int32),
             jnp.asarray(int(Status.OK), jnp.int32)))
 
+    from .adaptive import _default_dt_min
+
+    gamma_star = jnp.asarray(GAMMA_STAR, dtype)
+    dt_min = jnp.asarray(_default_dt_min(tau), rdtype)
+
     t0 = tau[0]
     f0 = func(t0, y0)
     first_step = options.get("first_step")
@@ -168,12 +177,9 @@ def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
         dt0 = jnp.asarray(dt0, rdtype)
         nfe0 = 2
     else:
-        dt0 = jnp.abs(jnp.asarray(first_step, rdtype))
+        # Clamp to dt_min: dt=0 would be accepted forever without progress.
+        dt0 = jnp.maximum(jnp.abs(jnp.asarray(first_step, rdtype)), dt_min)
         nfe0 = 1
-
-    gamma_star = jnp.asarray(GAMMA_STAR, dtype)
-    dt_min = 4.0 * jnp.finfo(rdtype).eps * jnp.maximum(
-        jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])), 1.0)
 
     # Loop state. prev_t garbage slots are initialized to distinct sentinel
     # values (t0 - 1 - slot) so no masked-safe-divide ever sees 0/0.
@@ -236,40 +242,60 @@ def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
         big = jnp.asarray(2.0, error_k.dtype) ** 20
         error_ctrl = jnp.where(finite, error_k, big)
 
-        # ---- accepted-path quantities (computed unconditionally, masked) --
-        f_next = func(next_t, y_next)
-        implicit_phi = _compute_implicit_phi(explicit_phi, f_next, order + 2)
+        # ---- accepted-path quantities: the second func evaluation and the
+        # order-adaptation block run only for accepted steps (lax.cond
+        # executes one branch on TPU), matching the reference's cost of one
+        # eval per rejected attempt.
+        def accepted_path(_):
+            f_next = func(next_t, y_next)
+            implicit_phi = _compute_implicit_phi(explicit_phi, f_next,
+                                                 order + 2)
 
-        # Order adaptation (Shampine–Gordon, reference logic).
-        om2 = jnp.maximum(order - 2, 0)
-        om3 = jnp.maximum(order - 3, 0)
-        tol_scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_next))
-        def ratio_of(vec):
-            return norm(vec / tol_scale)
-        error_km1 = ratio_of(dt_y * (g_y[om1] - g_y[om2])
-                             * implicit_phi_p[om1])
-        error_km2 = ratio_of(dt_y * (g_y[om2] - g_y[om3])
-                             * implicit_phi_p[om2])
-        error_kp1 = ratio_of(dt_y * gamma_star[order]
-                             * implicit_phi[order])
+            # Order adaptation (Shampine–Gordon, reference logic).
+            om2 = jnp.maximum(order - 2, 0)
+            om3 = jnp.maximum(order - 3, 0)
+            tol_scale = atol + rtol * jnp.maximum(jnp.abs(y),
+                                                  jnp.abs(y_next))
 
-        startup = (s["n_acc"] + 1 <= 4) | (order < 3)
-        next_order_startup = jnp.minimum(jnp.minimum(order + 1, 3),
-                                         max_order)
-        dec = jnp.minimum(error_km1, error_km2) < error_k
-        inc = ((~dec) & (order < jnp.minimum(max_order, s["n_acc"] + 1))
-               & (error_kp1 < error_k))
-        next_order_adapt = jnp.where(dec, order - 1,
-                                     jnp.where(inc, order + 1, order))
-        next_order = jnp.where(startup, next_order_startup, next_order_adapt)
-        next_order = jnp.clip(next_order, 1, max_order)
+            def ratio_of(vec):
+                return norm(vec / tol_scale)
 
-        # Step-size control: keep dt when raising the order, else standard
-        # controller at order k+1 (reference behavior).
-        dt_acc = jnp.where(next_order > order, dt,
-                           _optimal_dt(dt, error_ctrl, order + 1, safety,
-                                       ifactor, dfactor))
-        dt_rej = _optimal_dt(dt, error_ctrl, order, safety, ifactor, dfactor)
+            error_km1 = ratio_of(dt_y * (g_y[om1] - g_y[om2])
+                                 * implicit_phi_p[om1])
+            error_km2 = ratio_of(dt_y * (g_y[om2] - g_y[om3])
+                                 * implicit_phi_p[om2])
+            error_kp1 = ratio_of(dt_y * gamma_star[order]
+                                 * implicit_phi[order])
+
+            startup = (s["n_acc"] + 1 <= 4) | (order < 3)
+            next_order_startup = jnp.minimum(jnp.minimum(order + 1, 3),
+                                             max_order)
+            dec = jnp.minimum(error_km1, error_km2) < error_k
+            inc = ((~dec)
+                   & (order < jnp.minimum(max_order, s["n_acc"] + 1))
+                   & (error_kp1 < error_k))
+            next_order_adapt = jnp.where(
+                dec, order - 1, jnp.where(inc, order + 1, order))
+            next_order = jnp.where(startup, next_order_startup,
+                                   next_order_adapt)
+            next_order = jnp.clip(next_order, 1, max_order)
+
+            # Keep dt when raising the order, else standard controller at
+            # order k+1 (reference behavior).
+            dt_acc = jnp.where(next_order > order, dt,
+                               _optimal_dt(dt, error_ctrl, order + 1,
+                                           safety, ifactor, dfactor,
+                                           accepted=True))
+            return implicit_phi, next_order, dt_acc, jnp.asarray(
+                2, jnp.int32)
+
+        def rejected_path(_):
+            return (phi, order, dt, jnp.asarray(1, jnp.int32))
+
+        implicit_phi, next_order, dt_acc, n_evals = jax.lax.cond(
+            accept, accepted_path, rejected_path, None)
+        dt_rej = _optimal_dt(dt, error_ctrl, order, safety, ifactor, dfactor,
+                             accepted=False)
 
         # Output write: accepted step landing exactly on final_t.
         hit = accept & (next_t >= final_t)
@@ -300,7 +326,7 @@ def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
             out_idx=out_idx,
             n_acc=s["n_acc"] + accept.astype(jnp.int32),
             n_rej=s["n_rej"] + (~accept).astype(jnp.int32),
-            nfe=s["nfe"] + 2,
+            nfe=s["nfe"] + n_evals,
             status=status,
         )
 

@@ -21,7 +21,7 @@ Two loop modes share one step function:
   O(sqrt)-style memory. Fully reverse-differentiable with plain `jax.grad`,
   including closure-captured parameters — this is the analogue of the
   reference's taped direct backprop through solver steps (SURVEY.md §3.4).
-  Requires a static step budget ``max_steps`` (default 1024); exceeding it
+  Requires a static step budget ``max_steps`` (default 4096); exceeding it
   sets `Status.MAX_STEPS_REACHED` in the returned stats.
 
 Dense output: inside the loop each accepted step fits the 4th-order
@@ -102,6 +102,9 @@ class _StepOut(NamedTuple):
     core: _Core
     accept: Array       # bool
     t0: Array           # step start time
+    t1: Array           # exact step end time (NOT t0 + dt_step: the float
+    #                     add can round 1 ulp below the carried value,
+    #                     silently missing outputs at exact step ends)
     dt_step: Array      # actual attempted step size
     coeffs: Array       # [5, N] dense-output coeffs (valid iff accept)
     y1: Array           # [N] (valid iff accept)
@@ -186,7 +189,8 @@ def _make_attempt(func, cfg: AdaptiveConfig, rtol, atol, tau_end, dt_min,
             nfe=core.nfe + res.n_evals,
             status=status,
         )
-        return _StepOut(new_core, accept, core.t, dt_step, coeffs, res.y1)
+        return _StepOut(new_core, accept, core.t, t1, dt_step, coeffs,
+                        res.y1)
 
     return attempt
 
@@ -246,11 +250,10 @@ def _solve_while(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
 
     def body(s: _WhileState):
         o = attempt(s.core)
-        t1 = o.t0 + o.dt_step
-        mask = o.accept & (tau > o.t0) & (tau <= t1)
+        mask = o.accept & (tau > o.t0) & (tau <= o.t1)
         vals = interp_evaluate(o.coeffs, o.t0, o.dt_step, tau)
         # Exact endpoint: avoid interpolation roundoff at the step's end.
-        vals = jnp.where((tau == t1)[:, None], o.y1[None], vals)
+        vals = jnp.where((tau == o.t1)[:, None], o.y1[None], vals)
         out = jnp.where(mask[:, None], vals, s.out)
         return _WhileState(o.core, out)
 
@@ -302,7 +305,7 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
 
     def one_step(s: _ScanState):
         o = attempt(s.core)
-        t1 = (o.t0 + o.dt_step).astype(rdtype)
+        t1 = o.t1.astype(rdtype)
         s2 = _ScanState(
             core=o.core,
             cache_t0=jnp.where(o.accept, o.t0.astype(rdtype), s.cache_t0),
@@ -397,6 +400,12 @@ def solve_adaptive(
     atol = jnp.asarray(atol, jnp.finfo(prob.dtype).dtype)
     if dt_min is None:
         dt_min = _default_dt_min(tau)
+    if first_step is not None:
+        # Clamp to dt_min: dt=0 is self-sustaining (zero error -> accepted,
+        # t never advances) and would spin the while loop forever.
+        first_step = jnp.maximum(
+            jnp.abs(jnp.asarray(first_step, jnp.asarray(dt_min).dtype)),
+            dt_min)
     if max_num_steps is None:
         max_num_steps = (2 ** 31 - 1) if cfg.loop == "while" else cfg.max_steps
     max_num_steps = jnp.asarray(max_num_steps, jnp.int32)
