@@ -178,3 +178,22 @@ def test_complex_state_integration():
                     atol=1e-11, method=method,
                     options={"step_size": 0.01} if method == "rk4" else None)
         assert float(jnp.abs(ys - exact).max()) < 1e-5, method
+
+
+def test_while_mode_exact_endpoint_f32_rounding():
+    """Regression: the while-mode output mask must use the exactly-carried
+    step end, not t0 + dt (in f32, fl(-0.5 + fl(0.8 - (-0.5))) < 0.8, which
+    previously zeroed the final output row when one accepted step covered
+    the whole span)."""
+    from tfdiffeq_tpu import solve
+
+    t = jnp.asarray([-0.5, 0.8], jnp.float32)
+    y0 = jnp.asarray([1.0], jnp.float32)
+    res = solve(lambda tt, y: -0.1 * y, y0, t, rtol=1e-3, atol=1e-5,
+                method="dopri5", options={"loop": "while",
+                                          "first_step": 1.3})
+    assert int(res.stats.status) == 0
+    expected = float(np.exp(-0.1 * 1.3))
+    got = float(res.ys[-1, 0])
+    assert abs(got - expected) < 1e-4, (got, expected)
+    assert got != 0.0
