@@ -121,3 +121,31 @@ def test_make_mesh_extends_axis_names():
 
     m = make_mesh((8, 1, 1))
     assert m.axis_names == ("data", "model", "ax2")
+
+
+def test_sharded_fused_solve():
+    """Whole-solve Pallas kernel under shard_map: every batch shard runs an
+    independent in-kernel adaptive solve (per-shard step control, zero
+    per-step cross-chip collectives); stats aggregate across shards."""
+    from tfdiffeq_tpu.fast import solve_mlp, solve_mlp_sharded
+    from tfdiffeq_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.RandomState(0)
+    params = {"w1": jnp.asarray(rng.randn(2, 50) * 0.1, jnp.float32),
+              "b1": jnp.zeros(50, jnp.float32),
+              "w2": jnp.asarray(rng.randn(50, 2) * 0.1, jnp.float32),
+              "b2": jnp.zeros(2, jnp.float32)}
+    y0 = jnp.asarray(rng.randn(64, 2) * 1.5, jnp.float32)
+    t = jnp.linspace(0.0, 5.0, 8, dtype=jnp.float32)
+    mesh = make_mesh((8,), ("data",))
+
+    r = solve_mlp_sharded(params, y0, t, mesh, rtol=1e-5, atol=1e-7)
+    r1 = solve_mlp(params, y0, t, rtol=1e-5, atol=1e-7)
+    assert int(r.stats.status) == 0
+    assert r.ys.shape == r1.ys.shape
+    # Per-shard error norms differ from the global norm, so trajectories
+    # agree only to solve tolerance.
+    np.testing.assert_allclose(np.asarray(r.ys), np.asarray(r1.ys),
+                               atol=5e-3)
+    with pytest.raises(ValueError, match="divisible"):
+        solve_mlp_sharded(params, y0[:63], t, mesh)
