@@ -204,13 +204,15 @@ def bench_torch_proxy_nfe_per_sec():
 
 def bench_latent_ode_iter_ms():
     """Steady-state latent-ODE training-iteration wall-clock."""
+    import os
     import sys
-    sys.path.insert(0, "examples")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "examples"))
     import optax
     from latent_ode import (TrainState, build_model, generate_spirals,
                             init_params, make_train_step, parse_args)
 
-    args = parse_args()
+    args = parse_args([])     # never consume bench.py's own argv
     args.nspiral, args.nsample = 512, 64
     _, samp_trajs, _, samp_ts = generate_spirals(
         nspiral=args.nspiral, nsample=args.nsample, seed=0)

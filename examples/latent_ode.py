@@ -33,7 +33,7 @@ from tfdiffeq_tpu.models.latent_ode import (Decoder, LatentODEFunc,
                                             normal_kl)
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--niters", type=int, default=2000)
     p.add_argument("--nspiral", type=int, default=1000)
@@ -46,7 +46,7 @@ def parse_args():
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--noise_std", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def generate_spirals(nspiral=1000, ntotal=500, nsample=100, start=0.0,

@@ -97,6 +97,15 @@ def odeint_adjoint(
     # when t is concrete; otherwise drop it with the adaptive default.
     bwd_options.pop("grid_constructor", None)
     step_size = bwd_options.pop("step_size", None)
+    adj_is_adaptive = _is_adaptive(adjoint_method)
+    if (step_size is not None and "num_steps" not in bwd_options
+            and not adj_is_adaptive
+            and isinstance(jnp.asarray(t), jax.core.Tracer)):
+        raise ValueError(
+            "odeint_adjoint with a fixed-grid adjoint method and traced t "
+            "cannot derive the backward grid from step_size; pass "
+            "adjoint_options={'num_steps': n} (static steps per observation "
+            "interval) instead.")
     if step_size is not None and "num_steps" not in bwd_options:
         t_arr = jnp.asarray(t)
         if not isinstance(t_arr, jax.core.Tracer) and t_arr.ndim == 1                 and t_arr.shape[0] > 1:
@@ -105,6 +114,21 @@ def odeint_adjoint(
                 _np.asarray(t_arr, dtype=_np.float64)))))
             bwd_options["num_steps"] = max(
                 1, int(_np.ceil(max_span / float(step_size))))
+
+    # Keep only options the adjoint method's kind accepts: the forward dict
+    # is copied wholesale and adaptive-only keys (max_steps, telemetry, ...)
+    # would make the backward solve raise.
+    if adj_is_adaptive:
+        _allowed = {"first_step", "safety", "ifactor", "dfactor",
+                    "max_num_steps", "norm", "max_steps", "chunk_size",
+                    "loop", "pcoeff", "icoeff", "dt_min"}
+    elif SOLVERS.get(adjoint_method or "dopri5", ("",))[0] == "fixed":
+        _allowed = {"num_steps", "interp"}
+    else:
+        _allowed = None
+    if _allowed is not None:
+        bwd_options = {k: v for k, v in bwd_options.items()
+                       if k in _allowed}
 
     def _impl(y0_, t_, params_):
         return solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
@@ -136,7 +160,7 @@ def odeint_adjoint(
             dy = user_func(tt, unravel(y_flat), p_)
             return flatten_state(dy)[0].astype(ydtype)
 
-        if adjoint_seminorm:
+        if adjoint_seminorm and adj_is_adaptive:
             from .ops.norms import rms_norm
 
             def _seminorm(x_flat):

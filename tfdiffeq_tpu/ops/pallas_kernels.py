@@ -289,7 +289,8 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
 # ---------------------------------------------------------------------------
 
 def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
-                       dfactor: float, max_steps: int, denom: float):
+                       dfactor: float, max_steps: int, denom: float,
+                       B_true: int):
     evals = tab.evals_per_step
 
     def kernel(tau_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref,
@@ -328,9 +329,15 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
 
             scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
             esc = err / scale
+            # Mask batch-padding lanes (small batches are padded to a full
+            # lane tile; pad states are zero but f(0) != 0 with biases).
+            lane = jax.lax.broadcasted_iota(jnp.int32, esc.shape, 1)
+            valid = lane < B_true
+            esc = jnp.where(valid, esc, 0.0)
             ss = jnp.sum(esc * esc)
             ratio = jnp.sqrt(ss / denom)
-            finite = jnp.isfinite(ss) & jnp.all(jnp.isfinite(y1))
+            finite = jnp.isfinite(ss) & jnp.all(
+                jnp.isfinite(jnp.where(valid, y1, 0.0)))
             accept = (ratio <= 1.0) & finite
 
             fac = _controller_factor(ratio, finite, accept, safety,
@@ -423,6 +430,15 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
     if f0 is None:
         f0 = mlp_f(params, y0)
 
+    # Pad small batches to a full VPU lane tile (Mosaic cannot lower some
+    # ops on tiny vectors, e.g. 1x1 concatenates); padded lanes are masked
+    # out of the error norm in-kernel.
+    B_true = B
+    if B < _LANE:
+        y0 = jnp.pad(y0, ((0, 0), (0, _LANE - B)))
+        f0 = jnp.pad(f0, ((0, 0), (0, _LANE - B)))
+        B = _LANE
+
     # Span-scaled minimum step (matches the generic _default_dt_min): an
     # absolute 4*eps would never trigger when |t| is large, leaving the
     # in-kernel loop spinning without progress.
@@ -431,7 +447,7 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
                             1.0)).astype(dtype)
 
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
-                                int(max_steps), float(D * B))
+                                int(max_steps), float(D * B_true), B_true)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -452,4 +468,6 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
       jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
       jnp.reshape(dt_min, (1, 1)),
       y0, f0, w1, b1, w2, b2)
+    if B != B_true:
+        out = out[:, :, :B_true]
     return out, stats[0]

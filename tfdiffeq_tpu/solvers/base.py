@@ -117,7 +117,8 @@ _KNOWN_OPTIONS = frozenset({
     # reference-compatible (upstream solver `options` dicts, SURVEY.md §5
     # "Config / flag system")
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps",
-    "grid_constructor", "step_size", "max_order", "max_iters", "norm",
+    "grid_constructor", "step_size", "num_steps", "max_order",
+    "max_iters", "norm",
     # TPU-native extensions
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
     "interp", "implicit", "hypernet", "telemetry",

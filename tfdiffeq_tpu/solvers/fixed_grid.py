@@ -32,14 +32,20 @@ Array = jax.Array
 def _tableau_step(tableau: ButcherTableau):
     """One fixed step y(t0) -> y(t0+dt) via an explicit tableau.
 
-    Returns (y1, f0, n_evals) — f0 = func(t0, y) is exposed so the engine can
-    build cubic-Hermite output interpolation at no extra evaluations.
+    Returns (y1, f0, n_evals, delta, f1): f0 = func(t0, y) feeds the
+    cubic-Hermite output interpolation; f1 = func(t0+dt, y1) (which the
+    non-FSAL runge_kutta_step computes anyway) is chained into the NEXT
+    step's f0 so the grid walk costs exactly `stages` evaluations per step
+    (upstream NFE parity — previously the discarded f1 inflated the count).
     """
 
-    def step(func, t0, dt, y):
-        f0 = func(t0, y)
+    def step(func, t0, dt, y, f0=None):
+        n = tableau.stages
+        if f0 is None:
+            f0 = func(t0, y)
+            n += 1
         res = runge_kutta_step(func, y, f0, t0, dt, tableau)
-        return res.y1, f0, res.n_evals + 1, res.delta
+        return res.y1, f0, n, res.delta, res.f1
 
     return step
 
@@ -77,37 +83,44 @@ def solve_fixed_grid(
         return SolveResult(ys, _stats(0, 0))
 
     pairs = (grid[:-1], grid[1:])
+    chained = step_fn is None   # tableau steps chain f1 -> next f0
 
     def body(carry, t01):
-        y, comp = carry
+        y, comp, f_prev = carry
         t0, t1 = t01
-        out = step(func, t0, t1 - t0, y)
-        if len(out) == 4 and out[3] is not None:
+        if chained:
+            y1, f0, _, delta, f1 = step(func, t0, t1 - t0, y, f_prev)
             # Kahan-compensated accumulation: long float32 grids otherwise
             # accumulate a sqrt(n)-ulp random walk in the state.
-            y1, f0, _, delta = out
             adj = delta - comp
             y1 = y + adj
             comp = (y1 - y) - adj
+            f_prev = f1
         else:
+            out = step(func, t0, t1 - t0, y)
             y1, f0 = out[0], out[1]
-        return (y1, comp), (y1, f0)
+        return (y1, comp, f_prev), (y1, f0)
 
-    (y_end, _), (ys_tail, fs_head) = jax.lax.scan(
-        body, (y0, jnp.zeros_like(y0)), pairs)
+    f_init = func(grid[0], y0) if chained else jnp.zeros_like(y0)
+    (y_end, _, f_end), (ys_tail, fs_head) = jax.lax.scan(
+        body, (y0, jnp.zeros_like(y0), f_init), pairs)
 
-    nevals_per_step = _count_evals(step, func, grid, y0)
-    nfe = nevals_per_step * (G - 1)
+    if chained:
+        nfe = 1 + tableau.stages * (G - 1)
+    else:
+        nfe = _count_evals(step, func, grid, y0) * (G - 1)
 
     if grid_is_t:
         out = jnp.concatenate([y0[None], ys_tail], axis=0)
     else:
         # Cubic-Hermite onto the requested times using the node derivatives
-        # the steps already computed (+1 eval for the final node).
+        # the steps already computed (the chained f_end is free; the
+        # step_fn path pays one extra eval for the final node).
         ys_grid = jnp.concatenate([y0[None], ys_tail], axis=0)
-        f_end = func(grid[-1], y_end)
+        if not chained:
+            f_end = func(grid[-1], y_end)
+            nfe += 1
         fs_grid = jnp.concatenate([fs_head, f_end[None]], axis=0)
-        nfe += 1
         out = hermite_interp_at(grid, ys_grid, fs_grid, tau)
         out = out.at[0].set(y0)
 
