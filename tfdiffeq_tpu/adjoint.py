@@ -82,8 +82,11 @@ def odeint_adjoint(
     fwd_options = dict(options or {})
     if _is_adaptive(method):
         # The forward pass needs no reverse-differentiability (custom_vjp
-        # supplies gradients): use the lean while-loop.
+        # supplies gradients): use the lean while-loop. Telemetry needs the
+        # bounded loop, so it cannot apply here.
         fwd_options.setdefault("loop", "while")
+        if fwd_options.get("loop") == "while":
+            fwd_options.pop("telemetry", None)
     bwd_options = dict(adjoint_options if adjoint_options is not None
                        else fwd_options)
     if _is_adaptive(adjoint_method):
@@ -118,12 +121,11 @@ def odeint_adjoint(
     # Keep only options the adjoint method's kind accepts: the forward dict
     # is copied wholesale and adaptive-only keys (max_steps, telemetry, ...)
     # would make the backward solve raise.
+    from .solvers.base import ADAPTIVE_OPTIONS, FIXED_GRID_OPTIONS
     if adj_is_adaptive:
-        _allowed = {"first_step", "safety", "ifactor", "dfactor",
-                    "max_num_steps", "norm", "max_steps", "chunk_size",
-                    "loop", "pcoeff", "icoeff", "dt_min"}
+        _allowed = ADAPTIVE_OPTIONS - {"telemetry"}
     elif SOLVERS.get(adjoint_method or "dopri5", ("",))[0] == "fixed":
-        _allowed = {"num_steps", "interp"}
+        _allowed = {"num_steps"}
     else:
         _allowed = None
     if _allowed is not None:

@@ -29,7 +29,8 @@ from .ops.controller import StepController
 from .ops.pytree import flatten_state, unravel_trajectory
 from .ops import tableaus
 from .solvers.adaptive import AdaptiveConfig, solve_adaptive
-from .solvers.base import (SolveResult, canonicalize, check_options)
+from .solvers.base import (ADAPTIVE_OPTIONS, FIXED_GRID_OPTIONS,
+                           SolveResult, canonicalize, check_options)
 from .solvers.fixed_grid import build_grid_from_options, solve_fixed_grid
 
 Array = jax.Array
@@ -56,9 +57,16 @@ SOLVERS = {}
 SOLVERS.update({k: ("fixed", v) for k, v in _FIXED_TABLEAUS.items()})
 SOLVERS.update({k: ("adaptive", v) for k, v in _ADAPTIVE_TABLEAUS.items()})
 
+#: Per-custom-solver option allowlists (populated by register_solver).
+_CUSTOM_ALLOWED = {}
 
-def register_solver(name: str, kind: str, impl) -> None:
+
+def register_solver(name: str, kind: str, impl, allowed=None) -> None:
+    """Register a custom solver; `allowed` is its option allowlist (falls
+    back to the permissive global set)."""
     SOLVERS[name] = (kind, impl)
+    if allowed is not None:
+        _CUSTOM_ALLOWED[name] = frozenset(allowed)
 
 
 def _resolve_tolerance(tol, y0) -> Any:
@@ -92,16 +100,14 @@ def solve(
         raise ValueError(
             f"Unknown method {method!r}; available: {sorted(SOLVERS)}")
     kind = SOLVERS[method][0]
-    # Per-kind allowlists fail fast on options the chosen method would
+    # Per-method allowlists fail fast on options the chosen method would
     # silently ignore (the reference merely warns via _handle_unused_kwargs).
     if kind == "fixed":
-        allowed = {"grid_constructor", "step_size", "num_steps", "interp"}
+        allowed = FIXED_GRID_OPTIONS
     elif kind == "adaptive":
-        allowed = {"first_step", "safety", "ifactor", "dfactor",
-                   "max_num_steps", "norm", "max_steps", "chunk_size",
-                   "loop", "pcoeff", "icoeff", "dt_min", "telemetry"}
+        allowed = ADAPTIVE_OPTIONS
     else:
-        allowed = None   # custom solvers validate against the global set
+        allowed = _CUSTOM_ALLOWED.get(method)  # None -> global set
     options = check_options(options, allowed)
 
     prob = canonicalize(func, y0, t)

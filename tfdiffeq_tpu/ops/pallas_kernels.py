@@ -312,11 +312,11 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
         f = _make_mlp(w1_ref, b1_ref, w2_ref, b2_ref[:])
 
         def cond(c):
-            t, dt, nfe, nacc, nrej, status = c
+            t, dt, oi, nfe, nacc, nrej, status = c
             return (t < t_end) & (status == 0)
 
         def body(c):
-            t, dt, nfe, nacc, nrej, status = c
+            t, dt, oi, nfe, nacc, nrej, status = c
             rem = t_end - t
             dt_eff = jnp.minimum(dt, rem)
             is_last = dt >= rem
@@ -342,7 +342,11 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
 
             fac = _controller_factor(ratio, finite, accept, safety,
                                      ifactor, dfactor, tab.order)
-            dt_next = dt * fac
+            # Rescale the CLAMPED attempted step (matches the generic
+            # engine): scaling the unclamped proposal near t_end re-attempts
+            # the same effective step while the oversized proposal decays,
+            # inflating rejections and delaying DT_UNDERFLOW.
+            dt_next = dth * fac
 
             # Derivative at the step end: FSAL tableaus get it for free;
             # others pay one extra evaluation (counted below).
@@ -354,24 +358,35 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
             df1 = dth * f1
             ca, cb, cc = _interp_coeffs(y0, y1, y_mid, df0, df1)
 
+            # Kahan-compensated state accumulation (matches the generic
+            # solver; removes the sqrt(n_steps)-ulp f32 random walk).
+            comp = comp_s[:]
+            adj = delta - comp
+            y_new = y0 + adj
+
             @pl.when(accept)
             def _():
-                # Kahan-compensated state accumulation (matches the generic
-                # solver; removes the sqrt(n_steps)-ulp f32 random walk).
-                comp = comp_s[:]
-                adj = delta - comp
-                y_new = y0 + adj
                 comp_s[:] = (y_new - y0) - adj
                 y_s[:] = y_new
                 f_s[:] = f1
-                for j in range(1, T):
-                    tj = tau_ref[0, j]
 
-                    @pl.when((tj > t) & (tj <= t1))
-                    def _():
-                        x = (tj - t) / dth
-                        val = (((ca * x + cb) * x + cc) * x + df0) * x + y0
-                        out_ref[j] = jnp.where(tj == t1, y_new, val)
+            # Drain every requested time inside (t, t1] via an output
+            # cursor: O(outputs) dynamic row writes total, instead of T
+            # predicated writes per attempt (which would scale kernel size
+            # and latency linearly in T).
+            def wcond(o):
+                return (o < T) & jnp.where(
+                    accept, tau_ref[0, jnp.minimum(o, T - 1)] <= t1, False)
+
+            def wbody(o):
+                tj = tau_ref[0, o]
+                x = (tj - t) / dth
+                val = (((ca * x + cb) * x + cc) * x + df0) * x + y0
+                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y_new,
+                                                 val)[None]
+                return o + 1
+
+            oi_new = jax.lax.while_loop(wcond, wbody, oi)
 
             n_att = nacc + nrej + 1
             status = jnp.where(
@@ -380,7 +395,7 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                 (n_att >= max_steps) & (t1 < t_end), jnp.int32(1), status)
             # evals_per_step counts the unconditional f1 for non-FSAL
             # tableaus (same convention as the generic runge_kutta_step).
-            return (jnp.where(accept, t1, t), dt_next, nfe + evals,
+            return (jnp.where(accept, t1, t), dt_next, oi_new, nfe + evals,
                     nacc + accept.astype(jnp.int32),
                     nrej + (~accept).astype(jnp.int32), status)
 
@@ -388,9 +403,10 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
         # zero-filled beyond row 0 (traced t bypasses the eager validation
         # in fast.py, so this is the only guard under jit).
         status0 = jnp.where(t_end > t_start, jnp.int32(0), jnp.int32(3))
-        init = (t_start, dt0_ref[0, 0], jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), status0)
-        t, dt, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body, init)
+        init = (t_start, dt0_ref[0, 0], jnp.int32(1), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), status0)
+        t, dt, oi, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body,
+                                                                init)
         stats_ref[0, 0] = nfe
         stats_ref[0, 1] = nacc
         stats_ref[0, 2] = nrej

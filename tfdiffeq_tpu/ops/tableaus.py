@@ -188,17 +188,7 @@ _TSIT5_A = (
 TSIT5 = ButcherTableau(
     name="tsit5",
     c=_TSIT5_C,
-    a=(
-        (0.161,),
-        (-0.008480655492356989, 0.335480655492357),
-        (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
-        (5.325864828439257, -11.748883564062828, 7.4955393428898365,
-         -0.09249506636175525),
-        (5.86145544294642, -12.92096931784711, 8.159367898576159,
-         -0.071584973281401, -0.028269050394068383),
-        (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
-         -3.290069515436081, 2.324710524099774),
-    ),
+    a=_TSIT5_A,
     b_sol=(0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
            -3.290069515436081, 2.324710524099774, 0.0),
     # b_sol - b_hat (the published btilde error weights).

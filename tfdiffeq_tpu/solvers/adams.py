@@ -342,4 +342,6 @@ def _adams(prob, options, rtol, atol):
 
 from ..odeint import register_solver  # noqa: E402
 
-register_solver("adams", "custom", _adams)
+register_solver("adams", "custom", _adams,
+                allowed={"max_order", "first_step", "safety", "ifactor",
+                         "dfactor", "max_num_steps", "norm"})

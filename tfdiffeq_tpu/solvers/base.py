@@ -113,6 +113,17 @@ def empty_stats(nfe: int = 0) -> SolverStats:
                        jnp.asarray(int(Status.OK), jnp.int32))
 
 
+#: Options accepted by fixed-grid solvers (euler/midpoint/rk4/rk4_38).
+FIXED_GRID_OPTIONS = frozenset({"grid_constructor", "step_size",
+                                "num_steps"})
+
+#: Options accepted by adaptive embedded-RK solvers.
+ADAPTIVE_OPTIONS = frozenset({
+    "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "norm",
+    "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
+    "telemetry",
+})
+
 _KNOWN_OPTIONS = frozenset({
     # reference-compatible (upstream solver `options` dicts, SURVEY.md §5
     # "Config / flag system")
@@ -121,7 +132,7 @@ _KNOWN_OPTIONS = frozenset({
     "max_iters", "norm",
     # TPU-native extensions
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "interp", "implicit", "hypernet", "telemetry",
+    "implicit", "hypernet", "telemetry",
 })
 
 

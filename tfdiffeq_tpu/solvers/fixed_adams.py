@@ -213,5 +213,9 @@ def _implicit(prob, options, rtol, atol):
 # 'explicit_adams' = AdamsBashforth, 'fixed_adams' = AdamsBashforthMoulton).
 from ..odeint import register_solver  # noqa: E402
 
-register_solver("explicit_adams", "custom", _explicit)
-register_solver("fixed_adams", "custom", _implicit)
+_ADAMS_GRID_OPTIONS = {"max_order", "max_iters", "step_size", "num_steps",
+                       "grid_constructor"}
+register_solver("explicit_adams", "custom", _explicit,
+                allowed=_ADAMS_GRID_OPTIONS)
+register_solver("fixed_adams", "custom", _implicit,
+                allowed=_ADAMS_GRID_OPTIONS)

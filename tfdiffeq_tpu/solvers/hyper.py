@@ -104,6 +104,10 @@ def _make(kind: str):
 
 from ..odeint import register_solver  # noqa: E402
 
-register_solver("hyper_euler", "custom", _make("euler"))
-register_solver("hyper_midpoint", "custom", _make("midpoint"))
-register_solver("hyper_heun", "custom", _make("heun"))
+_HYPER_OPTIONS = {"hypernet", "step_size", "num_steps", "grid_constructor"}
+register_solver("hyper_euler", "custom", _make("euler"),
+                allowed=_HYPER_OPTIONS)
+register_solver("hyper_midpoint", "custom", _make("midpoint"),
+                allowed=_HYPER_OPTIONS)
+register_solver("hyper_heun", "custom", _make("heun"),
+                allowed=_HYPER_OPTIONS)
