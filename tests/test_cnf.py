@@ -21,7 +21,8 @@ def test_log_prob_matches_analytic_linear_flow():
                       ("hutchinson",
                        {"n_probes": 64, "key": jax.random.PRNGKey(0)})]:
         lp = log_prob(f, x, t0=0.0, t1=T, rtol=1e-10, atol=1e-12,
-                      trace=trace, **kw)
+                      trace=trace,
+                      options={"max_steps": 128, "chunk_size": 16}, **kw)
         np.testing.assert_allclose(np.asarray(lp), exact, rtol=1e-8)
 
 
@@ -52,7 +53,8 @@ def test_cnf_trains_by_likelihood():
 def test_sample_roundtrip_density():
     # Identity-ish flow: samples from base stay ~standard normal.
     f = lambda t, z: jnp.zeros_like(z)
-    xs = sample(f, jax.random.PRNGKey(0), 2000, 2)
+    xs = sample(f, jax.random.PRNGKey(0), 2000, 2,
+                options={"max_steps": 64, "chunk_size": 16})
     assert abs(float(xs.mean())) < 0.1
     assert abs(float(xs.std()) - 1.0) < 0.1
 

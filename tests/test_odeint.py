@@ -60,8 +60,10 @@ def test_solver_accuracy(method, problem, reverse):
 @pytest.mark.parametrize("method", ["dopri5", "bosh3", "tsit5"])
 def test_while_and_bounded_loops_agree(method):
     p = construct_problem("linear", npts=20)
+    # bosh3 at the default rtol=1e-7 needs ~1.5k attempts on this span:
+    # size the bounded budget explicitly (default is 1024).
     ys_b = odeint(p.func, p.y0, p.t, method=method,
-                  options={"loop": "bounded"})
+                  options={"loop": "bounded", "max_steps": 4096})
     ys_w = odeint(p.func, p.y0, p.t, method=method, options={"loop": "while"})
     np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_w),
                                rtol=1e-12, atol=1e-12)

@@ -136,7 +136,7 @@ def solve(
             controller=ctrl,
             loop=options.get("loop", "bounded"),
             telemetry=bool(options.get("telemetry", False)),
-            max_steps=int(options.get("max_steps", 4096)),
+            max_steps=int(options.get("max_steps", 1024)),
             chunk_size=int(options.get("chunk_size", 32)),
             norm=options.get("norm"),
         )

@@ -21,7 +21,7 @@ Two loop modes share one step function:
   O(sqrt)-style memory. Fully reverse-differentiable with plain `jax.grad`,
   including closure-captured parameters — this is the analogue of the
   reference's taped direct backprop through solver steps (SURVEY.md §3.4).
-  Requires a static step budget ``max_steps`` (default 4096); exceeding it
+  Requires a static step budget ``max_steps`` (default 1024); exceeding it
   sets `Status.MAX_STEPS_REACHED` in the returned stats.
 
 Dense output: inside the loop each accepted step fits the 4th-order
@@ -56,7 +56,9 @@ class AdaptiveConfig:
     tableau: ButcherTableau
     controller: StepController = StepController()
     loop: str = "bounded"            # 'bounded' | 'while'
-    max_steps: int = 4096            # static budget (bounded mode)
+    max_steps: int = 1024            # static budget (bounded mode);
+    #   compile time of the chunked scan scales with it — raise explicitly
+    #   for long integrations
     chunk_size: int = 32             # steps per checkpointed chunk
     norm: Optional[Callable[[Array], Array]] = None
     # Per-attempt telemetry (bounded mode only): returns StepTelemetry with
