@@ -39,9 +39,7 @@ def _run(method, problem, reverse, options=None):
     if method in ADAPTIVE:
         kwargs["rtol"] = TOL[method][1]
         kwargs["atol"] = kwargs["rtol"] * 1e-2
-        # Accuracy matrix uses the lean while-loop; the bounded loop is
-        # covered by the agreement + gradient tests.
-        kwargs["options"]["loop"] = "while"
+        kwargs["options"].setdefault("loop", "while")
     if TOL[method][2] is not None:
         kwargs["options"]["step_size"] = TOL[method][2]
     ys = odeint(p.func, p.y0, p.t, **kwargs)
@@ -54,6 +52,18 @@ def _run(method, problem, reverse, options=None):
 @pytest.mark.parametrize("method", ADAPTIVE + FIXED + ADAMS)
 def test_solver_accuracy(method, problem, reverse):
     err = _run(method, problem, reverse)
+    assert err < TOL[method][0], f"{method}/{problem} rev={reverse}: err={err}"
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("problem", PROBLEM_NAMES)
+@pytest.mark.parametrize("method", ADAPTIVE)
+def test_solver_accuracy_bounded_loop(method, problem, reverse):
+    """The DEFAULT loop mode faces the full accuracy matrix directly
+    (bosh3 at rtol=1e-7 needs >1024 attempts on this span, so the budget is
+    sized explicitly)."""
+    err = _run(method, problem, reverse,
+               options={"loop": "bounded", "max_steps": 4096})
     assert err < TOL[method][0], f"{method}/{problem} rev={reverse}: err={err}"
 
 
@@ -180,6 +190,48 @@ def test_complex_state_integration():
                     atol=1e-11, method=method,
                     options={"step_size": 0.01} if method == "rk4" else None)
         assert float(jnp.abs(ys - exact).max()) < 1e-5, method
+
+
+def test_odeint_eager_raise_and_traced_nan_poison():
+    """odeint surfaces failures (reference parity: it raises on
+    max_num_steps exhaustion): eager -> RuntimeError; under jit -> the
+    trajectory beyond y0 is NaN-poisoned instead of silently stale."""
+    p = construct_problem("linear", npts=10)
+    starved = dict(rtol=1e-10, atol=1e-12, method="dopri5",
+                   options={"max_steps": 8})
+    with pytest.raises(RuntimeError, match="MAX_STEPS_REACHED"):
+        odeint(p.func, p.y0, p.t, **starved)
+
+    @jax.jit
+    def go(y0, t):
+        return odeint(p.func, y0, t, **starved)
+
+    ys = np.asarray(go(p.y0, p.t))
+    assert np.isfinite(ys[0]).all()
+    assert np.isnan(ys[1:]).all()
+
+    # A healthy jitted solve is untouched by the poisoning select.
+    @jax.jit
+    def ok(y0, t):
+        return odeint(p.func, y0, t, method="dopri5")
+
+    ys_ok = np.asarray(ok(p.y0, p.t))
+    assert np.isfinite(ys_ok).all()
+
+
+def test_max_norm_option():
+    """options={'norm': 'max'} controls steps with the max norm (stricter
+    than RMS, so accuracy must hold and step counts may only grow)."""
+    p = construct_problem("linear", npts=10)
+    res_max = solve(p.func, p.y0, p.t, rtol=1e-6, atol=1e-8,
+                    method="dopri5", options={"norm": "max"})
+    res_rms = solve(p.func, p.y0, p.t, rtol=1e-6, atol=1e-8,
+                    method="dopri5", options={"norm": "rms"})
+    err = float(jnp.max(jnp.abs(res_max.ys - p.y_exact(p.t))))
+    assert err < 1e-5, err
+    assert int(res_max.stats.nfe) >= int(res_rms.stats.nfe)
+    with pytest.raises(ValueError, match="unknown norm"):
+        solve(p.func, p.y0, p.t, method="dopri5", options={"norm": "l7"})
 
 
 def test_while_mode_exact_endpoint_f32_rounding():

@@ -127,7 +127,11 @@ def odeint_adjoint(
     elif SOLVERS.get(adjoint_method or "dopri5", ("",))[0] == "fixed":
         _allowed = {"num_steps"}
     else:
-        _allowed = None
+        # Custom registered solver (e.g. 'adams'): filter the inherited
+        # forward options against ITS allowlist, else adaptive-only keys
+        # (max_steps, chunk_size, ...) raise at grad time.
+        from .odeint import _CUSTOM_ALLOWED
+        _allowed = _CUSTOM_ALLOWED.get(adjoint_method or "dopri5")
     if _allowed is not None:
         bwd_options = {k: v for k, v in bwd_options.items()
                        if k in _allowed}

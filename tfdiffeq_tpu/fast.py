@@ -169,7 +169,6 @@ def solve_mlp_sharded(params: dict, y0: Array, t, mesh, *, axis: str = "data",
     Stats are aggregated across shards: nfe/accepted/rejected are summed,
     status is the max (any shard's failure surfaces).
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     y0 = jnp.asarray(y0)
@@ -185,14 +184,18 @@ def solve_mlp_sharded(params: dict, y0: Array, t, mesh, *, axis: str = "data",
         return r.ys, jnp.stack([r.stats.nfe, r.stats.n_accepted,
                                 r.stats.n_rejected, r.stats.status])
 
-    # check_rep=False: the pallas_call inside carries no replication-rule
+    # check_vma=False: the pallas_call inside carries no replication-rule
     # annotations (every shard runs an independent kernel instance).
-    ys, st = shard_map(
-        local_solve, mesh=mesh,
-        in_specs=P(axis),
-        out_specs=(P(None, axis), P(axis)),
-        check_rep=False,
-    )(y0)
+    try:
+        ys, st = jax.shard_map(
+            local_solve, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(None, axis), P(axis)), check_vma=False)(y0)
+    except (AttributeError, TypeError):
+        # Older jax: only the experimental entry point exists.
+        from jax.experimental.shard_map import shard_map as _sm
+        ys, st = _sm(local_solve, mesh=mesh, in_specs=P(axis),
+                     out_specs=(P(None, axis), P(axis)),
+                     check_rep=False)(y0)
     st = st.reshape(n_shards, 4)
     stats = SolverStats(st[:, 0].sum(), st[:, 1].sum(), st[:, 2].sum(),
                         st[:, 3].max())

@@ -131,6 +131,15 @@ def solve(
             raise ValueError("options={'telemetry': True} requires the "
                              "bounded loop (per-attempt history needs a "
                              "static step budget)")
+        norm = options.get("norm")
+        if norm == "max":
+            from .ops.norms import max_norm
+            norm = max_norm
+        elif norm == "rms":
+            norm = None            # the default
+        elif isinstance(norm, str):
+            raise ValueError(f"unknown norm {norm!r}: expected 'rms', "
+                             "'max', or a callable")
         cfg = AdaptiveConfig(
             tableau=impl,
             controller=ctrl,
@@ -138,7 +147,7 @@ def solve(
             telemetry=bool(options.get("telemetry", False)),
             max_steps=int(options.get("max_steps", 1024)),
             chunk_size=int(options.get("chunk_size", 32)),
-            norm=options.get("norm"),
+            norm=norm,
         )
         result = solve_adaptive(
             prob, cfg, rtol, atol,
@@ -180,6 +189,35 @@ def odeint(
     Differentiable with plain `jax.grad` (the analogue of the reference's
     taped direct backprop, SURVEY.md §3.4); use `odeint_adjoint` for
     O(1)-memory gradients.
+
+    Failure surfacing (the reference raises on max_num_steps exhaustion):
+    when the solver status is concrete (eager call), a non-OK status raises
+    `RuntimeError`. Under jit/grad a Python raise is impossible, so the
+    trajectory beyond y0 is NaN-poisoned instead — a truncated solve (e.g.
+    exceeding the default bounded-mode budget of max_steps=1024) propagates
+    loudly into any downstream loss rather than silently returning a stale
+    tail. Use `solve(...)` to branch on `stats.status` yourself, or
+    `utils.debug.checkify_solve` for in-jit functional errors.
     """
-    return solve(func, y0, t, rtol=rtol, atol=atol, method=method,
-                 options=options).ys
+    res = solve(func, y0, t, rtol=rtol, atol=atol, method=method,
+                options=options)
+    status = res.stats.status
+    if not isinstance(status, jax.core.Tracer):
+        code = int(status)
+        if code != 0:
+            from .solvers.base import Status
+            raise RuntimeError(
+                f"odeint solver failed with status {Status(code).name}; "
+                "raise options['max_steps'] (bounded-loop step budget, "
+                "default 1024) or loosen tolerances. Use solve() to get "
+                "partial results + stats instead of raising.")
+        return res.ys
+    ok = status == 0
+
+    def _poison(leaf):
+        T = leaf.shape[0]
+        keep = ok | (jnp.arange(T) == 0)
+        keep = keep.reshape((T,) + (1,) * (leaf.ndim - 1))
+        return jnp.where(keep, leaf, jnp.asarray(jnp.nan, leaf.dtype))
+
+    return jax.tree_util.tree_map(_poison, res.ys)

@@ -240,6 +240,7 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
     dtype = y.dtype
     w1, b1, w2, b2, HP = _pad_params(params, D, dtype)
 
+    tile_b = _round_up(tile_b, _LANE)   # lane-align user-chosen tiles
     BP = _round_up(B, tile_b)
     if BP != B:
         y = jnp.pad(y, ((0, 0), (0, BP - B)))
@@ -446,14 +447,15 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
     if f0 is None:
         f0 = mlp_f(params, y0)
 
-    # Pad small batches to a full VPU lane tile (Mosaic cannot lower some
-    # ops on tiny vectors, e.g. 1x1 concatenates); padded lanes are masked
-    # out of the error norm in-kernel.
+    # Pad ANY batch up to a full VPU lane multiple (Mosaic needs lane-aligned
+    # vectors; e.g. B=200 would reach the kernel unaligned otherwise); padded
+    # lanes are masked out of the error norm in-kernel.
     B_true = B
-    if B < _LANE:
-        y0 = jnp.pad(y0, ((0, 0), (0, _LANE - B)))
-        f0 = jnp.pad(f0, ((0, 0), (0, _LANE - B)))
-        B = _LANE
+    BP = _round_up(max(B, _LANE), _LANE)
+    if BP != B:
+        y0 = jnp.pad(y0, ((0, 0), (0, BP - B)))
+        f0 = jnp.pad(f0, ((0, 0), (0, BP - B)))
+        B = BP
 
     # Span-scaled minimum step (matches the generic _default_dt_min): an
     # absolute 4*eps would never trigger when |t| is large, leaving the
