@@ -28,6 +28,7 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
     _os.path.abspath(__file__))))  # run as a script from anywhere
 from tfdiffeq_tpu.models.odenet import ODENetMNIST
+from tfdiffeq_tpu.utils.nfe import NFEMeter
 
 
 def parse_args():
@@ -112,8 +113,13 @@ def main():
 
     x_train, x_test = prep(x_train)[..., None], prep(x_test)[..., None]
 
+    # f-NFE comes from the diagnostics collection; the adjoint's b-NFE is
+    # produced inside the custom_vjp backward rule, so it streams to the
+    # host through an NFEMeter (reference parity: the upstream example logs
+    # both forward and backward NFE per step).
+    meter = NFEMeter() if args.adjoint else None
     model = ODENetMNIST(network=args.network, adjoint=args.adjoint,
-                        tol=args.tol)
+                        tol=args.tol, nfe_meter=meter)
     key = jax.random.PRNGKey(args.seed)
     variables = model.init(key, jnp.ones((1, 28, 28, 1)))
     # Differentiate only the 'params' collection; 'diagnostics' carries the
@@ -158,6 +164,8 @@ def main():
     for epoch in range(1, args.nepochs + 1):
         perm = rng.permutation(len(x_train))
         t0 = time.time()
+        if meter is not None:
+            meter.reset()
         n_batches = steps_per_epoch
         if args.limit_batches:
             n_batches = min(n_batches, args.limit_batches)
@@ -171,8 +179,19 @@ def main():
             acc, nfe = accuracy(params, jnp.asarray(x_test[i:i + 256]),
                                 jnp.asarray(y_test[i:i + 256]))
             accs.append(float(acc))
+        nfe_str = f"nfe {int(nfe)}"
+        if meter is not None:
+            jax.effects_barrier()   # flush pending io_callbacks
+            s = meter.snapshot()
+            if s["f_calls"]:
+                nfe_str = (f"f-nfe {s['f_nfe'] / s['f_calls']:.0f} | "
+                           f"b-nfe {s['b_nfe'] / max(1, s['b_calls']):.0f}")
+            else:
+                # e.g. the axon TPU backend lacks host callbacks; the sown
+                # forward NFE (diagnostics collection) still works.
+                nfe_str = f"f-nfe {int(nfe)} | b-nfe n/a"
         print(f"Epoch {epoch:03d} | loss {float(loss):.4f} | "
-              f"test acc {np.mean(accs):.4f} | nfe {int(nfe)} | "
+              f"test acc {np.mean(accs):.4f} | {nfe_str} | "
               f"{time.time() - t0:.1f}s")
 
 

@@ -155,6 +155,103 @@ def test_adjoint_scalar_t():
     np.testing.assert_allclose(np.asarray(g), np.ones(2))
 
 
+def test_adjoint_return_stats_and_nfe_meter():
+    """Adjoint observability (reference parity: odenet_mnist logs f/b-NFE):
+    return_stats exposes the forward SolverStats; an NFEMeter receives both
+    forward and backward solve stats, including under jit+grad."""
+    from tfdiffeq_tpu import NFEMeter, solve
+
+    params = {"A": A * 0.9}
+
+    def f(t, y, p):
+        return jnp.tanh(y @ p["A"].T)
+
+    ys, st = odeint_adjoint(f, Y0, T, params=params, return_stats=True)
+    ref = solve(lambda tt, yy: f(tt, yy, params), Y0, T,
+                options={"loop": "while"})
+    assert int(st.nfe) == int(ref.stats.nfe)
+    assert int(st.status) == 0
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref.ys),
+                               rtol=1e-12)
+
+    meter = NFEMeter()
+
+    @jax.jit
+    def loss(p):
+        ys = odeint_adjoint(f, Y0, T, params=p, nfe_meter=meter)
+        return jnp.sum(ys ** 2)
+
+    jax.grad(loss)(params)
+    jax.effects_barrier()
+    s = meter.snapshot()
+    assert s["f_calls"] == 1 and s["b_calls"] == 1
+    assert s["f_nfe"] == int(ref.stats.nfe)
+    assert s["b_nfe"] > 0 and s["b_steps"] > 0
+
+
+def test_adjoint_fixed_grid_irregular_per_interval_grid():
+    """Fixed-grid adjoint + step_size on an IRREGULAR observation grid must
+    size the backward grid per interval (sum of ceil(span_i/h) steps), not
+    (T-1) x ceil(max_span/h), while matching direct gradients."""
+    from tfdiffeq_tpu import NFEMeter
+
+    t_irr = jnp.asarray([0.0, 0.1, 0.15, 1.0, 3.0], jnp.float64)
+    params = {"A": A * 0.9, "b": jnp.asarray([0.1, -0.2], jnp.float64)}
+
+    def f(t, y, p):
+        return jnp.tanh(y @ p["A"].T + p["b"]) - 0.1 * y
+
+    g_out = jnp.asarray(np.random.RandomState(3).randn(t_irr.shape[0], 2))
+
+    def loss_direct(y0, p):
+        ys = odeint(lambda tt, yy: f(tt, yy, p), y0, t_irr,
+                    method="dopri5", rtol=1e-10, atol=1e-12)
+        return jnp.sum(ys * g_out)
+
+    meter = NFEMeter()
+
+    def loss_walk(y0, p):
+        ys = odeint_adjoint(f, y0, t_irr, params=p, method="rk4",
+                            options={"step_size": 0.01}, nfe_meter=meter)
+        return jnp.sum(ys * g_out)
+
+    gd = jax.grad(loss_direct, argnums=(0, 1))(Y0, params)
+    gw = jax.grad(loss_walk, argnums=(0, 1))(Y0, params)
+    jax.effects_barrier()
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gd[0]),
+                               rtol=1e-5, atol=1e-7)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(gw[1][k]),
+                                   np.asarray(gd[1][k]),
+                                   rtol=1e-5, atol=1e-7)
+    # Per-interval counts: spans (0.1, 0.05, 0.85, 2.0) / 0.01
+    # -> 10 + 5 + 85 + 200 = 300 steps; the old max-span scheme took
+    # 4 * 200 = 800.
+    assert meter.b_steps == 300, meter.snapshot()
+
+
+def test_adjoint_fixed_grid_walk_reverse_time():
+    """Per-interval backward walk on a DECREASING observation grid."""
+    t_rev = jnp.asarray([2.0, 1.5, 0.3, 0.0], jnp.float64)
+
+    def f(t, y, p):
+        return -p * y
+
+    def loss_walk(p):
+        ys = odeint_adjoint(f, jnp.ones(2), t_rev, params=p, method="rk4",
+                            options={"step_size": 0.01})
+        return ys[-1].sum()
+
+    def loss_direct(p):
+        ys = odeint(lambda tt, yy: f(tt, yy, p), jnp.ones(2), t_rev,
+                    method="dopri5", rtol=1e-10, atol=1e-12)
+        return ys[-1].sum()
+
+    gw = jax.grad(loss_walk)(jnp.asarray(0.7))
+    gd = jax.grad(loss_direct)(jnp.asarray(0.7))
+    np.testing.assert_allclose(float(gw), float(gd), rtol=1e-6)
+
+
 def test_adjoint_seminorm_matches_full_norm():
     """Seminorm backward error control (Kidger et al. 2020) must reproduce
     full-norm adjoint gradients to solve tolerance while taking fewer

@@ -19,6 +19,7 @@ from .solvers import hyper as _hyper  # noqa: F401
 
 from .adjoint import odeint_adjoint
 from .utils.device import cast_double, func_cast_double, move_to_device
+from .utils.nfe import NFEMeter
 from .utils.viz import plot_phase_portrait, plot_vector_field
 
 __version__ = "0.1.0"
@@ -31,6 +32,7 @@ __all__ = [
     "SolveResult",
     "SolverStats",
     "Status",
+    "NFEMeter",
     "move_to_device",
     "cast_double",
     "func_cast_double",

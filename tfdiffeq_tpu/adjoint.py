@@ -21,19 +21,64 @@ JAX-native design differences:
   `jax.experimental.ode`): the augmented state carries the accumulated
   d(loss)/d(t0) term, and each observation time's gradient is
   dot(func(t_i, y_i), g_i).
+- Observability (reference parity: `odenet_mnist.py` logs forward AND
+  backward NFE per step, SURVEY.md §2/§5): `return_stats=True` returns the
+  forward `SolverStats` alongside the trajectory, and `nfe_meter=NFEMeter()`
+  streams both forward and backward solve stats to the host — backward
+  stats are produced inside the custom_vjp backward rule, where they cannot
+  be returned as values, so they ride an unordered io_callback.
+- Fixed-grid adjoints with `step_size` on an irregular observation grid get
+  a PER-INTERVAL backward grid: one `lax.scan` over the concatenated
+  per-interval grids (ceil(span_i/h) steps each) with cotangent injection
+  and stored-state resets at observation boundaries — total work matches
+  the actual spans instead of (T-1) x ceil(max_span/h) uniform steps.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .odeint import solve
 from .ops.pytree import flatten_state
+from .solvers.base import SolverStats
+from .utils.nfe import emit_bwd, emit_fwd
 
 Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class _BackwardWalk:
+    """Static per-interval backward grid (fixed-grid adjoint + step_size).
+
+    Steps walk time BACKWARD (t0s[j] > t1s[j]); `reset[j]` marks the first
+    step of an observation interval, where the integrated state is reset to
+    the stored forward value ys[obs[j]] and the cotangent g[obs[j]] is
+    injected into the adjoint.
+    """
+    t0s: tuple
+    t1s: tuple
+    reset: tuple
+    obs: tuple
+
+
+def _build_backward_walk(t_np: np.ndarray, step_size: float) -> _BackwardWalk:
+    T = t_np.shape[0]
+    t0s, t1s, reset, obs = [], [], [], []
+    for i in range(T - 1, 0, -1):
+        span = abs(float(t_np[i] - t_np[i - 1]))
+        n = max(1, int(np.ceil(span / float(step_size) - 1e-12)))
+        seg = np.linspace(t_np[i], t_np[i - 1], n + 1)
+        for j in range(n):
+            t0s.append(float(seg[j]))
+            t1s.append(float(seg[j + 1]))
+            reset.append(j == 0)
+            obs.append(i)
+    return _BackwardWalk(tuple(t0s), tuple(t1s), tuple(reset), tuple(obs))
 
 
 def odeint_adjoint(
@@ -51,11 +96,20 @@ def odeint_adjoint(
     adjoint_method: Optional[str] = None,
     adjoint_options: Optional[dict] = None,
     adjoint_seminorm: bool = False,
+    return_stats: bool = False,
+    nfe_meter=None,
 ) -> Any:
     """Like `odeint`, but gradients use the augmented adjoint ODE.
 
     func: callable(t, y, params) -> dy (or callable(t, y) if params is None).
-    Returns the trajectory pytree (leaves [T, ...]).
+    Returns the trajectory pytree (leaves [T, ...]); with
+    `return_stats=True`, returns `(trajectory, SolverStats)` where the stats
+    are the FORWARD solve's (nfe/accepted/rejected/status, on-device).
+
+    nfe_meter: an `NFEMeter` (utils/nfe.py); every forward and backward
+    solve streams its stats to it via io_callback — the jit-compatible
+    replacement for the reference's Python-side `ODEfunc.nfe` counter that
+    also covers the backward pass (SURVEY.md §2 "Example: ODE-Net MNIST").
 
     adjoint_seminorm: control the backward step size with a seminorm over
     only the (y, adjoint-y) components, excluding the parameter/time
@@ -80,6 +134,10 @@ def odeint_adjoint(
         return SOLVERS.get(m or "dopri5", ("", None))[0] == "adaptive"
 
     fwd_options = dict(options or {})
+    # Backward options inherit the USER's forward options (before the
+    # forward-only rewrites below).
+    bwd_options = dict(adjoint_options if adjoint_options is not None
+                       else fwd_options)
     if _is_adaptive(method):
         # The forward pass needs no reverse-differentiability (custom_vjp
         # supplies gradients): use the lean while-loop. Telemetry needs the
@@ -87,8 +145,20 @@ def odeint_adjoint(
         fwd_options.setdefault("loop", "while")
         if fwd_options.get("loop") == "while":
             fwd_options.pop("telemetry", None)
-    bwd_options = dict(adjoint_options if adjoint_options is not None
-                       else fwd_options)
+    elif (fwd_options.get("step_size") is not None
+          and "num_steps" not in fwd_options):
+        # Inside custom_vjp the forward solve sees t as a TRACED argument
+        # even when the caller's t is a constant, so resolve step_size to a
+        # static num_steps now (both build the same uniform linspace grid
+        # over [t[0], t[-1]] — see build_grid_from_options).
+        t_arr = jnp.asarray(t)
+        if not isinstance(t_arr, jax.core.Tracer) and t_arr.ndim >= 1 \
+                and t_arr.shape[0] > 1:
+            t_np = np.asarray(t_arr, dtype=np.float64)
+            span = abs(float(t_np[-1] - t_np[0]))
+            h = float(fwd_options.pop("step_size"))
+            fwd_options["num_steps"] = max(
+                1, int(np.ceil(span / h - 1e-12)))
     if _is_adaptive(adjoint_method):
         bwd_options.setdefault("loop", "while")
     else:
@@ -96,11 +166,14 @@ def odeint_adjoint(
 
     # The backward sweep solves each observation interval with TRACED
     # endpoints (inside lax.scan), where grid options that need concrete t
-    # cannot apply. Convert step_size to a static per-interval num_steps
-    # when t is concrete; otherwise drop it with the adaptive default.
+    # cannot apply. A fixed-grid adjoint with step_size and concrete t gets
+    # the per-interval backward walk below; with traced t the grid length
+    # cannot be static, so require an explicit num_steps.
     bwd_options.pop("grid_constructor", None)
     step_size = bwd_options.pop("step_size", None)
     adj_is_adaptive = _is_adaptive(adjoint_method)
+    adj_kind = SOLVERS.get(adjoint_method or "dopri5", ("",))[0]
+    backward_walk = None
     if (step_size is not None and "num_steps" not in bwd_options
             and not adj_is_adaptive
             and isinstance(jnp.asarray(t), jax.core.Tracer)):
@@ -109,22 +182,31 @@ def odeint_adjoint(
             "cannot derive the backward grid from step_size; pass "
             "adjoint_options={'num_steps': n} (static steps per observation "
             "interval) instead.")
-    if step_size is not None and "num_steps" not in bwd_options:
+    if (step_size is not None and "num_steps" not in bwd_options
+            and adj_kind == "fixed"):
         t_arr = jnp.asarray(t)
-        if not isinstance(t_arr, jax.core.Tracer) and t_arr.ndim == 1                 and t_arr.shape[0] > 1:
-            import numpy as _np
-            max_span = float(_np.max(_np.abs(_np.diff(
-                _np.asarray(t_arr, dtype=_np.float64)))))
+        if not isinstance(t_arr, jax.core.Tracer) and t_arr.ndim == 1 \
+                and t_arr.shape[0] > 1:
+            backward_walk = _build_backward_walk(
+                np.asarray(t_arr, dtype=np.float64), float(step_size))
+    elif step_size is not None and "num_steps" not in bwd_options:
+        # Custom fixed-step methods (e.g. explicit_adams): uniform
+        # per-interval step count derived from the widest span.
+        t_arr = jnp.asarray(t)
+        if not isinstance(t_arr, jax.core.Tracer) and t_arr.ndim == 1 \
+                and t_arr.shape[0] > 1:
+            max_span = float(np.max(np.abs(np.diff(
+                np.asarray(t_arr, dtype=np.float64)))))
             bwd_options["num_steps"] = max(
-                1, int(_np.ceil(max_span / float(step_size))))
+                1, int(np.ceil(max_span / float(step_size))))
 
     # Keep only options the adjoint method's kind accepts: the forward dict
     # is copied wholesale and adaptive-only keys (max_steps, telemetry, ...)
     # would make the backward solve raise.
-    from .solvers.base import ADAPTIVE_OPTIONS, FIXED_GRID_OPTIONS
+    from .solvers.base import ADAPTIVE_OPTIONS
     if adj_is_adaptive:
         _allowed = ADAPTIVE_OPTIONS - {"telemetry"}
-    elif SOLVERS.get(adjoint_method or "dopri5", ("",))[0] == "fixed":
+    elif adj_kind == "fixed":
         _allowed = {"num_steps"}
     else:
         # Custom registered solver (e.g. 'adams'): filter the inherited
@@ -137,20 +219,23 @@ def odeint_adjoint(
                        if k in _allowed}
 
     def _impl(y0_, t_, params_):
-        return solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
-                     rtol=rtol, atol=atol, method=method,
-                     options=fwd_options).ys
+        res = solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
+                    rtol=rtol, atol=atol, method=method,
+                    options=fwd_options)
+        emit_fwd(nfe_meter, res.stats.nfe, res.stats.n_accepted)
+        return res.ys, res.stats
 
     @jax.custom_vjp
     def _odeint(y0_, t_, params_):
         return _impl(y0_, t_, params_)
 
     def _fwd(y0_, t_, params_):
-        ys = _impl(y0_, t_, params_)
-        return ys, (ys, t_, params_)
+        ys, stats = _impl(y0_, t_, params_)
+        return (ys, stats), (ys, t_, params_)
 
     def _bwd(res, g):
         ys, t_, params_ = res
+        g, _g_stats = g          # stats cotangents are symbolic zeros
         t_ = jnp.asarray(t_)
         T = t_.shape[0]
 
@@ -185,27 +270,40 @@ def odeint_adjoint(
 
         zero_p = jax.tree_util.tree_map(jnp.zeros_like, params_)
 
+        if T > 1 and backward_walk is not None:
+            y0_bar, ts_bar, a_p, b_nfe, b_acc = _bwd_fixed_grid_walk(
+                backward_walk, SOLVERS[adjoint_method or "dopri5"][1],
+                aug_dynamics, f_flat, params_, zero_p, ys_flat, g_flat,
+                t_, N)
+            emit_bwd(nfe_meter, b_nfe, b_acc)
+            return (unravel(y0_bar), ts_bar.astype(t_.dtype), a_p)
+
         def scan_fun(carry, i):
-            a_y, a_p, a_t0 = carry
+            a_y, a_p, a_t0, b_nfe, b_acc = carry
             # Gradient of the loss w.r.t. observation time t[i].
             f_i = f_flat(t_[i], ys_flat[i], params_)
             t_bar = jnp.dot(f_i, g_flat[i]).astype(t_.dtype)
             a_t0 = a_t0 - t_bar
             aug0 = (ys_flat[i], a_y, a_p, a_t0)
             t_pair = jnp.stack([t_[i], t_[i - 1]])
-            aug_ys = solve(aug_dynamics, aug0, t_pair,
-                           rtol=adjoint_rtol, atol=adjoint_atol,
-                           method=adjoint_method, options=bwd_options).ys
+            res_i = solve(aug_dynamics, aug0, t_pair,
+                          rtol=adjoint_rtol, atol=adjoint_atol,
+                          method=adjoint_method, options=bwd_options)
             _, a_y, a_p, a_t0 = jax.tree_util.tree_map(
-                lambda l: l[-1], aug_ys)
+                lambda l: l[-1], res_i.ys)
             a_y = a_y + g_flat[i - 1]
-            return (a_y, a_p, a_t0), t_bar
+            b_nfe = b_nfe + res_i.stats.nfe + 1        # +1: the t_bar eval
+            b_acc = b_acc + res_i.stats.n_accepted
+            return (a_y, a_p, a_t0, b_nfe, b_acc), t_bar
 
         if T > 1:
-            init = (g_flat[-1], zero_p,
-                    jnp.zeros((), t_.dtype))
+            zero_i = jnp.asarray(0, jnp.int32)
+            init = (g_flat[-1], zero_p, jnp.zeros((), t_.dtype),
+                    zero_i, zero_i)
             idx = jnp.arange(T - 1, 0, -1)
-            (a_y, a_p, a_t0), rev_t_bars = jax.lax.scan(scan_fun, init, idx)
+            carry, rev_t_bars = jax.lax.scan(scan_fun, init, idx)
+            a_y, a_p, a_t0, b_nfe, b_acc = carry
+            emit_bwd(nfe_meter, b_nfe, b_acc)
             ts_bar = jnp.concatenate([a_t0[None], rev_t_bars[::-1]])
         else:
             a_y = g_flat[0]
@@ -221,5 +319,78 @@ def odeint_adjoint(
         # canonicalize accepts 0-d t for the forward pass; expand here so
         # the backward sweep's T = t.shape[0] is well-defined.
         t_in = t_in[None]
-    ys_out = _odeint(y0, t_in, params_in)
+    ys_out, stats = _odeint(y0, t_in, params_in)
+    if return_stats:
+        return ys_out, SolverStats(*stats)
     return ys_out
+
+
+def _bwd_fixed_grid_walk(walk: _BackwardWalk, tableau, aug_dynamics, f_flat,
+                         params_, zero_p, ys_flat, g_flat, t_, N):
+    """One scan over the concatenated per-interval backward grids.
+
+    Equivalent to solving each observation interval [t_i, t_{i-1}] with a
+    fixed grid of ceil(span_i/h) steps — but as a single fused scan whose
+    total step count matches the actual spans (no per-interval padding to
+    the widest gap). Observation boundaries are handled in-scan: the first
+    step of each interval resets y to the stored forward value ys[i] and
+    injects the cotangent g[i] (the same stored-state reset the interval
+    formulation performs via aug0).
+    """
+    from .ops.pytree import flat_ode_func
+    from .ops.rk import runge_kutta_step
+
+    T = t_.shape[0]
+    # d(loss)/d(t_i) = dot(f(t_i, y_i), g_i) for i >= 1 (i = 0 comes from
+    # the integrated a_t quadrature).
+    t_bars = jax.vmap(
+        lambda ti, yi, gi: jnp.dot(f_flat(ti, yi, params_), gi)
+    )(t_, ys_flat, g_flat).astype(t_.dtype)
+
+    aug0 = (jnp.zeros_like(ys_flat[0]), jnp.zeros_like(g_flat[0]), zero_p,
+            jnp.zeros((), t_.dtype))
+    aug_flat0, unravel_aug = flatten_state(aug0)
+    M = aug_flat0.shape[0]
+    adtype = aug_flat0.dtype
+    aug_f = flat_ode_func(aug_dynamics, unravel_aug, adtype)
+
+    tdtype = t_.dtype
+    xs = (jnp.asarray(walk.t0s, tdtype), jnp.asarray(walk.t1s, tdtype),
+          jnp.asarray(walk.reset), jnp.asarray(walk.obs, jnp.int32))
+
+    def body(carry, x):
+        aug, comp, f_prev = carry
+        t0, t1, reset, oi = x
+
+        def with_reset(args):
+            aug, comp = args
+            aug = aug.at[0:N].set(ys_flat[oi].astype(adtype))
+            aug = aug.at[N:2 * N].add(g_flat[oi].astype(adtype))
+            aug = aug.at[M - 1].add((-t_bars[oi]).astype(adtype))
+            # The reset replaces state, invalidating the compensation term.
+            return aug, jnp.zeros_like(comp)
+
+        aug, comp = jax.lax.cond(reset, with_reset, lambda a: a, (aug, comp))
+        # FSAL-style chaining of the end derivative into the next step's f0;
+        # a reset invalidates the cache, costing one fresh evaluation.
+        f0 = jax.lax.cond(reset, lambda: aug_f(t0, aug), lambda: f_prev)
+        res = runge_kutta_step(aug_f, aug, f0, t0, t1 - t0, tableau)
+        # Kahan-compensated accumulation (matches solve_fixed_grid).
+        adj = res.delta - comp
+        aug_new = aug + adj
+        comp = (aug_new - aug) - adj
+        return (aug_new, comp, res.f1), None
+
+    init = (aug_flat0, jnp.zeros_like(aug_flat0), jnp.zeros_like(aug_flat0))
+    (aug_fin, _, _), _ = jax.lax.scan(body, init, xs)
+    _, a_y, a_p, a_t = unravel_aug(aug_fin)
+    y0_bar = a_y + g_flat[0]
+    ts_bar = jnp.concatenate([a_t[None].astype(tdtype), t_bars[1:]])
+
+    S = len(walk.t0s)
+    n_resets = int(sum(walk.reset))
+    # Per step: `stages` fresh evals (chained f1); resets re-evaluate f0;
+    # plus the T evals of the t_bars vmap.
+    b_nfe = jnp.asarray(S * tableau.stages + n_resets + T, jnp.int32)
+    b_acc = jnp.asarray(S, jnp.int32)
+    return y0_bar, ts_bar, a_p, b_nfe, b_acc

@@ -66,13 +66,17 @@ class ODEBlock(nn.Module):
     """Integrate a conv dynamics over [0, 1] (reference `ODEBlock`).
 
     `adjoint=True` uses the O(1)-memory adjoint; otherwise direct backprop
-    through the bounded on-device loop. NFE lands in the 'diagnostics'
-    collection (use `.apply(..., mutable=['diagnostics'])` to read it).
+    through the bounded on-device loop. Forward NFE lands in the
+    'diagnostics' collection (use `.apply(..., mutable=['diagnostics'])` to
+    read it); pass an `NFEMeter` (utils/nfe.py) as `nfe_meter` to also
+    stream backward NFE to the host (reference parity: `odenet_mnist.py`
+    logs f-NFE and b-NFE per step, SURVEY.md §2).
     """
     features: int = 64
     tol: float = 1e-3
     adjoint: bool = False
     method: str = "dopri5"
+    nfe_meter: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -92,11 +96,11 @@ class ODEBlock(nn.Module):
         if self.adjoint:
             def f(tt, yy, p):
                 return func_mod.apply(p, tt, yy)
-            ys = odeint_adjoint(f, x, t, params=params, rtol=self.tol,
-                                atol=self.tol, method=self.method)
-            # The adjoint path has no stats channel; -1 marks "unknown"
-            # rather than pretending the solve was free.
-            self.sow("diagnostics", "nfe", jnp.asarray(-1, jnp.int32))
+            ys, st = odeint_adjoint(f, x, t, params=params, rtol=self.tol,
+                                    atol=self.tol, method=self.method,
+                                    return_stats=True,
+                                    nfe_meter=self.nfe_meter)
+            self.sow("diagnostics", "nfe", st.nfe)
             return ys[-1]
 
         def f(tt, yy):
@@ -132,6 +136,7 @@ class ODENetMNIST(nn.Module):
     adjoint: bool = False
     tol: float = 1e-3
     n_res_blocks: int = 6
+    nfe_meter: Any = None          # NFEMeter for adjoint f/b-NFE logging
 
     @nn.compact
     def __call__(self, x):
@@ -146,7 +151,8 @@ class ODENetMNIST(nn.Module):
 
         if self.network == "odenet":
             h = ODEBlock(features=self.features, tol=self.tol,
-                         adjoint=self.adjoint)(h)
+                         adjoint=self.adjoint,
+                         nfe_meter=self.nfe_meter)(h)
         else:
             for _ in range(self.n_res_blocks):
                 h = ResBlock(features=self.features)(h)
