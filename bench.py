@@ -238,7 +238,10 @@ def bench_latent_ode_iter_ms():
 
 
 def batch_sweep():
-    """BASELINE.md protocol: sustained fused NFE/s swept over batch sizes."""
+    """BASELINE.md protocol: sustained fused NFE/s swept over batch sizes.
+
+    Runs by default (budget-capped at reps=32 per size); the B=4096 point
+    reuses the headline measurement, so the sweep adds two compiles."""
     global BATCH
     out = {}
     for b in (1, 256, 4096):
@@ -246,6 +249,8 @@ def batch_sweep():
         try:
             nfe_s, _, _ = bench_fused_nfe_per_sec(reps=32)
             out[b] = round(nfe_s, 1)
+        except Exception:
+            out[b] = None
         finally:
             BATCH = saved
     return out
@@ -288,7 +293,7 @@ def main():
             "latent_ode_train_iter_ms":
                 round(latent_ms, 2) if latent_ms else None,
             "batch_sweep_nfe_per_sec":
-                batch_sweep() if "--sweep" in sys.argv else None,
+                None if "--no-sweep" in sys.argv else batch_sweep(),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--noise_std", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_dir", default="",
+                   help="Orbax checkpoint dir; resumes from the newest "
+                        "checkpoint when one exists")
+    p.add_argument("--save_every", type=int, default=500)
     return p.parse_args(argv)
 
 
@@ -106,8 +110,10 @@ def build_model(args):
 
 def init_params(args, rec, dyn, dec, key):
     k1, k2, k3 = jax.random.split(key, 3)
-    xs = jnp.ones((1, args.nsample, args.obs_dim))
-    z = jnp.ones((1, args.latent_dim))
+    # Explicit f32: under jax_enable_x64 the default dtype is f64, which
+    # would initialize f64 params that mismatch the f32 training data.
+    xs = jnp.ones((1, args.nsample, args.obs_dim), jnp.float32)
+    z = jnp.ones((1, args.latent_dim), jnp.float32)
     return {
         "rec": rec.init(k1, xs),
         "dyn": dyn.init(k2, 0.0, z),
@@ -154,8 +160,8 @@ def make_train_step(args, rec, dyn, dec, opt, samp_ts):
     return train_step, loss_fn
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     key = jax.random.PRNGKey(args.seed)
 
     _, samp_trajs, _, samp_ts = generate_spirals(
@@ -170,17 +176,42 @@ def main():
     opt = optax.adam(args.lr)
     state = TrainState(params, opt.init(params))
 
+    # Checkpoint/resume (Orbax): restore the full training state from the
+    # newest checkpoint in --train_dir if one exists.
+    mngr = None
+    start_iter = 0
+    if args.train_dir:
+        import ckpt
+        mngr = ckpt.make_manager(args.train_dir)
+        step, restored = ckpt.restore_latest(
+            mngr, {"params": state.params, "opt_state": state.opt_state})
+        if step is not None:
+            state = TrainState(restored["params"], restored["opt_state"])
+            start_iter = step
+            key = jax.random.fold_in(key, step)
+            print(f"resumed from {args.train_dir} at iter {step}")
+
     train_step, _ = make_train_step(args, rec, dyn, dec, opt, samp_ts)
 
     start = time.time()
-    for itr in range(1, args.niters + 1):
+    n_done = 0
+    for itr in range(start_iter + 1, args.niters + 1):
         key, sub = jax.random.split(key)
         state, loss = train_step(state, xs, sub)
-        if itr == 1 or itr % 20 == 0 or itr == args.niters:
+        n_done += 1
+        if itr == start_iter + 1 or itr % 20 == 0 or itr == args.niters:
             print(f"Iter {itr:04d} | -ELBO {float(loss):.4f} | "
-                  f"{(time.time() - start) / itr * 1000:.1f} ms/it")
+                  f"{(time.time() - start) / n_done * 1000:.1f} ms/it")
+        if mngr is not None and (itr % args.save_every == 0
+                                 or itr == args.niters):
+            import ckpt
+            ckpt.save(mngr, itr, {"params": state.params,
+                                  "opt_state": state.opt_state})
 
-    print(f"done: {args.niters} iters in {time.time() - start:.1f}s")
+    if mngr is not None:
+        import ckpt
+        ckpt.finish(mngr)
+    print(f"done: {n_done} iters in {time.time() - start:.1f}s")
     return state
 
 

@@ -31,7 +31,7 @@ from tfdiffeq_tpu.models.odenet import ODENetMNIST
 from tfdiffeq_tpu.utils.nfe import NFEMeter
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--network", choices=["odenet", "resnet"],
                    default="odenet")
@@ -48,7 +48,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_batches", type=int, default=0,
                    help="debug: cap batches per epoch")
-    return p.parse_args()
+    p.add_argument("--train_dir", default="",
+                   help="Orbax checkpoint dir; resumes from the newest "
+                        "checkpoint when one exists")
+    return p.parse_args(argv)
 
 
 def _read_idx(path):
@@ -101,8 +104,8 @@ def synthetic_mnist(n_train=8192, n_test=1024, seed=0):
     return xtr, ytr, xte, yte
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     if args.synthetic:
         x_train, y_train, x_test, y_test = synthetic_mnist(seed=args.seed)
     else:
@@ -136,6 +139,19 @@ def main():
     opt = optax.sgd(sched, momentum=0.9)
     opt_state = opt.init(params)
 
+    # Checkpoint/resume (Orbax): full training state, per epoch.
+    mngr = None
+    start_epoch = 0
+    if args.train_dir:
+        import ckpt
+        mngr = ckpt.make_manager(args.train_dir)
+        step, restored = ckpt.restore_latest(
+            mngr, {"params": params, "opt_state": opt_state})
+        if step is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_epoch = step
+            print(f"resumed from {args.train_dir} at epoch {step}")
+
     @jax.jit
     def train_step(params, opt_state, xb, yb):
         def loss_fn(p):
@@ -160,8 +176,8 @@ def main():
                 nfe = leaves[0]
         return acc, nfe
 
-    rng = np.random.RandomState(args.seed)
-    for epoch in range(1, args.nepochs + 1):
+    rng = np.random.RandomState(args.seed + start_epoch)
+    for epoch in range(start_epoch + 1, args.nepochs + 1):
         perm = rng.permutation(len(x_train))
         t0 = time.time()
         if meter is not None:
@@ -193,6 +209,13 @@ def main():
         print(f"Epoch {epoch:03d} | loss {float(loss):.4f} | "
               f"test acc {np.mean(accs):.4f} | {nfe_str} | "
               f"{time.time() - t0:.1f}s")
+        if mngr is not None:
+            import ckpt
+            ckpt.save(mngr, epoch, {"params": params,
+                                    "opt_state": opt_state})
+    if mngr is not None:
+        import ckpt
+        ckpt.finish(mngr)
 
 
 if __name__ == "__main__":

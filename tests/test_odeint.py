@@ -79,6 +79,18 @@ def test_while_and_bounded_loops_agree(method):
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("loop", ["while", "bounded"])
+def test_unroll_is_bit_identical(loop):
+    """options={'unroll': k} (k attempts per loop iteration, amortizing TPU
+    per-iteration overhead) must not change results at all."""
+    p = construct_problem("linear", npts=20)
+    base = {"loop": loop, "max_steps": 4096}
+    ys1 = odeint(p.func, p.y0, p.t, method="dopri5", options=base)
+    ys4 = odeint(p.func, p.y0, p.t, method="dopri5",
+                 options=dict(base, unroll=4))
+    np.testing.assert_array_equal(np.asarray(ys1), np.asarray(ys4))
+
+
 def test_dense_output_matches_direct():
     # Integrating straight to sparse times must agree with integrating to
     # dense times (dense output correctness).

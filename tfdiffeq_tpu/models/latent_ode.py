@@ -55,11 +55,13 @@ class RecognitionRNN(nn.Module):
         # Explicit cell parameters (a flax submodule cannot be first called
         # inside a `lax.scan` body — variable creation in the scan trace
         # leaks tracers at init).
+        # Explicit f32 param dtype (matching flax Dense's param_dtype
+        # default): the bare initializer default is f64 under x64.
         w_i2h = self.param(
             "i2h_kernel", nn.initializers.lecun_normal(),
-            (self.obs_dim + self.hidden, self.hidden))
+            (self.obs_dim + self.hidden, self.hidden), jnp.float32)
         b_i2h = self.param("i2h_bias", nn.initializers.zeros,
-                           (self.hidden,))
+                           (self.hidden,), jnp.float32)
         h2o = nn.Dense(2 * self.latent_dim, name="h2o")
 
         def cell(h, x):

@@ -148,6 +148,7 @@ def solve(
             max_steps=int(options.get("max_steps", 1024)),
             chunk_size=int(options.get("chunk_size", 32)),
             norm=norm,
+            unroll=int(options.get("unroll", 1)),
         )
         result = solve_adaptive(
             prob, cfg, rtol, atol,

@@ -76,6 +76,14 @@ class AdaptiveConfig:
     # err_ratio is the fully-reduced scalar (accept iff <= 1), +inf when the
     # step is non-finite — so the loop body does no big-vector reductions.
     step_override: Optional[Callable] = None
+    # Attempts per loop iteration. TPU while-loop iterations carry a fixed
+    # per-iteration overhead (condition sync + kernel launches) that
+    # dominates when the dynamics are small; executing `unroll` guarded
+    # attempts per iteration amortizes it (~2x sustained NFE/s at unroll=8
+    # for the benchmark MLP). Tail waste is bounded: once integration
+    # completes, remaining attempts in the current iteration skip via cond.
+    # In bounded mode this maps to the inner scan's native `unroll`.
+    unroll: int = 1
 
 
 class _Core(NamedTuple):
@@ -250,7 +258,7 @@ def _solve_while(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
     def cond(s: _WhileState):
         return (s.core.t < tau_end) & (s.core.status == Status.OK)
 
-    def body(s: _WhileState):
+    def one_attempt(s: _WhileState):
         o = attempt(s.core)
         mask = o.accept & (tau > o.t0) & (tau <= o.t1)
         vals = interp_evaluate(o.coeffs, o.t0, o.dt_step, tau)
@@ -258,6 +266,18 @@ def _solve_while(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
         vals = jnp.where((tau == o.t1)[:, None], o.y1[None], vals)
         out = jnp.where(mask[:, None], vals, s.out)
         return _WhileState(o.core, out)
+
+    unroll = max(1, int(cfg.unroll))
+    if unroll == 1:
+        body = one_attempt
+    else:
+        # k guarded attempts per while iteration: amortizes the TPU
+        # while-loop per-iteration overhead over k steps; once integration
+        # completes mid-iteration the remaining attempts branch to a no-op.
+        def body(s: _WhileState):
+            for _ in range(unroll):
+                s = jax.lax.cond(cond(s), one_attempt, lambda x: x, s)
+            return s
 
     final = jax.lax.while_loop(cond, body, _WhileState(core0, out0))
     stats = SolverStats(final.core.nfe, final.core.n_acc, final.core.n_rej,
@@ -329,7 +349,8 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
         return s2, (_emission(s2), tel)
 
     def run_chunk(s):
-        return jax.lax.scan(inner, s, None, length=chunk)
+        return jax.lax.scan(inner, s, None, length=chunk,
+                            unroll=min(max(1, int(cfg.unroll)), chunk))
 
     def skip_chunk(s):
         zero = jnp.asarray(0.0, rdtype)
