@@ -37,8 +37,13 @@ def _params(hidden=50, dim=2, seed=0):
     }
 
 
-def bench_jax_nfe_per_sec():
-    """Generic-path single-solve NFE/s (arbitrary user func, XLA while-loop)."""
+def bench_jax_nfe_per_sec(reps: int = 16):
+    """Generic-path NFE/s (arbitrary user func, XLA while-loop).
+
+    Sustained like the fused headline: `reps` chained solves inside one
+    compiled program (sequential data dependency), so the testbed's fixed
+    ~26 ms per-dispatch tunnel latency doesn't masquerade as solver cost;
+    single-call latency is reported separately in details."""
     from tfdiffeq_tpu import solve
 
     p = _params()
@@ -54,22 +59,43 @@ def bench_jax_nfe_per_sec():
         return jnp.dot(h, p["w2"],
                        precision=jax.lax.Precision.HIGHEST) + p["b2"]
 
-    @jax.jit
-    def run(y0, t):
-        res = solve(dyn, y0, t, rtol=RTOL, atol=ATOL, method="dopri5",
+    def one(y):
+        res = solve(dyn, y, t, rtol=RTOL, atol=ATOL, method="dopri5",
                     options={"loop": "while"})
         return res.ys, res.stats.nfe
 
-    ys, nfe = run(y0, t)          # compile + first run
+    @jax.jit
+    def run_single(y0):
+        return one(y0)
+
+    @jax.jit
+    def run_chain(y0):
+        def body(c, _):
+            y, tot = c
+            ys, nfe = one(y)
+            return (ys[-1], tot + nfe), None
+        (_, tot), _ = jax.lax.scan(body, (y0, jnp.int32(0)), None,
+                                   length=reps)
+        return tot
+
+    ys, nfe1 = run_single(y0)
     jax.block_until_ready(ys)
-    n_iters = 5
-    best = float("inf")
-    for _ in range(n_iters):
+    best1 = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        ys, nfe = run(y0, t)
+        ys, nfe1 = run_single(y0)
         jax.block_until_ready(ys)
+        best1 = min(best1, time.perf_counter() - t0)
+
+    tot = run_chain(y0)
+    jax.block_until_ready(tot)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tot = run_chain(y0)
+        jax.block_until_ready(tot)
         best = min(best, time.perf_counter() - t0)
-    return int(nfe) / best, int(nfe), best
+    return int(tot) / best, int(nfe1), best1
 
 
 def bench_fused_nfe_per_sec(reps: int = 64):
@@ -202,8 +228,15 @@ def bench_torch_proxy_nfe_per_sec():
     return nfe[0] / elapsed, nfe[0], elapsed, frac
 
 
-def bench_latent_ode_iter_ms():
-    """Steady-state latent-ODE training-iteration wall-clock."""
+def bench_latent_ode_iter_ms(fused: bool, iters: int = 40):
+    """Sustained latent-ODE training-iteration wall-clock (pipelined: no
+    per-iteration host sync, the way a real epoch runs — per-dispatch
+    tunnel latency overlaps via async dispatch).
+
+    fused=True decodes through the fully-fused Pallas path (whole-solve
+    forward kernel + one-kernel adjoint sweep, fast.odeint_adjoint_mlp);
+    fused=False is the generic differentiable bounded loop.
+    """
     import os
     import sys
     sys.path.insert(0, os.path.join(
@@ -212,7 +245,7 @@ def bench_latent_ode_iter_ms():
     from latent_ode import (TrainState, build_model, generate_spirals,
                             init_params, make_train_step, parse_args)
 
-    args = parse_args([])     # never consume bench.py's own argv
+    args = parse_args(["--fused"] if fused else [])
     args.nspiral, args.nsample = 512, 64
     _, samp_trajs, _, samp_ts = generate_spirals(
         nspiral=args.nspiral, nsample=args.nsample, seed=0)
@@ -228,13 +261,64 @@ def bench_latent_ode_iter_ms():
 
     state, loss = train_step(state, xs, key)   # compile
     jax.block_until_ready(loss)
-    best = float("inf")
-    for i in range(5):
-        t0 = time.perf_counter()
+    t0 = time.perf_counter()
+    for i in range(iters):
         state, loss = train_step(state, xs, jax.random.fold_in(key, i))
-        jax.block_until_ready(loss)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000.0
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def bench_fused_train_nfe_per_sec(iters: int = 20):
+    """Training-step NFE/s on the fused adjoint path (BASELINE.json config
+    3: spiral neural-ODE training with O(1)-memory gradients): full SGD
+    steps through fast.odeint_adjoint_mlp (one forward kernel + one
+    adjoint-sweep kernel), pipelined. NFE per iteration = forward +
+    backward solver evaluations (read from the kernels' on-device stats).
+    """
+    from tfdiffeq_tpu.fast import (MLPSpec, odeint_adjoint_mlp,
+                                   solve_mlp_spec)
+    from tfdiffeq_tpu.ops.pallas_adjoint import mlp_adjoint_solve
+    from tfdiffeq_tpu.ops.pallas_kernels import pad_mlp_weights
+
+    p = _params()
+    spec = MLPSpec(activation="tanh", input_power=3)
+    weights = ((p["w1"], p["b1"]), (p["w2"], p["b2"]))
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+    target = jnp.asarray(
+        np.random.RandomState(2).randn(T_OUT, BATCH, 2) * 0.5, jnp.float32)
+    lr = 1e-3
+
+    @jax.jit
+    def train_step(w):
+        def loss(w_):
+            ys = odeint_adjoint_mlp(spec, w_, y0, t, rtol=RTOL, atol=ATOL)
+            return jnp.mean((ys - target) ** 2)
+
+        g = jax.grad(loss)(w)
+        return jax.tree_util.tree_map(lambda a, b: a - lr * b, w, g)
+
+    # NFE accounting from on-device stats (one eager fwd + one direct
+    # adjoint-kernel call; the timed loop runs the identical kernels).
+    fwd = solve_mlp_spec(spec, weights, y0, t, rtol=RTOL, atol=ATOL)
+    g_cot = 2.0 * (fwd.ys - target) / target.size
+    warrays, dims = pad_mlp_weights(weights, jnp.float32)
+    _, _, bstats = mlp_adjoint_solve(
+        warrays, dims, jnp.transpose(fwd.ys, (0, 2, 1)),
+        jnp.transpose(g_cot, (0, 2, 1)), t,
+        0.1 * jnp.abs(t[-1] - t[-2]), RTOL, ATOL, 1.0,
+        activation="tanh", input_power=3)
+    nfe_iter = int(fwd.stats.nfe) + int(bstats[0])
+
+    w = train_step(weights)
+    jax.block_until_ready(w)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        w = train_step(w)
+    jax.block_until_ready(w)
+    elapsed = time.perf_counter() - t0
+    return nfe_iter * iters / elapsed, nfe_iter, elapsed / iters
 
 
 def batch_sweep():
@@ -269,9 +353,18 @@ def main():
     except Exception:
         torch_nfe_s, vs = None, None
     try:
-        latent_ms = bench_latent_ode_iter_ms()
+        latent_ms = bench_latent_ode_iter_ms(fused=False)
     except Exception:
         latent_ms = None
+    try:
+        latent_fused_ms = bench_latent_ode_iter_ms(fused=True)
+    except Exception:
+        latent_fused_ms = None
+    try:
+        train_nfe_s, train_nfe_iter, train_iter_s = \
+            bench_fused_train_nfe_per_sec()
+    except Exception:
+        train_nfe_s = train_nfe_iter = train_iter_s = None
 
     print(json.dumps({
         "metric": "dopri5_nfe_per_sec_batched_spiral",
@@ -292,6 +385,14 @@ def main():
                 round(torch_nfe_s, 1) if torch_nfe_s else None,
             "latent_ode_train_iter_ms":
                 round(latent_ms, 2) if latent_ms else None,
+            "latent_ode_train_iter_ms_fused":
+                round(latent_fused_ms, 2) if latent_fused_ms else None,
+            "train_step_nfe_per_sec_fused_adjoint":
+                round(train_nfe_s, 1) if train_nfe_s else None,
+            "train_step_nfe_per_iter":
+                train_nfe_iter,
+            "train_step_iter_ms":
+                round(train_iter_s * 1000, 2) if train_iter_s else None,
             "batch_sweep_nfe_per_sec":
                 None if "--no-sweep" in sys.argv else batch_sweep(),
             "device": str(jax.devices()[0]),

@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    help="Orbax checkpoint dir; resumes from the newest "
                         "checkpoint when one exists")
     p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--fused", action="store_true",
+                   help="decode with the fully-fused Pallas training path "
+                        "(one whole-solve kernel forward, one adjoint-"
+                        "sweep kernel backward) instead of the generic "
+                        "differentiable loop")
     return p.parse_args(argv)
 
 
@@ -123,12 +128,35 @@ def init_params(args, rec, dyn, dec, key):
 
 def make_train_step(args, rec, dyn, dec, opt, samp_ts):
     noise_std = args.noise_std
+    fused = bool(getattr(args, "fused", False))
 
     def loss_fn(params, xs, key):
         # encode backward in time
         qz0_mean, qz0_logvar = rec.apply(params["rec"], xs)
         eps = jax.random.normal(key, qz0_mean.shape, qz0_mean.dtype)
         z0 = qz0_mean + eps * jnp.exp(0.5 * qz0_logvar)
+
+        if fused:
+            # Fully-fused Pallas training path: the ELU-MLP latent dynamics
+            # run as ONE whole-solve kernel forward and ONE adjoint-sweep
+            # kernel backward (tfdiffeq_tpu.fast).
+            from tfdiffeq_tpu.fast import (MLPSpec, odeint_adjoint_mlp,
+                                           weights_from_flax_dense)
+            weights = weights_from_flax_dense(params["dyn"])
+            pred_z = odeint_adjoint_mlp(
+                MLPSpec(activation="elu"), weights, z0, samp_ts,
+                rtol=1e-4, atol=1e-6)
+            pred_z = jnp.swapaxes(pred_z, 0, 1)        # [B, T, latent]
+            pred_x = dec.apply(params["dec"], pred_z)   # [B, T, obs]
+            logvar_obs = jnp.log(jnp.asarray(noise_std ** 2, pred_x.dtype))
+            logpx = jnp.sum(
+                log_normal_pdf(xs, pred_x,
+                               jnp.full_like(pred_x, logvar_obs)),
+                axis=(-2, -1))
+            kl = jnp.sum(normal_kl(qz0_mean, qz0_logvar,
+                                   jnp.zeros_like(qz0_mean),
+                                   jnp.zeros_like(qz0_logvar)), axis=-1)
+            return -jnp.mean(logpx - kl)
 
         # decode latent trajectory with dopri5 (on-device loop)
         def f(t, z):

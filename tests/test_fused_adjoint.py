@@ -1,0 +1,213 @@
+"""Fused general-MLP forward solve + one-kernel adjoint backward sweep
+(fast.solve_mlp_spec / fast.odeint_adjoint_mlp; ops/pallas_adjoint.py).
+
+Runs in Pallas interpret mode on CPU; the same code path compiles under
+Mosaic on TPU (driven separately — see BASELINE.md for measured numbers).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfdiffeq_tpu import odeint_adjoint, solve
+from tfdiffeq_tpu.fast import (MLPSpec, mlp_apply, odeint_adjoint_mlp,
+                               solve_mlp_spec, weights_from_flax_dense)
+
+
+def _weights(seed=0, dims=(4, 20, 20, 4), scale=0.3, bias=True):
+    rng = np.random.RandomState(seed)
+    out = []
+    for a, b in zip(dims[:-1], dims[1:]):
+        W = jnp.asarray(rng.randn(a, b) * scale / np.sqrt(a), jnp.float32)
+        bb = (jnp.asarray(rng.randn(b) * 0.05, jnp.float32) if bias
+              else None)
+        out.append((W, bb))
+    return out
+
+
+@pytest.mark.parametrize("activation", ["elu", "tanh", "relu", "softplus"])
+def test_spec_forward_matches_generic(activation):
+    weights = _weights()
+    spec = MLPSpec(activation=activation)
+    y0 = jnp.asarray(np.random.RandomState(1).randn(16, 4), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 8, dtype=jnp.float32)
+
+    res = solve_mlp_spec(spec, weights, y0, t, rtol=1e-6, atol=1e-8,
+                         interpret=True)
+    ref = solve(lambda tt, yy: mlp_apply(spec, weights, yy), y0, t,
+                rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while"})
+    assert int(res.stats.status) == 0
+    # Different summation orders => different accept sequences; parity is
+    # tolerance-level, not bitwise.
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_spec_forward_reverse_time():
+    weights = _weights(seed=2)
+    spec = MLPSpec(activation="elu")
+    y0 = jnp.asarray(np.random.RandomState(3).randn(8, 4), jnp.float32)
+    t = jnp.linspace(1.5, 0.0, 6, dtype=jnp.float32)     # decreasing
+
+    res = solve_mlp_spec(spec, weights, y0, t, interpret=True)
+    ref = solve(lambda tt, yy: mlp_apply(spec, weights, yy), y0, t,
+                rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while"})
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_spec_input_power_matches_benchmark_mlp():
+    """input_power=3 + tanh reproduces the benchmark spiral dynamics."""
+    rng = np.random.RandomState(0)
+    params = {"w1": jnp.asarray(rng.randn(2, 50) * 0.1, jnp.float32),
+              "b1": jnp.zeros((50,), jnp.float32),
+              "w2": jnp.asarray(rng.randn(50, 2) * 0.1, jnp.float32),
+              "b2": jnp.zeros((2,), jnp.float32)}
+    spec = MLPSpec(activation="tanh", input_power=3)
+    weights = [(params["w1"], params["b1"]), (params["w2"], params["b2"])]
+    y = jnp.asarray(rng.randn(32, 2), jnp.float32)
+    want = jnp.tanh((y ** 3) @ params["w1"] + params["b1"]) @ params["w2"]
+    np.testing.assert_allclose(np.asarray(mlp_apply(spec, weights, y)),
+                               np.asarray(want), atol=1e-6)
+
+
+def test_fused_adjoint_matches_generic_gradients():
+    """The one-kernel adjoint sweep must agree with the generic
+    odeint_adjoint on gradients wrt weights, y0, AND t."""
+    weights = tuple(_weights(seed=4))
+    spec = MLPSpec(activation="elu")
+    y0 = jnp.asarray(np.random.RandomState(5).randn(12, 4), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 7, dtype=jnp.float32)
+    g_out = jnp.asarray(np.random.RandomState(6).randn(7, 12, 4),
+                        jnp.float32)
+
+    def loss_fused(w, y0_, t_):
+        ys = odeint_adjoint_mlp(spec, w, y0_, t_, rtol=1e-7, atol=1e-9,
+                                interpret=True)
+        return jnp.sum(ys * g_out)
+
+    def loss_gen(w, y0_, t_):
+        ys = odeint_adjoint(lambda tt, yy, p: mlp_apply(spec, p, yy),
+                            y0_, t_, params=w, rtol=1e-7, atol=1e-9)
+        return jnp.sum(ys * g_out)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(weights, y0, t)
+    gg = jax.grad(loss_gen, argnums=(0, 1, 2))(weights, y0, t)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 1e-3, (d, m)
+
+
+def test_fused_adjoint_seminorm_close_to_full():
+    weights = tuple(_weights(seed=7))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(8).randn(8, 4), jnp.float32)
+    t = jnp.linspace(0.0, 1.5, 5, dtype=jnp.float32)
+
+    def loss(w, semi):
+        ys = odeint_adjoint_mlp(spec, w, y0, t, rtol=1e-7, atol=1e-9,
+                                adjoint_seminorm=semi, interpret=True)
+        return jnp.sum(ys[-1] ** 2)
+
+    g_full = jax.grad(lambda w: loss(w, False))(weights)
+    g_semi = jax.grad(lambda w: loss(w, True))(weights)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_semi)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_fused_adjoint_return_stats_and_meter():
+    from tfdiffeq_tpu import NFEMeter
+
+    weights = tuple(_weights(seed=9, dims=(3, 8, 3)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(10).randn(4, 3), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+    meter = NFEMeter()
+
+    def loss(w):
+        ys, st = odeint_adjoint_mlp(spec, w, y0, t, rtol=1e-5, atol=1e-7,
+                                    interpret=True, nfe_meter=meter,
+                                    return_stats=True)
+        return jnp.sum(ys ** 2) + 0.0 * st.nfe
+
+    jax.grad(loss)(weights)
+    jax.effects_barrier()
+    s = meter.snapshot()
+    assert s["f_nfe"] > 0 and s["b_nfe"] > 0
+    assert s["f_calls"] == 1 and s["b_calls"] == 1
+
+
+def test_weights_from_flax_dense_roundtrip():
+    from tfdiffeq_tpu.models.latent_ode import LatentODEFunc
+
+    dyn = LatentODEFunc(latent_dim=4, hidden=20)
+    z = jnp.asarray(np.random.RandomState(11).randn(6, 4), jnp.float32)
+    variables = dyn.init(jax.random.PRNGKey(0), 0.0, z)
+    weights = weights_from_flax_dense(variables)
+    spec = MLPSpec(activation="elu")
+    np.testing.assert_allclose(
+        np.asarray(mlp_apply(spec, weights, z)),
+        np.asarray(dyn.apply(variables, 0.0, z)), atol=1e-6)
+
+
+def test_fused_latent_ode_train_step_runs():
+    """One --fused latent-ODE training step end-to-end (tiny, interpret)."""
+    import os
+    import sys
+    ex = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples")
+    if ex not in sys.path:
+        sys.path.insert(0, ex)
+    import optax
+    from latent_ode import (TrainState, build_model, generate_spirals,
+                            init_params, make_train_step, parse_args)
+
+    args = parse_args(["--fused", "--nspiral", "4", "--nsample", "8",
+                       "--latent_dim", "3", "--nhidden", "8",
+                       "--rnn_nhidden", "8"])
+    _, samp_trajs, _, samp_ts = generate_spirals(
+        nspiral=4, ntotal=40, nsample=8, seed=0)
+    xs = jnp.asarray(samp_trajs, jnp.float32)
+    samp_ts = jnp.asarray(samp_ts, jnp.float32)
+    rec, dyn, dec = build_model(args)
+    params = init_params(args, rec, dyn, dec, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    state = TrainState(params, opt.init(params))
+    train_step, _ = make_train_step(args, rec, dyn, dec, opt, samp_ts)
+    state2, loss1 = train_step(state, xs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss1))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(state2.params)))
+    assert changed
+
+
+def test_no_bias_layers():
+    weights = tuple(_weights(seed=12, dims=(3, 10, 3), bias=False))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(13).randn(4, 3), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+
+    res = solve_mlp_spec(spec, weights, y0, t, interpret=True)
+    ref = solve(lambda tt, yy: mlp_apply(spec, weights, yy), y0, t,
+                rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while"})
+    assert int(res.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+    def loss(w):
+        ys = odeint_adjoint_mlp(spec, w, y0, t, interpret=True)
+        return jnp.sum(ys ** 2)
+
+    g = jax.grad(loss)(weights)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))

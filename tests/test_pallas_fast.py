@@ -99,8 +99,27 @@ def test_fused_solve_input_validation():
     params, y0 = _setup()
     with pytest.raises(ValueError, match="batch, dim"):
         solve_mlp(params, y0[0], jnp.asarray([0.0, 1.0]))
-    with pytest.raises(ValueError, match="increasing"):
-        solve_mlp(params, y0, jnp.asarray([1.0, 0.0]))
+    with pytest.raises(ValueError, match="monotonic"):
+        solve_mlp(params, y0, jnp.asarray([0.0, 1.0, 0.5]))
+
+
+def test_fused_solve_decreasing_t():
+    """Decreasing t canonicalizes (tau = -t, sign = -1) like the generic
+    engine instead of erroring."""
+    from tfdiffeq_tpu import solve
+    params, y0 = _setup(B=16)
+    t = jnp.linspace(1.0, 0.0, 5, dtype=jnp.float32)
+    r = solve_mlp(params, y0, t, rtol=1e-6, atol=1e-8, interpret=True)
+    assert int(r.stats.status) == 0
+
+    def dyn(tt, yy):
+        return jnp.tanh((yy ** 3) @ params["w1"] + params["b1"]) \
+            @ params["w2"] + params["b2"]
+
+    ref = solve(dyn, y0, t, rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while"})
+    np.testing.assert_allclose(np.asarray(r.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
 
 
 def test_fused_solve_invalid_times_under_jit():
@@ -113,7 +132,7 @@ def test_fused_solve_invalid_times_under_jit():
         r = solve_mlp(params, y0, t, interpret=True)
         return r.ys, r.stats.status
 
-    ys, status = go(jnp.asarray([1.0, 0.0]))
+    ys, status = go(jnp.asarray([0.0, 1.0, 0.5]))   # non-monotonic
     assert int(status) == 3
     np.testing.assert_array_equal(np.asarray(ys[1]), 0.0)
 

@@ -149,3 +149,50 @@ def test_sharded_fused_solve():
                                atol=5e-3)
     with pytest.raises(ValueError, match="divisible"):
         solve_mlp_sharded(params, y0[:63], t, mesh)
+
+
+def test_globally_coupled_sharded_fused_matches_single_device():
+    """`solve_mlp_global_sharded` psums the error norm across shards each
+    attempt, so all shards share ONE step-size controller.
+
+    Run at float64, where the claim is provable: the embedded error
+    estimate has a real signal (at f32 the startup error estimate is
+    cancellation NOISE — measured: 1e-5 relative dt changes re-randomize
+    the ratio by 3x — so psum-vs-sequential reduction-order last-bit
+    differences legitimately perturb the startup step sequence; at f64 the
+    noise floor is ~1e-11 of scale and the sequences must coincide).
+    Asserts the sharded solve takes the IDENTICAL accept/reject sequence
+    (same NFE) as the single-device fused stepwise solve and matches its
+    trajectory to reduction-order roundoff."""
+    from tfdiffeq_tpu.fast import solve_mlp_global_sharded, solve_mlp_stepwise
+    from tfdiffeq_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.RandomState(1)
+    params = {"w1": jnp.asarray(rng.randn(2, 50) * 0.1, jnp.float64),
+              "b1": jnp.zeros(50, jnp.float64),
+              "w2": jnp.asarray(rng.randn(50, 2) * 0.1, jnp.float64),
+              "b2": jnp.zeros(2, jnp.float64)}
+    y0 = jnp.asarray(rng.randn(64, 2) * 1.5, jnp.float64)
+    t = jnp.linspace(0.0, 5.0, 8, dtype=jnp.float64)
+    mesh = make_mesh((8,), ("data",))
+
+    rg = solve_mlp_global_sharded(params, y0, t, mesh, rtol=1e-5, atol=1e-7,
+                                  first_step=0.01)
+    r1 = solve_mlp_stepwise(params, y0, t, rtol=1e-5, atol=1e-7,
+                            first_step=0.01)
+    assert int(rg.stats.status) == 0
+    assert int(rg.stats.nfe) == int(r1.stats.nfe)
+    assert int(rg.stats.n_accepted) == int(r1.stats.n_accepted)
+    assert int(rg.stats.n_rejected) == int(r1.stats.n_rejected)
+    np.testing.assert_allclose(np.asarray(rg.ys), np.asarray(r1.ys),
+                               atol=1e-9, rtol=1e-9)
+
+    # f32 sanity: globally-coupled control still converges to the right
+    # trajectory (startup noise may perturb the step sequence).
+    p32 = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), params)
+    rg32 = solve_mlp_global_sharded(p32, y0.astype(jnp.float32),
+                                    t.astype(jnp.float32), mesh,
+                                    rtol=1e-5, atol=1e-7, first_step=0.01)
+    assert int(rg32.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(rg32.ys), np.asarray(r1.ys),
+                               atol=5e-4)

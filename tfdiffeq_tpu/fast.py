@@ -13,25 +13,37 @@ reduces the marginal cost per solver step from ~83us (generic XLA while-loop
 path) to ~5.4us — the remaining per-call latency is the host dispatch.
 
 This is the SURVEY.md §7 "fused fast path for the MLP funcs in the benchmark
-configs"; the generic `odeint` stays fully general. Also exported:
-`solve_mlp_stepwise`, the compositional variant that plugs the fused
-*single-step* kernel into the generic adaptive engine via
-`AdaptiveConfig.step_override` (used for cross-validation and as the
-template for fusing other dynamics).
+configs"; the generic `odeint` stays fully general. The tier now covers:
 
-Limitations (by design): autonomous MLP dynamics only, increasing `t`,
-forward solves (use the generic path or `odeint_adjoint` for training).
+- `solve_mlp_spec` / `MLPSpec`: GENERAL autonomous MLP dynamics (arbitrary
+  depth/width, tanh/elu/relu/sigmoid/softplus/silu activations, optional
+  y**p input transform), both time directions.
+- `odeint_adjoint_mlp`: fully-fused TRAINING path — one whole-solve kernel
+  forward, ONE kernel for the entire adjoint backward sweep
+  (ops/pallas_adjoint.py), differentiable wrt weights, y0, and t.
+- `solve_mlp_stepwise`: the compositional variant that plugs the fused
+  *single-step* kernel into the generic adaptive engine via
+  `AdaptiveConfig.step_override` (cross-validation + template for fusing
+  other dynamics).
+- `solve_mlp_sharded`: data-parallel whole-solve kernels over a mesh.
+
+Remaining limitation (by design): the dynamics must be an autonomous MLP —
+arbitrary user funcs take the generic `odeint`/`odeint_adjoint` path.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import dataclasses
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.pallas_kernels import dopri5_mlp_solve, dopri5_mlp_step, mlp_f
+from .ops.pallas_adjoint import mlp_adjoint_solve
+from .ops.pallas_kernels import (_ACTIVATIONS, dopri5_mlp_solve,
+                                 dopri5_mlp_step, mlp_f, mlp_solve,
+                                 pad_mlp_weights)
 from .ops import tableaus
 from .ops.controller import StepController
 from .ops.norms import select_initial_step
@@ -41,7 +53,62 @@ from .solvers.base import CanonicalProblem, SolveResult, SolverStats
 Array = jax.Array
 
 
+@dataclasses.dataclass(frozen=True)
+class MLPSpec:
+    """Static topology of a fused MLP neural ODE (weights passed separately
+    as [(W [din, dout], b [dout] | None), ...]).
+
+    activation: hidden nonlinearity ('tanh', 'elu', 'relu', 'sigmoid',
+    'softplus', 'silu', 'identity'); final_activation applies to the last
+    layer; input_power: the state enters as y**p (the benchmark spiral uses
+    p=3). Dynamics are autonomous (f(t, y) = f(y)) — both benchmark configs
+    and the latent-ODE decoder are.
+    """
+    activation: str = "tanh"
+    final_activation: str = "identity"
+    input_power: int = 1
+
+    def __post_init__(self):
+        for a in (self.activation, self.final_activation):
+            if a not in _ACTIVATIONS:
+                raise ValueError(f"unknown activation {a!r}; available: "
+                                 f"{sorted(_ACTIVATIONS)}")
+
+
+def mlp_apply(spec: MLPSpec, weights: Sequence[Tuple[Array, Array]],
+              y: Array) -> Array:
+    """XLA reference of the fused MLP dynamics; y: [..., D] batch-major.
+
+    Matmuls run at HIGHEST precision to match the kernel's exact-f32 VPU
+    arithmetic (TPU default bf16 would perturb the error estimates).
+    """
+    h = y
+    for _ in range(spec.input_power - 1):
+        h = h * y
+    L = len(weights)
+    for l, (W, b) in enumerate(weights):
+        z = jnp.dot(h, W, precision=jax.lax.Precision.HIGHEST)
+        if b is not None:
+            z = z + b
+        act = spec.activation if l < L - 1 else spec.final_activation
+        h = _ACTIVATIONS[act](z)
+    return h
+
+
+def weights_from_flax_dense(variables) -> list:
+    """Extract [(kernel, bias), ...] from a flax module made of nn.Dense
+    layers (e.g. `models.latent_ode.LatentODEFunc`), in layer order."""
+    params = variables.get("params", variables)
+    names = sorted((k for k in params if k.startswith("Dense")),
+                   key=lambda k: int(k.split("_")[-1]))
+    if not names:
+        raise ValueError("no nn.Dense layers found in the flax params")
+    return [(params[k]["kernel"], params[k].get("bias")) for k in names]
+
+
 def _check_mlp_inputs(y0, t):
+    """Stepwise-path validation: strictly increasing t only (the step
+    kernel composes with a sign-free CanonicalProblem)."""
     y0 = jnp.asarray(y0)
     if y0.ndim != 2:
         raise ValueError(f"y0 must be [batch, dim], got {y0.shape}")
@@ -49,7 +116,7 @@ def _check_mlp_inputs(y0, t):
     if not isinstance(t, jax.core.Tracer):
         tv = np.asarray(t)
         if tv.shape[0] > 1 and not np.all(np.diff(tv) > 0):
-            raise ValueError("odeint_mlp requires strictly increasing t")
+            raise ValueError("this path requires strictly increasing t")
     return y0, t
 
 
@@ -69,50 +136,29 @@ def solve_mlp(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     Returns a SolveResult whose ys has shape [T, B, D]. `interpret=None`
     auto-selects Pallas interpret mode off-TPU (CPU testing).
     """
-    y0, t = _check_mlp_inputs(y0, t)
-    interpret = _auto_interpret(interpret)
-    dtype = y0.dtype
-    yT = y0.T                                  # [D, B] feature-major
-
-    if t.shape[0] == 1:
-        # Single requested time: a valid no-op solve (matches the generic
-        # engine; the kernel would misread t_end == t_start as invalid).
-        z = jnp.asarray(0, jnp.int32)
-        return SolveResult(y0[None], SolverStats(z, z, z, z))
-
-    from .ops.tableaus import (ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, TSIT5)
-    order = {"dopri5": DOPRI5, "bosh3": BOSH3,
-             "adaptive_heun": ADAPTIVE_HEUN, "tsit5": TSIT5,
-             "dopri8": DOPRI8}[method].order
-
-    f0 = mlp_f(params, yT)
-    if first_step is None:
-        flat_f = lambda tt, yf: mlp_f(params, yf.reshape(yT.shape)).ravel()
-        dt0 = select_initial_step(flat_f, t[0].astype(dtype), yT.ravel(),
-                                  f0.ravel(), order - 1,
-                                  jnp.asarray(rtol, dtype),
-                                  jnp.asarray(atol, dtype))
-        extra_nfe = 2            # f0 + the HNW probe evaluation
-    else:
-        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
-        extra_nfe = 1            # f0 only
-
-    out, stats = dopri5_mlp_solve(
-        params, yT, t.astype(dtype), dt0, rtol, atol, f0=f0, method=method,
-        max_steps=(int(max_num_steps) if max_num_steps is not None
-                   else 2 ** 31 - 1),
-        interpret=interpret)
-    ys = jnp.transpose(out, (0, 2, 1))         # [T, B, D]
-    st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
-    return SolveResult(ys, st)
+    y0, t = _check_spec_inputs(y0, t)
+    spec = MLPSpec(activation="tanh", final_activation="identity",
+                   input_power=3)
+    weights = [(params["w1"], params["b1"]), (params["w2"], params["b2"])]
+    return solve_mlp_spec(spec, weights, y0, t, rtol=rtol, atol=atol,
+                          method=method, interpret=interpret,
+                          max_num_steps=max_num_steps,
+                          first_step=first_step)
 
 
 def solve_mlp_stepwise(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                        tile_b: int = 512, interpret: Optional[bool] = None,
-                       max_num_steps=None, first_step=None) -> SolveResult:
+                       max_num_steps=None, first_step=None,
+                       axis_name: Optional[str] = None,
+                       global_batch: Optional[int] = None) -> SolveResult:
     """Fused *per-step* kernel composed with the generic adaptive engine
     (`AdaptiveConfig.step_override`). Slower than `solve_mlp` (one kernel
-    launch per step) but exercises the generic composition path."""
+    launch per step) but exercises the generic composition path.
+
+    axis_name/global_batch: inside `shard_map`, psum the error norm across
+    the named mesh axis so step-size control is GLOBALLY coupled — every
+    shard takes the identical accept/reject sequence a single device would
+    (see `solve_mlp_global_sharded`)."""
     y0, t = _check_mlp_inputs(y0, t)
     interpret = _auto_interpret(interpret)
     B, D = y0.shape
@@ -132,6 +178,14 @@ def solve_mlp_stepwise(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         y1, f1, ratio, ymid = dopri5_mlp_step(
             params, y_flat.reshape(D, B), f_flat.reshape(D, B),
             dt, rtol_a, atol_a, tile_b=tile_b, interpret=interpret)
+        if axis_name is not None:
+            # ratio = sqrt(sumsq / (D * B_local)); recover the local sum of
+            # squares, all-reduce it over ICI, renormalize by the GLOBAL
+            # element count (inf sumsq — non-finite step — survives psum).
+            gb = int(global_batch) if global_batch else B
+            sumsq = ratio * ratio * (D * B)
+            sumsq = jax.lax.psum(sumsq, axis_name)
+            ratio = jnp.sqrt(sumsq / (D * gb))
         return (y1.reshape(-1), f1.reshape(-1), ratio, ymid.reshape(-1), 6)
 
     prob = CanonicalProblem(
@@ -151,6 +205,242 @@ def odeint_mlp(params: dict, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                **kwargs) -> Array:
     """`odeint`-style front-end for the fused MLP path; returns [T, B, D]."""
     return solve_mlp(params, y0, t, rtol=rtol, atol=atol, **kwargs).ys
+
+
+def _check_spec_inputs(y0, t):
+    y0 = jnp.asarray(y0)
+    if y0.ndim != 2:
+        raise ValueError(f"y0 must be [batch, dim], got {y0.shape}")
+    t = jnp.asarray(t)
+    if not isinstance(t, jax.core.Tracer) and t.shape[0] > 1:
+        tv = np.asarray(t)
+        d = np.diff(tv)
+        if not (np.all(d > 0) or np.all(d < 0)):
+            raise ValueError("t must be strictly monotonic (increasing or "
+                             f"decreasing); got {tv}")
+    return y0, t
+
+
+def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
+                   atol=1e-8, method: str = "dopri5",
+                   interpret: Optional[bool] = None, max_num_steps=None,
+                   first_step=None) -> SolveResult:
+    """Whole-solve fused adaptive RK for a GENERAL autonomous MLP neural
+    ODE (arbitrary depth/width/activation via `MLPSpec` — covers the
+    benchmark tanh-MLP and the latent-ODE ELU dynamics). y0: [B, D]; t may
+    increase or decrease (canonicalized like the generic engine,
+    solvers/base.py). Returns ys [T, B, D] + stats.
+    """
+    y0, t = _check_spec_inputs(y0, t)
+    interpret = _auto_interpret(interpret)
+    dtype = y0.dtype
+
+    if t.shape[0] == 1:
+        z = jnp.asarray(0, jnp.int32)
+        return SolveResult(y0[None], SolverStats(z, z, z, z))
+
+    from .ops.tableaus import (ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, TSIT5)
+    order = {"dopri5": DOPRI5, "bosh3": BOSH3,
+             "adaptive_heun": ADAPTIVE_HEUN, "tsit5": TSIT5,
+             "dopri8": DOPRI8}[method].order
+
+    t = t.astype(dtype)
+    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
+    tau = sign * t
+    yT = y0.T                                   # [D, B] feature-major
+    D, B = yT.shape
+
+    f0 = (sign * mlp_apply(spec, weights, y0).T).astype(dtype)  # canonical
+    if first_step is None:
+        def flat_g(s, yf):
+            yb = yf.reshape(D, B).T
+            return (sign * mlp_apply(spec, weights, yb).T).ravel()
+
+        dt0 = select_initial_step(flat_g, tau[0], yT.ravel(), f0.ravel(),
+                                  order - 1, jnp.asarray(rtol, dtype),
+                                  jnp.asarray(atol, dtype))
+        extra_nfe = 2
+    else:
+        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+        extra_nfe = 1
+
+    warrays, dims = pad_mlp_weights(weights, dtype)
+    out, stats = mlp_solve(
+        warrays, dims, yT, tau, dt0, rtol, atol, sign, f0=f0,
+        activation=spec.activation, final_activation=spec.final_activation,
+        input_power=spec.input_power, method=method,
+        max_steps=(int(max_num_steps) if max_num_steps is not None
+                   else 2 ** 31 - 1),
+        interpret=interpret)
+    ys = jnp.transpose(out, (0, 2, 1))          # [T, B, D]
+    st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
+    return SolveResult(ys, st)
+
+
+def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
+                       atol=1e-8, adjoint_rtol=None, adjoint_atol=None,
+                       method: str = "dopri5",
+                       adjoint_method: Optional[str] = None,
+                       adjoint_seminorm: bool = False,
+                       interpret: Optional[bool] = None,
+                       max_num_steps=None, first_step=None,
+                       adjoint_first_step=None, nfe_meter=None,
+                       return_stats: bool = False):
+    """Fully-fused O(1)-memory training path for MLP neural ODEs.
+
+    Forward = ONE whole-solve Pallas kernel (`mlp_solve`); backward = ONE
+    Pallas kernel running the entire adjoint sweep — interval loop,
+    stored-state resets, cotangent injections, adaptive stepping, MLP
+    VJPs, and the parameter-gradient quadrature (`mlp_adjoint_solve`).
+    The generic `odeint_adjoint` pays ~10^2 XLA kernel launches per solver
+    step on this path.
+
+    Differentiable wrt `weights`, `y0`, and `t` (time gradients follow the
+    same continuous-adjoint recipe as adjoint.py; the a_t quadrature
+    vanishes because the dynamics are autonomous). Returns the trajectory
+    [T, B, D] (with stats when return_stats=True — forward stats; backward
+    stats stream to `nfe_meter`).
+    """
+    adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
+    adjoint_atol = atol if adjoint_atol is None else adjoint_atol
+    adjoint_method = method if adjoint_method is None else adjoint_method
+    interp_flag = _auto_interpret(interpret)
+    max_steps = (int(max_num_steps) if max_num_steps is not None
+                 else 2 ** 31 - 1)
+
+    from .solvers.base import SolverStats as _Stats
+    from .utils.nfe import emit_bwd, emit_fwd
+
+    weights = tuple((W, b) for W, b in weights)
+
+    def _fwd_solve(weights_, y0_, t_):
+        res = solve_mlp_spec(spec, weights_, y0_, t_, rtol=rtol, atol=atol,
+                             method=method, interpret=interpret,
+                             max_num_steps=max_num_steps,
+                             first_step=first_step)
+        emit_fwd(nfe_meter, res.stats.nfe, res.stats.n_accepted)
+        return res.ys, res.stats
+
+    @jax.custom_vjp
+    def _run(weights_, y0_, t_):
+        return _fwd_solve(weights_, y0_, t_)
+
+    def _vjp_fwd(weights_, y0_, t_):
+        ys, stats = _fwd_solve(weights_, y0_, t_)
+        return (ys, stats), (ys, weights_, t_)
+
+    def _vjp_bwd(res, cot):
+        ys, weights_, t_ = res
+        g, _ = cot                      # stats cotangents: symbolic zeros
+        t_ = jnp.asarray(t_)
+        T = t_.shape[0]
+        dtype = ys.dtype
+        if T < 2:
+            zero_w = jax.tree_util.tree_map(jnp.zeros_like, weights_)
+            return (zero_w, g[0], jnp.zeros_like(t_))
+
+        # d loss / d t_i = dot(f(t_i, y_i), g_i); the a_t quadrature is
+        # zero for autonomous dynamics, so ts_bar[0] = -sum(t_bars[1:]).
+        f_obs = mlp_apply(spec, weights_, ys)          # [T, B, D]
+        t_bars = jnp.sum(f_obs * g, axis=(1, 2)).astype(t_.dtype)
+        ts_bar = jnp.concatenate(
+            [-jnp.sum(t_bars[1:])[None], t_bars[1:]])
+
+        sign = jnp.where(t_[-1] >= t_[0], 1.0, -1.0).astype(dtype)
+        tau = (sign * t_).astype(dtype)
+        ysT = jnp.transpose(ys, (0, 2, 1)).astype(dtype)    # [T, D, B]
+        gT = jnp.transpose(g, (0, 2, 1)).astype(dtype)
+
+        if adjoint_first_step is not None:
+            dt0 = jnp.abs(jnp.asarray(adjoint_first_step, dtype))
+        else:
+            # Cheap heuristic: a tenth of the last observation gap; the
+            # controller converges within a few attempts either way.
+            dt0 = 0.1 * jnp.abs(tau[-1] - tau[-2]).astype(dtype)
+
+        warrays, dims = pad_mlp_weights(weights_, dtype)
+        ay0, aws, bstats = mlp_adjoint_solve(
+            warrays, dims, ysT, gT, tau, dt0, adjoint_rtol, adjoint_atol,
+            sign, activation=spec.activation,
+            final_activation=spec.final_activation,
+            input_power=spec.input_power, method=adjoint_method,
+            max_steps=max_steps, seminorm=adjoint_seminorm,
+            interpret=interp_flag)
+        emit_bwd(nfe_meter, bstats[0], bstats[1])
+
+        w_bar = []
+        for (W, b), (dWp, dbp) in zip(weights_, aws):
+            din, dout = W.shape
+            dW = dWp[:dout, :din].T.astype(W.dtype)
+            db = (dbp[:dout, 0].astype(b.dtype) if b is not None else None)
+            w_bar.append((dW, db))
+        return (tuple(w_bar), ay0.T.astype(ys.dtype),
+                ts_bar.astype(t_.dtype))
+
+    _run.defvjp(_vjp_fwd, _vjp_bwd)
+    ys, stats = _run(weights, y0, jnp.asarray(t))
+    if return_stats:
+        return ys, _Stats(*stats)
+    return ys
+
+
+def solve_mlp_global_sharded(params: dict, y0: Array, t, mesh, *,
+                             axis: str = "data", rtol=1e-6, atol=1e-8,
+                             tile_b: int = 512,
+                             interpret: Optional[bool] = None,
+                             max_num_steps=None,
+                             first_step=None) -> SolveResult:
+    """GLOBALLY-COUPLED data-parallel fused solve: per-shard fused step
+    kernels with the error norm all-reduced (`psum`) over ICI each attempt,
+    so all shards share one step-size controller and take the SAME
+    accept/reject sequence a single device would — unlike
+    `solve_mlp_sharded`, whose shards control their own steps.
+
+    Cost model: one scalar psum per attempt rides ICI latency (~µs); use
+    this when cross-shard reproducibility of the step sequence matters
+    more than the last bit of throughput.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    y0 = jnp.asarray(y0)
+    n_shards = mesh.shape[axis]
+    if y0.shape[0] % n_shards:
+        raise ValueError(f"batch {y0.shape[0]} not divisible by mesh axis "
+                         f"'{axis}' size {n_shards}")
+    gb = y0.shape[0]
+
+    # first_step must be supplied or derived from GLOBAL data; the HNW
+    # heuristic inside each shard would see only local rows and disagree.
+    if first_step is None:
+        from .ops.norms import select_initial_step
+        dtype = y0.dtype
+        yT = y0.T
+        f0 = mlp_f(params, yT)
+        flat_f = lambda tt, yf: mlp_f(params, yf.reshape(yT.shape)).ravel()
+        first_step = select_initial_step(
+            flat_f, jnp.asarray(t)[0].astype(dtype), yT.ravel(), f0.ravel(),
+            4, jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype))
+
+    def local_solve(y_shard):
+        r = solve_mlp_stepwise(params, y_shard, t, rtol=rtol, atol=atol,
+                               tile_b=tile_b, interpret=interpret,
+                               max_num_steps=max_num_steps,
+                               first_step=first_step, axis_name=axis,
+                               global_batch=gb)
+        return r.ys, jnp.stack([r.stats.nfe, r.stats.n_accepted,
+                                r.stats.n_rejected, r.stats.status])
+
+    try:
+        ys, st = jax.shard_map(
+            local_solve, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(None, axis), P(None)), check_vma=False)(y0)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        ys, st = _sm(local_solve, mesh=mesh, in_specs=P(axis),
+                     out_specs=(P(None, axis), P(None)),
+                     check_rep=False)(y0)
+    stats = SolverStats(st[0], st[1], st[2], st[3])
+    return SolveResult(ys, stats)
 
 
 def solve_mlp_sharded(params: dict, y0: Array, t, mesh, *, axis: str = "data",

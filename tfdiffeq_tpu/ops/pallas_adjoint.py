@@ -1,0 +1,401 @@
+"""Fused continuous-adjoint backward sweep for MLP neural ODEs.
+
+One Pallas kernel runs the ENTIRE adjoint backward pass of
+`odeint_adjoint` (SURVEY.md §3.3) for autonomous MLP dynamics: the loop
+over observation intervals, the stored-forward-state resets, the cotangent
+injections, every adaptive RK step on the augmented system, the in-stage
+MLP forward+VJP, the tolerance-scaled error norm over (y, a_y, a_params),
+the step controller, and the parameter-gradient quadrature — with all
+state in VMEM. Only (dL/dy0, dL/dparams, 4 stats ints) leave the chip.
+
+This is the training-path counterpart of `pallas_kernels.mlp_solve`
+(forward): together they make `fast.odeint_adjoint_mlp` a two-kernel
+training step, vs ~10^2 XLA kernel launches per solver step on the
+generic path (each launch costs ~5us through this testbed's tunnel).
+
+Augmented dynamics (tau = sign*t increasing canonical time, sigma = -tau
+so every backward interval integrates FORWARD in sigma; g = sign*f):
+
+    dy/dsigma   = -sign * f(y)
+    da_y/dsigma = +sign * (df/dy)^T a_y
+    da_w/dsigma = +sign * (df/dw)^T a_y        (pure quadrature)
+
+The MLP VJP is hand-built from the same outer-product/sublane-reduction
+primitives as the forward net (exact f32 on the VPU, no MXU bf16 passes);
+activation derivatives come from `_ACTIVATION_GRADS`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import (_ACTIVATION_GRADS, _ACTIVATIONS, _LANE,
+                             _controller_factor, _input_transform, _round_up)
+
+Array = jax.Array
+
+
+def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
+                   input_power: int):
+    """Build F(y, a_y) -> (f, v_y, [(dW, db), ...]).
+
+    f = MLP(y) with y [D, B] feature-major; v_y = (df/dy)^T a_y [D, B];
+    dW [doutP, dinP] (wT layout), db [doutP, 1] are batch-summed parameter
+    cotangents. All contractions are unrolled over TRUE feature dims.
+    """
+    L = len(dims)
+    acts = [activation] * (L - 1) + [final_activation]
+
+    def aug_eval(y, a_y):
+        B = y.shape[1]
+        dtype = y.dtype
+        # ---- forward, keeping layer inputs and pre-activations ----
+        h = _input_transform(y, input_power)
+        hs = [h]          # layer INPUTS (h_0 ... h_{L-1})
+        zs = []           # pre-activations
+        for l, (din, dout) in enumerate(dims):
+            wT = wrefs[2 * l]
+            b = wrefs[2 * l + 1]
+            acc = None
+            for i in range(din):
+                term = wT[:, i:i + 1] * h[i:i + 1, :]
+                acc = term if acc is None else acc + term
+            z = acc + b[:]
+            zs.append(z)
+            h = _ACTIVATIONS[acts[l]](z)
+            hs.append(h)
+        D_out = dims[-1][1]
+        f = h[:D_out, :]
+
+        # ---- backward (cotangent a_y on f) ----
+        dparams = [None] * L
+        # dz has TRUE rows [dout, B] at every layer.
+        dz = a_y * _ACTIVATION_GRADS[acts[-1]](zs[-1][:D_out, :],
+                                               hs[-1][:D_out, :])
+        for l in range(L - 1, -1, -1):
+            din, dout = dims[l]
+            wT = wrefs[2 * l]
+            doutP, dinP = wT.shape
+            # Pad dz rows to doutP for full-height elementwise ops.
+            if doutP != dout:
+                dz_p = jnp.concatenate(
+                    [dz, jnp.zeros((doutP - dout, B), dtype)], axis=0)
+            else:
+                dz_p = dz
+            # dW[o, i] = sum_b h_in[i, b] * dz[o, b]  (lane reduction per
+            # input feature; padded columns stay zero).
+            h_in = hs[l]
+            cols = [jnp.sum(h_in[i:i + 1, :] * dz_p, axis=1, keepdims=True)
+                    for i in range(din)]
+            if dinP != din:
+                cols.append(jnp.zeros((doutP, dinP - din), dtype))
+            dW = jnp.concatenate(cols, axis=1)               # [doutP, dinP]
+            db = jnp.sum(dz_p, axis=1, keepdims=True)        # [doutP, 1]
+            dparams[l] = (dW, db)
+            if l > 0:
+                # dh_in[i, :] = sum_o w[i, o] dz[o, :] (sublane reduction).
+                rows = [jnp.sum(wT[:, i:i + 1] * dz_p, axis=0, keepdims=True)
+                        for i in range(din)]
+                dh = jnp.concatenate(rows, axis=0)           # [din, B]
+                din_prev, dout_prev = dims[l - 1]
+                dz = dh * _ACTIVATION_GRADS[acts[l - 1]](
+                    zs[l - 1][:dout_prev, :], hs[l][:dout_prev, :])
+            else:
+                rows = [jnp.sum(wT[:, i:i + 1] * dz_p, axis=0, keepdims=True)
+                        for i in range(din)]
+                dx0 = jnp.concatenate(rows, axis=0)          # [D, B]
+                if input_power == 1:
+                    v_y = dx0
+                else:
+                    # d(y**p)/dy = p * y**(p-1)
+                    yp = _input_transform(y, input_power - 1)
+                    v_y = dx0 * (float(input_power) * yp)
+        return f, v_y, dparams
+
+    return aug_eval
+
+
+def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
+                         dfactor: float, max_steps: int, denom: float,
+                         B_true: int, dims, activation: str,
+                         final_activation: str, input_power: int,
+                         seminorm: bool):
+    """Kernel: the full backward sweep. Ref layout (inputs then outputs then
+    scratch):
+
+      SMEM in : sigma [1,T], dt0, rtol, atol, dtmin, sign_f
+      VMEM in : ys [T,D,B], g [T,D,B], weights (2L refs)
+      out     : ay0 [D,B], per-layer (aw [doutP,dinP], ab [doutP,1]),
+                stats [1,4] (SMEM)
+      scratch : y, ay, comp_y, comp_ay (all [D,B])
+    """
+    L = len(dims)
+    stages = tab.stages
+
+    def kernel(*refs):
+        (sigma_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref, sf_ref) = refs[:6]
+        ys_ref, g_ref = refs[6:8]
+        wrefs = refs[8:8 + 2 * L]
+        ay0_ref = refs[8 + 2 * L]
+        awrefs = refs[9 + 2 * L: 9 + 4 * L]
+        stats_ref = refs[9 + 4 * L]
+        y_s, ay_s, cy_s, cay_s = refs[10 + 4 * L:]
+
+        rtol = rtol_ref[0, 0]
+        atol = atol_ref[0, 0]
+        dt_min = dtmin_ref[0, 0]
+        sf = sf_ref[0, 0]
+
+        aug_eval = _make_aug_eval(wrefs, dims, activation, final_activation,
+                                  input_power)
+
+        def rhs(y, ay):
+            f, v_y, dparams = aug_eval(y, ay)
+            ky = -sf * f
+            kay = sf * v_y
+            kws = [(sf * dW, sf * db) for dW, db in dparams]
+            return ky, kay, kws
+
+        for r in awrefs:
+            r[:] = jnp.zeros_like(r)
+        ay_s[:] = jnp.zeros_like(ay_s)
+
+        lane = None  # built lazily inside the loop body
+
+        def interval_body(ii, carry):
+            dt, nfe, nacc, nrej, status = carry
+            i = T - 1 - ii
+            # Reset y to the stored forward state; inject the cotangent.
+            y_s[:] = ys_ref[pl.ds(i, 1)][0]
+            ay_s[:] = ay_s[:] + g_ref[pl.ds(i, 1)][0]
+            cy_s[:] = jnp.zeros_like(cy_s)
+            cay_s[:] = jnp.zeros_like(cay_s)
+            s_start = sigma_ref[0, i]
+            s_end = sigma_ref[0, i - 1]
+
+            def cond(c):
+                s, dt, nfe, nacc, nrej, status = c
+                return (s < s_end) & (status == 0)
+
+            def body(c):
+                s, dt, nfe, nacc, nrej, status = c
+                rem = s_end - s
+                dt_eff = jnp.minimum(dt, rem)
+                is_last = dt >= rem
+                s1 = jnp.where(is_last, s_end, s + dt_eff)
+                dth = s1 - s
+
+                y0 = y_s[:]
+                ay0 = ay_s[:]
+
+                # ---- RK stages on the augmented state ----
+                ky, kay, kws = [], [], []
+                for st in range(stages):
+                    if st == 0:
+                        yi, ayi = y0, ay0
+                    else:
+                        yi, ayi = y0, ay0
+                        for aij, (kyj, kayj) in zip(tab.a[st - 1],
+                                                    zip(ky, kay)):
+                            if aij != 0.0:
+                                yi = yi + (dth * aij) * kyj
+                                ayi = ayi + (dth * aij) * kayj
+                    k1, k2, k3 = rhs(yi, ayi)
+                    ky.append(k1)
+                    kay.append(k2)
+                    kws.append(k3)
+
+                def comb(coeffs, ks):
+                    acc = None
+                    for cjj, kj in zip(coeffs, ks):
+                        if cjj != 0.0:
+                            term = (dth * cjj) * kj
+                            acc = term if acc is None else acc + term
+                    return acc
+
+                d_y = comb(tab.b_sol, ky)
+                d_ay = comb(tab.b_sol, kay)
+                e_y = comb(tab.b_err, ky)
+                e_ay = comb(tab.b_err, kay)
+
+                d_ws, e_ws = [], []
+                for l in range(L):
+                    d_ws.append((comb(tab.b_sol, [k[l][0] for k in kws]),
+                                 comb(tab.b_sol, [k[l][1] for k in kws])))
+                    e_ws.append((comb(tab.b_err, [k[l][0] for k in kws]),
+                                 comb(tab.b_err, [k[l][1] for k in kws])))
+
+                y1 = y0 + d_y
+                ay1 = ay0 + d_ay
+
+                # ---- error norm over the full augmented state ----
+                lane = jax.lax.broadcasted_iota(jnp.int32, y0.shape, 1)
+                valid = lane < B_true
+
+                def esc_sq(e, v0, v1, mask=None):
+                    scale = atol + rtol * jnp.maximum(jnp.abs(v0),
+                                                      jnp.abs(v1))
+                    esc = e / scale
+                    if mask is not None:
+                        esc = jnp.where(mask, esc, 0.0)
+                    return jnp.sum(esc * esc)
+
+                ss = esc_sq(e_y, y0, y1, valid) + esc_sq(e_ay, ay0, ay1,
+                                                         valid)
+                fin_chk = (jnp.all(jnp.isfinite(jnp.where(valid, y1, 0.0)))
+                           & jnp.all(jnp.isfinite(jnp.where(valid, ay1,
+                                                            0.0))))
+                if not seminorm:
+                    for l in range(L):
+                        aw0 = awrefs[2 * l][:]
+                        ab0 = awrefs[2 * l + 1][:]
+                        ss = ss + esc_sq(e_ws[l][0], aw0,
+                                         aw0 + d_ws[l][0])
+                        ss = ss + esc_sq(e_ws[l][1], ab0,
+                                         ab0 + d_ws[l][1])
+                ratio = jnp.sqrt(ss / denom)
+                finite = jnp.isfinite(ss) & fin_chk
+                accept = (ratio <= 1.0) & finite
+
+                fac = _controller_factor(ratio, finite, accept, safety,
+                                         ifactor, dfactor, tab.order)
+                dt_next = dth * fac
+
+                # Kahan-compensated accumulation for y and a_y.
+                adj_y = d_y - cy_s[:]
+                y_new = y0 + adj_y
+                adj_ay = d_ay - cay_s[:]
+                ay_new = ay0 + adj_ay
+
+                @pl.when(accept)
+                def _():
+                    cy_s[:] = (y_new - y0) - adj_y
+                    y_s[:] = y_new
+                    cay_s[:] = (ay_new - ay0) - adj_ay
+                    ay_s[:] = ay_new
+                    for l in range(L):
+                        awrefs[2 * l][:] = awrefs[2 * l][:] + d_ws[l][0]
+                        awrefs[2 * l + 1][:] = (awrefs[2 * l + 1][:]
+                                                + d_ws[l][1])
+
+                n_att = nacc + nrej + 1
+                status = jnp.where(
+                    (~accept) & (dt_next < dt_min), jnp.int32(2), status)
+                status = jnp.where(
+                    (n_att >= max_steps) & (s1 < s_end), jnp.int32(1),
+                    status)
+                return (jnp.where(accept, s1, s), dt_next, nfe + stages,
+                        nacc + accept.astype(jnp.int32),
+                        nrej + (~accept).astype(jnp.int32), status)
+
+            init = (s_start, dt, nfe, nacc, nrej, status)
+            s, dt, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body,
+                                                                init)
+            return dt, nfe, nacc, nrej, status
+
+        status0 = jnp.int32(0)
+        carry0 = (dt0_ref[0, 0], jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                  status0)
+        dt, nfe, nacc, nrej, status = jax.lax.fori_loop(
+            0, T - 1, interval_body, carry0)
+
+        ay0_ref[:] = ay_s[:] + g_ref[pl.ds(0, 1)][0]
+        stats_ref[0, 0] = nfe
+        stats_ref[0, 1] = nacc
+        stats_ref[0, 2] = nrej
+        stats_ref[0, 3] = status
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "activation", "final_activation", "input_power",
+                     "method", "safety", "ifactor", "dfactor", "max_steps",
+                     "seminorm", "interpret"))
+def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
+                      dt0: Array, rtol, atol, sign, *,
+                      activation: str = "tanh",
+                      final_activation: str = "identity",
+                      input_power: int = 1, method: str = "dopri5",
+                      safety: float = 0.9, ifactor: float = 10.0,
+                      dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
+                      seminorm: bool = False, interpret: bool = False):
+    """Fused adjoint backward sweep, one kernel launch.
+
+    warrays/dims: padded weights (`pad_mlp_weights`). ys, g: [T, D, B]
+    feature-major forward trajectory and output cotangents at the
+    observation times tau ([T], increasing canonical; sign as in
+    `mlp_solve`). dt0: initial backward step (in sigma = -tau space).
+    seminorm: exclude the parameter quadratures from step-size control
+    (Kidger et al. 2020).
+
+    Returns (ay0 [D, B] = dL/dy0 in canonical layout, aw_list of padded
+    (dW [doutP, dinP], db [doutP, 1]) cotangents, stats [4] int32).
+    """
+    from . import tableaus as _tabs
+    tab = {"dopri5": _tabs.DOPRI5, "bosh3": _tabs.BOSH3,
+           "adaptive_heun": _tabs.ADAPTIVE_HEUN, "tsit5": _tabs.TSIT5,
+           "dopri8": _tabs.DOPRI8}[method]
+    T, D, B = ys.shape
+    dtype = ys.dtype
+    warrays = [jnp.asarray(w, dtype) for w in warrays]
+    L = len(dims)
+
+    B_true = B
+    BP = _round_up(max(B, _LANE), _LANE)
+    if BP != B:
+        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, BP - B)))
+        B = BP
+
+    sigma = (-tau).astype(dtype)          # backward sweeps integrate up
+    dt_min = (4.0 * jnp.finfo(dtype).eps
+              * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
+                            1.0)).astype(dtype)
+
+    n_params = sum(din * dout + dout for din, dout in dims)
+    denom = float(2 * D * B_true + n_params)
+
+    kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
+                                  int(max_steps), denom, B_true, dims,
+                                  activation, final_activation, input_power,
+                                  seminorm)
+
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((D, B), dtype)]
+    for l in range(L):
+        out_shape.append(
+            jax.ShapeDtypeStruct(warrays[2 * l].shape, dtype))
+        out_shape.append(
+            jax.ShapeDtypeStruct(warrays[2 * l + 1].shape, dtype))
+    out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
+
+    res = pl.pallas_call(
+        kernel,
+        in_specs=[smem_t] * 6 + [vmem] * (2 + 2 * L),
+        out_specs=[vmem] * (1 + 2 * L) + [smem_t],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((D, B), dtype)] * 4,
+        interpret=interpret,
+    )(sigma.reshape(1, T),
+      jnp.reshape(dt0.astype(dtype), (1, 1)),
+      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+      jnp.reshape(dt_min, (1, 1)),
+      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+      ys, g, *warrays)
+
+    ay0 = res[0]
+    aws = [(res[1 + 2 * l], res[2 + 2 * l]) for l in range(L)]
+    stats = res[1 + 2 * L][0]
+    if B != B_true:
+        ay0 = ay0[:, :B_true]
+    return ay0, aws, stats

@@ -62,6 +62,100 @@ def _round_up(x: int, m: int) -> int:
 # Shared in-kernel pieces
 # ---------------------------------------------------------------------------
 
+# In-kernel activations. Only ops that lower in Mosaic (exp/log/max/mul);
+# all are exact no-ops on zero-padded rows EXCEPT sigmoid/softplus, whose
+# nonzero pad-row outputs are still harmless: the next layer's weight rows
+# for padded inputs are zero-padded, so garbage never reaches true outputs.
+_ACTIVATIONS = {
+    "identity": lambda x: x,
+    "linear": lambda x: x,
+    "tanh": jnp.tanh,
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "elu": lambda x: jnp.where(x > 0.0,
+                               x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0),
+    "sigmoid": lambda x: 1.0 / (1.0 + jnp.exp(-x)),
+    "softplus": lambda x: (jnp.maximum(x, 0.0)
+                           + jnp.log1p(jnp.exp(-jnp.abs(x)))),
+    "silu": lambda x: x / (1.0 + jnp.exp(-x)),
+    "swish": lambda x: x / (1.0 + jnp.exp(-x)),
+}
+
+# Derivatives act'(z) expressed via z (and act(z) where cheaper).
+_ACTIVATION_GRADS = {
+    "identity": lambda z, a: jnp.ones_like(z),
+    "linear": lambda z, a: jnp.ones_like(z),
+    "tanh": lambda z, a: 1.0 - a * a,
+    "relu": lambda z, a: jnp.where(z > 0.0, 1.0, 0.0),
+    "elu": lambda z, a: jnp.where(z > 0.0, 1.0, a + 1.0),
+    "sigmoid": lambda z, a: a * (1.0 - a),
+    "softplus": lambda z, a: 1.0 / (1.0 + jnp.exp(-z)),
+    "silu": lambda z, a: (lambda s: s * (1.0 + z * (1.0 - s)))(
+        1.0 / (1.0 + jnp.exp(-z))),
+    "swish": lambda z, a: (lambda s: s * (1.0 + z * (1.0 - s)))(
+        1.0 / (1.0 + jnp.exp(-z))),
+}
+
+
+def pad_mlp_weights(weights, dtype):
+    """Pad an MLP weight list for feature-major VMEM kernels.
+
+    weights: sequence of (W [din, dout], b [dout] | None). Returns
+    (arrays, dims) where arrays is the flat list [wT_0, b_0, wT_1, b_1, ...]
+    with wT [doutP, dinP] (transposed so column i is input-feature i's
+    outgoing weights — no in-kernel transposes) and b [doutP, 1], both
+    zero-padded to sublane multiples; dims is the static ((din, dout), ...).
+    """
+    arrays, dims = [], []
+    for W, b in weights:
+        din, dout = W.shape
+        dinP = _round_up(din, _SUBLANE)
+        doutP = _round_up(dout, _SUBLANE)
+        wT = jnp.zeros((doutP, dinP), dtype).at[:dout, :din].set(
+            jnp.asarray(W, dtype).T)
+        bb = jnp.zeros((doutP, 1), dtype)
+        if b is not None:
+            bb = bb.at[:dout, 0].set(jnp.asarray(b, dtype))
+        arrays += [wT, bb]
+        dims.append((din, dout))
+    return arrays, tuple(dims)
+
+
+def _input_transform(y, power: int):
+    h = y
+    for _ in range(power - 1):
+        h = h * y
+    return h
+
+
+def _make_net(wrefs, dims, activation: str, final_activation: str,
+              input_power: int):
+    """Build f(y): [D, B] -> [D_out, B] from padded VMEM weight refs.
+
+    General L-layer MLP: z_l = W_l^T h_{l-1} + b_l, h_l = act(z_l), with
+    `final_activation` on the last layer and y**input_power on the input.
+    Contractions are outer-product broadcasts over TRUE input features plus
+    sublane reads — all VPU, exact f32 (no MXU bf16 passes), and zero work
+    on padded rows (their weights are skipped entirely).
+    """
+    acts = ([_ACTIVATIONS[activation]] * (len(dims) - 1)
+            + [_ACTIVATIONS[final_activation]])
+
+    def f(y):
+        h = _input_transform(y, input_power)
+        for l, (din, dout) in enumerate(dims):
+            wT = wrefs[2 * l]
+            b = wrefs[2 * l + 1]
+            acc = None
+            for i in range(din):
+                term = wT[:, i:i + 1] * h[i:i + 1, :]     # [doutP, B]
+                acc = term if acc is None else acc + term
+            h = acts[l](acc + b[:])
+        dout = dims[-1][1]
+        return h[:dout, :]
+
+    return f
+
+
 def _make_mlp(w1_ref, b1_ref, w2_ref, b2):
     """Build f(y): [D, TB] -> [D, TB] from VMEM weight refs.
 
@@ -291,17 +385,24 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
 
 def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                        dfactor: float, max_steps: int, denom: float,
-                       B_true: int):
+                       B_true: int, make_f, n_wrefs: int):
+    """Whole-solve kernel, dynamics-generic: `make_f(wrefs)` builds the
+    in-kernel RHS from `n_wrefs` VMEM weight refs. A runtime sign scalar
+    (SMEM) multiplies the RHS so one compiled kernel serves both time
+    directions (tau = sign * t, as in solvers/base.py canonicalize)."""
     evals = tab.evals_per_step
 
-    def kernel(tau_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref,
-               y0_ref, f0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               out_ref, stats_ref, y_s, f_s, comp_s):
+    def kernel(*refs):
+        (tau_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref,
+         sign_ref, valid_ref, y0_ref, f0_ref) = refs[:9]
+        wrefs = refs[9:9 + n_wrefs]
+        out_ref, stats_ref, y_s, f_s, comp_s = refs[9 + n_wrefs:]
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
         dt_min = dtmin_ref[0, 0]
         t_end = tau_ref[0, T - 1]
         t_start = tau_ref[0, 0]
+        sign = sign_ref[0, 0]
 
         # Deterministic output on early exit: zero-fill, then y0 row.
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -310,7 +411,12 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
         f_s[:] = f0_ref[:]
         comp_s[:] = jnp.zeros_like(comp_s)
 
-        f = _make_mlp(w1_ref, b1_ref, w2_ref, b2_ref[:])
+        raw_f = make_f(wrefs)
+
+        def f(y):
+            # g(tau, y) = sign * f(sign * tau, y); autonomous RHS, so only
+            # the output flip matters.
+            return sign * raw_f(y)
 
         def cond(c):
             t, dt, oi, nfe, nacc, nrej, status = c
@@ -400,10 +506,12 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                     nacc + accept.astype(jnp.int32),
                     nrej + (~accept).astype(jnp.int32), status)
 
-        # Invalid (non-increasing) time span: report status 3, leave out
+        # Invalid (non-monotonic) times: report status 3, leave out
         # zero-filled beyond row 0 (traced t bypasses the eager validation
-        # in fast.py, so this is the only guard under jit).
-        status0 = jnp.where(t_end > t_start, jnp.int32(0), jnp.int32(3))
+        # in fast.py, so this is the only guard under jit). valid_ref
+        # carries the caller's full tau-monotonicity check.
+        status0 = jnp.where((t_end > t_start) & (valid_ref[0, 0] != 0),
+                            jnp.int32(0), jnp.int32(3))
         init = (t_start, dt0_ref[0, 0], jnp.int32(1), jnp.int32(0),
                 jnp.int32(0), jnp.int32(0), status0)
         t, dt, oi, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body,
@@ -416,23 +524,48 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("method", "safety", "ifactor", "dfactor",
-                                    "max_steps", "interpret"))
-def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
-                     rtol, atol, *, f0: Array = None,
-                     method: str = "dopri5", safety: float = 0.9,
-                     ifactor: float = 10.0, dfactor: float = 0.2,
-                     max_steps: int = 2 ** 31 - 1,
-                     interpret: bool = False):
-    """Whole-solve fused adaptive RK for tanh-MLP dynamics, one kernel
-    launch. `method` selects the tableau ('dopri5', 'bosh3',
+def padded_mlp_f(warrays, dims, y: Array, activation: str,
+                 final_activation: str, input_power: int) -> Array:
+    """XLA reference of the in-kernel general MLP (padded weights, [D, B]
+    feature-major) — used for f0/initial-step selection and testing."""
+    acts = ([_ACTIVATIONS[activation]] * (len(dims) - 1)
+            + [_ACTIVATIONS[final_activation]])
+    h = _input_transform(y, input_power)
+    for l, (din, dout) in enumerate(dims):
+        wT = warrays[2 * l]
+        b = warrays[2 * l + 1]
+        z = jnp.einsum("oi,ib->ob", wT[:, :din], h[:din, :],
+                       precision=jax.lax.Precision.HIGHEST) + b
+        h = acts[l](z)
+    return h[:dims[-1][1], :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "activation", "final_activation", "input_power",
+                     "method", "safety", "ifactor", "dfactor", "max_steps",
+                     "interpret"))
+def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
+              sign, *, f0: Array = None, activation: str = "tanh",
+              final_activation: str = "identity", input_power: int = 1,
+              method: str = "dopri5", safety: float = 0.9,
+              ifactor: float = 10.0, dfactor: float = 0.2,
+              max_steps: int = 2 ** 31 - 1, interpret: bool = False):
+    """Whole-solve fused adaptive RK for a GENERAL autonomous MLP ODE, one
+    kernel launch: every stage evaluation, combine, error norm, controller
+    decision and dense-output write runs in-kernel.
+
+    warrays/dims: padded weights from `pad_mlp_weights` (arbitrary depth,
+    any activation in `_ACTIVATIONS`, optional y**input_power input
+    transform — covers both the benchmark tanh-MLP and the latent-ODE ELU
+    dynamics). `method` selects the tableau ('dopri5', 'bosh3',
     'adaptive_heun', 'tsit5', 'dopri8'); non-FSAL tableaus pay one extra
     evaluation per accepted step for the dense-output end derivative.
 
-    y0: [D, B] feature-major; tau: [T] increasing times (tau[0] = t0);
-    f0: optional precomputed f(t0, y0) (avoids a duplicate evaluation when
-    the caller already needed it for initial-step selection).
+    y0: [D, B] feature-major; tau: [T] INCREASING canonical times; sign:
+    runtime scalar, +1/-1 with tau = sign * t (reverse time = sign -1, as
+    in solvers/base.py); f0: optional precomputed signed derivative at
+    (tau[0], y0).
     Returns (out [T, D, B], stats [4] int32: nfe/accepted/rejected/status).
     Status: 0 OK, 1 MAX_STEPS_REACHED, 2 DT_UNDERFLOW, 3 INVALID_TIMES.
     """
@@ -443,9 +576,11 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
     D, B = y0.shape
     T = int(tau.shape[0])
     dtype = y0.dtype
-    w1, b1, w2, b2, HP = _pad_params(params, D, dtype)
+    warrays = [jnp.asarray(w, dtype) for w in warrays]
+    sign = jnp.asarray(sign, dtype)
     if f0 is None:
-        f0 = mlp_f(params, y0)
+        f0 = sign * padded_mlp_f(warrays, dims, y0, activation,
+                                 final_activation, input_power)
 
     # Pad ANY batch up to a full VPU lane multiple (Mosaic needs lane-aligned
     # vectors; e.g. B=200 would reach the kernel unaligned otherwise); padded
@@ -464,15 +599,23 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
               * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
                             1.0)).astype(dtype)
 
+    def make_f(wrefs):
+        return _make_net(wrefs, dims, activation, final_activation,
+                         input_power)
+
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
-                                int(max_steps), float(D * B_true), B_true)
+                                int(max_steps), float(D * B_true), B_true,
+                                make_f, len(warrays))
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    tau = tau.astype(dtype)
+    valid = (jnp.all(jnp.diff(tau) > 0) if T > 1
+             else jnp.asarray(True)).astype(jnp.int32)
     out, stats = pl.pallas_call(
         kernel,
-        in_specs=[smem_t] * 5 + [vmem] * 6,
+        in_specs=[smem_t] * 7 + [vmem] * (2 + len(warrays)),
         out_specs=[vmem, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((1, 4), jnp.int32)],
@@ -480,12 +623,33 @@ def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
                         pltpu.VMEM((D, B), dtype),
                         pltpu.VMEM((D, B), dtype)],
         interpret=interpret,
-    )(tau.astype(dtype).reshape(1, T),
+    )(tau.reshape(1, T),
       jnp.reshape(dt0.astype(dtype), (1, 1)),
       jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
       jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
       jnp.reshape(dt_min, (1, 1)),
-      y0, f0, w1, b1, w2, b2)
+      jnp.reshape(sign, (1, 1)),
+      jnp.reshape(valid, (1, 1)),
+      y0, f0, *warrays)
     if B != B_true:
         out = out[:, :, :B_true]
     return out, stats[0]
+
+
+def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
+                     rtol, atol, *, f0: Array = None,
+                     method: str = "dopri5", safety: float = 0.9,
+                     ifactor: float = 10.0, dfactor: float = 0.2,
+                     max_steps: int = 2 ** 31 - 1,
+                     interpret: bool = False):
+    """Back-compat wrapper: the benchmark tanh-MLP (f = tanh(y^3 W1 + b1)
+    W2 + b2) through the general `mlp_solve` kernel."""
+    dtype = y0.dtype
+    warrays, dims = pad_mlp_weights(
+        [(params["w1"], params["b1"]), (params["w2"], params["b2"])], dtype)
+    return mlp_solve(warrays, dims, y0, tau, dt0, rtol, atol,
+                     jnp.asarray(1.0, dtype), f0=f0, activation="tanh",
+                     final_activation="identity", input_power=3,
+                     method=method, safety=safety, ifactor=ifactor,
+                     dfactor=dfactor, max_steps=max_steps,
+                     interpret=interpret)
