@@ -103,6 +103,60 @@ def test_fused_adjoint_matches_generic_gradients():
         assert d / m < 1e-3, (d, m)
 
 
+@pytest.mark.parametrize("method", ["bosh3", "tsit5"])
+def test_fused_adjoint_other_tableaus(method):
+    """The adjoint kernel is tableau-parametrized like the forward."""
+    weights = tuple(_weights(seed=21, dims=(3, 10, 3)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(22).randn(6, 3), jnp.float32)
+    t = jnp.linspace(0.0, 1.2, 4, dtype=jnp.float32)
+
+    def loss_fused(w):
+        ys = odeint_adjoint_mlp(spec, w, y0, t, rtol=1e-7, atol=1e-9,
+                                method=method, interpret=True)
+        return jnp.sum(ys[-1] ** 2)
+
+    def loss_gen(w):
+        ys = odeint_adjoint(lambda tt, yy, p: mlp_apply(spec, p, yy),
+                            y0, t, params=w, rtol=1e-7, atol=1e-9,
+                            method=method)
+        return jnp.sum(ys[-1] ** 2)
+
+    gf = jax.grad(loss_fused)(weights)
+    gg = jax.grad(loss_gen)(weights)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 1e-3, (method, d, m)
+
+
+def test_fused_adjoint_reverse_time_grid():
+    """Fused adjoint on a DECREASING observation grid matches generic."""
+    weights = tuple(_weights(seed=23, dims=(3, 10, 3)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(24).randn(6, 3), jnp.float32)
+    t = jnp.linspace(1.2, 0.0, 4, dtype=jnp.float32)
+
+    def loss_fused(w):
+        ys = odeint_adjoint_mlp(spec, w, y0, t, rtol=1e-7, atol=1e-9,
+                                interpret=True)
+        return jnp.sum(ys[-1] ** 2)
+
+    def loss_gen(w):
+        ys = odeint_adjoint(lambda tt, yy, p: mlp_apply(spec, p, yy),
+                            y0, t, params=w, rtol=1e-7, atol=1e-9)
+        return jnp.sum(ys[-1] ** 2)
+
+    gf = jax.grad(loss_fused)(weights)
+    gg = jax.grad(loss_gen)(weights)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 1e-3, (d, m)
+
+
 def test_fused_adjoint_seminorm_close_to_full():
     weights = tuple(_weights(seed=7))
     spec = MLPSpec(activation="tanh")

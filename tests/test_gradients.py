@@ -252,6 +252,65 @@ def test_adjoint_fixed_grid_walk_reverse_time():
     np.testing.assert_allclose(float(gw), float(gd), rtol=1e-6)
 
 
+def test_adjoint_interpolated_mode_matches_direct():
+    """adjoint_mode='interpolated' (Daulbaev et al. 2020): the backward
+    pass evaluates y(s) from the stored forward dense output instead of
+    re-integrating it. Gradients (y0, t, params) must match direct
+    backprop; works forward and reverse time."""
+    params = {"A": A * 0.9, "b": jnp.asarray([0.1, -0.2], jnp.float64)}
+
+    def f(t, y, p):
+        return jnp.tanh(y @ p["A"].T + p["b"]) - 0.1 * y
+
+    for t_obs in (T, T[::-1] * 1.0):
+        g_out = jnp.asarray(np.random.RandomState(7).randn(T.shape[0], 2))
+
+        def loss_direct(y0, t, p):
+            ys = odeint(lambda tt, yy: f(tt, yy, p), y0, t,
+                        method="dopri5", rtol=1e-9, atol=1e-11,
+                        options={"max_steps": 2048})
+            return jnp.sum(ys * g_out)
+
+        def loss_interp(y0, t, p):
+            ys = odeint_adjoint(f, y0, t, params=p, rtol=1e-9, atol=1e-11,
+                                adjoint_mode="interpolated",
+                                options={"max_steps": 2048})
+            return jnp.sum(ys * g_out)
+
+        gd = jax.grad(loss_direct, argnums=(0, 1, 2))(Y0, t_obs, params)
+        gi = jax.grad(loss_interp, argnums=(0, 1, 2))(Y0, t_obs, params)
+        for a, b in zip(jax.tree_util.tree_leaves(gi),
+                        jax.tree_util.tree_leaves(gd)):
+            d = float(jnp.max(jnp.abs(a - b)))
+            m = float(jnp.max(jnp.abs(b))) + 1e-12
+            assert d / m < 1e-4, (d, m)
+
+
+def test_adjoint_interpolated_rejects_fixed_forward():
+    with pytest.raises(ValueError, match="interpolated"):
+        odeint_adjoint(lambda t, y: -y, Y0, T, method="rk4",
+                       adjoint_mode="interpolated")
+
+
+def test_dense_output_option():
+    """options={'dense_output': True} returns evaluable per-step
+    interpolants; eval at arbitrary times matches a direct solve."""
+    from tfdiffeq_tpu import solve
+
+    res = solve(linear_func, Y0, T, rtol=1e-9, atol=1e-11,
+                options={"dense_output": True, "max_steps": 2048})
+    assert res.dense is not None
+    for tq in (0.33, 0.77, 1.31):
+        got = res.dense.eval_flat(jnp.asarray(tq))
+        want = expm_at(tq) @ np.asarray(Y0)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6,
+                                   atol=1e-8)
+    # while mode cannot emit per-step interpolants
+    with pytest.raises(ValueError, match="dense_output"):
+        solve(linear_func, Y0, T, options={"dense_output": True,
+                                           "loop": "while"})
+
+
 def test_adjoint_seminorm_matches_full_norm():
     """Seminorm backward error control (Kidger et al. 2020) must reproduce
     full-norm adjoint gradients to solve tolerance while taking fewer

@@ -96,6 +96,7 @@ def odeint_adjoint(
     adjoint_method: Optional[str] = None,
     adjoint_options: Optional[dict] = None,
     adjoint_seminorm: bool = False,
+    adjoint_mode: str = "resets",
     return_stats: bool = False,
     nfe_meter=None,
 ) -> Any:
@@ -117,6 +118,21 @@ def odeint_adjoint(
     augmented dynamics, so erroring on them wastes steps (Kidger et al.
     2020, "Hey, that's not an ODE": typically 20-60%% fewer backward NFE
     at unchanged gradient accuracy).
+
+    adjoint_mode:
+      'resets' (default): the augmented backward state carries y, re-solved
+        alongside the adjoint and reset to the stored forward value at each
+        observation time — O(1) memory in step count (the reference's
+        scheme).
+      'interpolated' (Daulbaev et al. 2020, "Interpolation Technique to
+        Speed Up Gradients Propagation in Neural ODEs"): the forward solve
+        stores its per-step dense-output interpolants
+        (options={'dense_output': True}, bounded loop) and the backward
+        pass EVALUATES y(s) from them instead of re-integrating it — the
+        augmented state shrinks from (y, a_y, a_p, a_t) to (a_y, a_p, a_t),
+        y cannot drift backward through unstable dynamics, and the backward
+        solve is cheaper per step. Memory is O(forward steps x state size).
+        Requires an adaptive forward method.
     """
     if params is None:
         user_func = lambda t_, y_, p_: func(t_, y_)
@@ -138,11 +154,26 @@ def odeint_adjoint(
     # forward-only rewrites below).
     bwd_options = dict(adjoint_options if adjoint_options is not None
                        else fwd_options)
+    if adjoint_mode not in ("resets", "interpolated"):
+        raise ValueError(f"adjoint_mode must be 'resets' or 'interpolated',"
+                         f" got {adjoint_mode!r}")
+    if adjoint_mode == "interpolated" and not _is_adaptive(method):
+        raise ValueError("adjoint_mode='interpolated' needs the forward "
+                         "dense-output interpolants, which only adaptive "
+                         "methods emit; use an adaptive forward method or "
+                         "adjoint_mode='resets'")
     if _is_adaptive(method):
-        # The forward pass needs no reverse-differentiability (custom_vjp
-        # supplies gradients): use the lean while-loop. Telemetry needs the
-        # bounded loop, so it cannot apply here.
-        fwd_options.setdefault("loop", "while")
+        if adjoint_mode == "interpolated":
+            # The backward pass interpolates the stored forward solution:
+            # the forward must run the bounded loop and emit its per-step
+            # interpolants.
+            fwd_options["loop"] = "bounded"
+            fwd_options["dense_output"] = True
+        else:
+            # The forward pass needs no reverse-differentiability
+            # (custom_vjp supplies gradients): use the lean while-loop.
+            # Telemetry needs the bounded loop, so it cannot apply here.
+            fwd_options.setdefault("loop", "while")
         if fwd_options.get("loop") == "while":
             fwd_options.pop("telemetry", None)
     elif (fwd_options.get("step_size") is not None
@@ -205,7 +236,7 @@ def odeint_adjoint(
     # would make the backward solve raise.
     from .solvers.base import ADAPTIVE_OPTIONS
     if adj_is_adaptive:
-        _allowed = ADAPTIVE_OPTIONS - {"telemetry"}
+        _allowed = ADAPTIVE_OPTIONS - {"telemetry", "dense_output"}
     elif adj_kind == "fixed":
         _allowed = {"num_steps"}
     else:
@@ -223,18 +254,19 @@ def odeint_adjoint(
                     rtol=rtol, atol=atol, method=method,
                     options=fwd_options)
         emit_fwd(nfe_meter, res.stats.nfe, res.stats.n_accepted)
-        return res.ys, res.stats
+        return res.ys, res.stats, res.dense
 
     @jax.custom_vjp
     def _odeint(y0_, t_, params_):
-        return _impl(y0_, t_, params_)
+        ys, stats, _ = _impl(y0_, t_, params_)
+        return ys, stats
 
     def _fwd(y0_, t_, params_):
-        ys, stats = _impl(y0_, t_, params_)
-        return (ys, stats), (ys, t_, params_)
+        ys, stats, dense = _impl(y0_, t_, params_)
+        return (ys, stats), (ys, t_, params_, dense)
 
     def _bwd(res, g):
-        ys, t_, params_ = res
+        ys, t_, params_, dense = res
         g, _g_stats = g          # stats cotangents are symbolic zeros
         t_ = jnp.asarray(t_)
         T = t_.shape[0]
@@ -251,12 +283,20 @@ def odeint_adjoint(
             dy = user_func(tt, unravel(y_flat), p_)
             return flatten_state(dy)[0].astype(ydtype)
 
+        interpolated = adjoint_mode == "interpolated" and dense is not None
+
         if adjoint_seminorm and adj_is_adaptive:
             from .ops.norms import rms_norm
 
-            def _seminorm(x_flat):
-                # Augmented flat layout: [y (N), a_y (N), a_params..., a_t].
-                return rms_norm(x_flat[: 2 * N])
+            if interpolated:
+                def _seminorm(x_flat):
+                    # Augmented flat layout: [a_y (N), a_params..., a_t].
+                    return rms_norm(x_flat[:N])
+            else:
+                def _seminorm(x_flat):
+                    # Augmented flat layout: [y (N), a_y (N), a_params...,
+                    # a_t].
+                    return rms_norm(x_flat[: 2 * N])
 
             bwd_options.setdefault("norm", _seminorm)
 
@@ -266,6 +306,18 @@ def odeint_adjoint(
                                  y, s, params_)
             v_y, v_t, v_p = vjp_fn(a_y)
             return (dy, -v_y,
+                    jax.tree_util.tree_map(jnp.negative, v_p), -v_t)
+
+        def aug_dynamics_interp(s, aug):
+            # Interpolated adjoint (Daulbaev et al. 2020): y(s) comes from
+            # the stored forward dense output instead of being re-solved —
+            # no y in the augmented state, no backward drift.
+            a_y, a_p, a_t = aug
+            y = jax.lax.stop_gradient(dense.eval_flat(s))
+            _, vjp_fn = jax.vjp(lambda y_, t__, p_: f_flat(t__, y_, p_),
+                                y, s, params_)
+            v_y, v_t, v_p = vjp_fn(a_y)
+            return (-v_y,
                     jax.tree_util.tree_map(jnp.negative, v_p), -v_t)
 
         zero_p = jax.tree_util.tree_map(jnp.zeros_like, params_)
@@ -284,13 +336,21 @@ def odeint_adjoint(
             f_i = f_flat(t_[i], ys_flat[i], params_)
             t_bar = jnp.dot(f_i, g_flat[i]).astype(t_.dtype)
             a_t0 = a_t0 - t_bar
-            aug0 = (ys_flat[i], a_y, a_p, a_t0)
             t_pair = jnp.stack([t_[i], t_[i - 1]])
-            res_i = solve(aug_dynamics, aug0, t_pair,
-                          rtol=adjoint_rtol, atol=adjoint_atol,
-                          method=adjoint_method, options=bwd_options)
-            _, a_y, a_p, a_t0 = jax.tree_util.tree_map(
-                lambda l: l[-1], res_i.ys)
+            if interpolated:
+                aug0 = (a_y, a_p, a_t0)
+                res_i = solve(aug_dynamics_interp, aug0, t_pair,
+                              rtol=adjoint_rtol, atol=adjoint_atol,
+                              method=adjoint_method, options=bwd_options)
+                a_y, a_p, a_t0 = jax.tree_util.tree_map(
+                    lambda l: l[-1], res_i.ys)
+            else:
+                aug0 = (ys_flat[i], a_y, a_p, a_t0)
+                res_i = solve(aug_dynamics, aug0, t_pair,
+                              rtol=adjoint_rtol, atol=adjoint_atol,
+                              method=adjoint_method, options=bwd_options)
+                _, a_y, a_p, a_t0 = jax.tree_util.tree_map(
+                    lambda l: l[-1], res_i.ys)
             a_y = a_y + g_flat[i - 1]
             b_nfe = b_nfe + res_i.stats.nfe + 1        # +1: the t_bar eval
             b_acc = b_acc + res_i.stats.n_accepted

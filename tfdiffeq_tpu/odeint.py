@@ -140,6 +140,11 @@ def solve(
         elif isinstance(norm, str):
             raise ValueError(f"unknown norm {norm!r}: expected 'rms', "
                              "'max', or a callable")
+        if options.get("dense_output") and options.get(
+                "loop", "bounded") != "bounded":
+            raise ValueError("options={'dense_output': True} requires the "
+                             "bounded loop (per-step interpolants need a "
+                             "static step budget)")
         cfg = AdaptiveConfig(
             tableau=impl,
             controller=ctrl,
@@ -149,6 +154,7 @@ def solve(
             chunk_size=int(options.get("chunk_size", 32)),
             norm=norm,
             unroll=int(options.get("unroll", 1)),
+            emit_dense=bool(options.get("dense_output", False)),
         )
         result = solve_adaptive(
             prob, cfg, rtol, atol,
@@ -171,7 +177,13 @@ def solve(
         keep = prob.valid | (jnp.arange(ys_flat.shape[0]) == 0)[:, None]
         ys_flat = jnp.where(keep, ys_flat, jnp.zeros_like(ys_flat))
     ys = unravel_trajectory(prob.unravel, ys_flat)
-    return SolveResult(ys, stats, result.telemetry)
+    dense = result.dense
+    if dense is not None:
+        # Emissions are in tau space with the solver-local sign (always
+        # +1); stamp the canonicalization sign so DenseOutput.eval_flat
+        # maps user times correctly.
+        dense = dense._replace(sign=prob.sign)
+    return SolveResult(ys, stats, result.telemetry, dense)
 
 
 def odeint(

@@ -84,6 +84,10 @@ class AdaptiveConfig:
     # completes, remaining attempts in the current iteration skip via cond.
     # In bounded mode this maps to the inner scan's native `unroll`.
     unroll: int = 1
+    # Return the per-accepted-step dense-output interpolants (bounded mode
+    # only) as SolveResult.dense — lets callers evaluate y(t) anywhere
+    # post-hoc and drives the interpolated adjoint (Daulbaev et al. 2020).
+    emit_dense: bool = False
 
 
 class _Core(NamedTuple):
@@ -391,7 +395,13 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
         tt0, tdt, tacc, tact = jax.tree_util.tree_map(
             lambda e: e.reshape((num_chunks * chunk,) + e.shape[2:]), tels)
         telemetry = StepTelemetry(tt0, tdt, tacc, tact)
-    return SolveResult(out, stats, telemetry)
+    dense = None
+    if cfg.emit_dense:
+        from .base import DenseOutput
+        # Inactive tail entries replicate the last accepted step's cache;
+        # t1s stays non-decreasing, so searchsorted evaluation is exact.
+        dense = DenseOutput(t0s, t1s, dts, coeffs, jnp.asarray(1.0, rdtype))
+    return SolveResult(out, stats, telemetry, dense)
 
 
 def interp_evaluate_batched(coeffs: Array, t0: Array, dt: Array, t: Array,

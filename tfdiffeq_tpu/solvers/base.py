@@ -49,6 +49,33 @@ class SolveResult(NamedTuple):
     ys: Any               # pytree, leaves [T, ...]
     stats: SolverStats
     telemetry: Any = None  # optional StepTelemetry (options={'telemetry':1})
+    dense: Any = None      # optional DenseOutput (options={'dense_output':1})
+
+
+class DenseOutput(NamedTuple):
+    """Per-accepted-step dense-output interpolants (bounded mode,
+    `options={'dense_output': True}`): evaluate the solution anywhere in
+    [t[0], t[-1]] after the solve, and drive the interpolated adjoint
+    (Daulbaev et al. 2020). Arrays live in CANONICAL tau space
+    (tau = sign * t increasing; see canonicalize)."""
+    t0s: Array       # [S] step start times (tau)
+    t1s: Array       # [S] step end times (tau, non-decreasing)
+    dts: Array       # [S] step sizes (> 0)
+    coeffs: Array    # [S, 5, N] quartic/Hermite coefficients (flat state)
+    sign: Array      # scalar: tau = sign * t
+
+    def eval_flat(self, t: Array) -> Array:
+        """Evaluate the FLAT solution at time(s) t (user time space)."""
+        import jax.numpy as jnp
+        tau = (self.sign * jnp.asarray(t)).reshape(-1)
+        idx = jnp.clip(jnp.searchsorted(self.t1s, tau, side="left"), 0,
+                       self.t1s.shape[0] - 1)
+        x = ((tau - self.t0s[idx]) / self.dts[idx])[:, None]
+        x = x.astype(self.coeffs.dtype)
+        c = self.coeffs[idx]
+        out = ((((c[:, 0] * x + c[:, 1]) * x + c[:, 2]) * x + c[:, 3]) * x
+               + c[:, 4])
+        return out if jnp.ndim(t) else out[0]
 
 
 class CanonicalProblem(NamedTuple):
@@ -121,7 +148,7 @@ FIXED_GRID_OPTIONS = frozenset({"grid_constructor", "step_size",
 ADAPTIVE_OPTIONS = frozenset({
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "norm",
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "telemetry", "unroll",
+    "telemetry", "unroll", "dense_output",
 })
 
 _KNOWN_OPTIONS = frozenset({
@@ -132,7 +159,7 @@ _KNOWN_OPTIONS = frozenset({
     "max_iters", "norm",
     # TPU-native extensions
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "implicit", "hypernet", "telemetry", "unroll",
+    "implicit", "hypernet", "telemetry", "unroll", "dense_output",
 })
 
 
