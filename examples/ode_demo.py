@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--test_freq", type=int, default=20)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--adjoint", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="train through the fully-fused Pallas path (one "
+                        "whole-solve kernel forward + one adjoint-sweep "
+                        "kernel backward); implies adjoint gradients")
     p.add_argument("--viz", action="store_true")
     p.add_argument("--viz_dir", default="png")
     p.add_argument("--seed", type=int, default=0)
@@ -85,7 +89,21 @@ def main():
         batch_y = true_y[idx]                                 # [Tb, B, 1, 2]
         return key, batch_y0, batch_t, batch_y
 
-    if args.adjoint:
+    if args.fused:
+        # Fully-fused Pallas training path: the 2->50 tanh(y^3) MLP is an
+        # MLPSpec, so the whole forward solve and the whole adjoint
+        # backward sweep are one kernel each (tfdiffeq_tpu.fast).
+        from tfdiffeq_tpu.fast import (MLPSpec, odeint_adjoint_mlp,
+                                       weights_from_flax_dense)
+        spec = MLPSpec(activation="tanh", input_power=3)
+
+        def pred_fn(p, y0, ts):
+            weights = weights_from_flax_dense(p)
+            ys = odeint_adjoint_mlp(spec, weights, y0[:, 0, :], ts,
+                                    rtol=1e-6, atol=1e-8,
+                                    method=args.method)
+            return ys[:, :, None, :]            # [Tb, B, 1, 2]
+    elif args.adjoint:
         def pred_fn(p, y0, ts):
             return odeint_adjoint(func, y0, ts, params=p,
                                   method=args.method)

@@ -244,6 +244,35 @@ def test_fused_latent_ode_train_step_runs():
     assert changed
 
 
+def test_vmem_budget_fallback_to_generic(monkeypatch):
+    """Past the fused kernels' VMEM budget, solve_mlp_spec and
+    odeint_adjoint_mlp warn and delegate to the generic engine with the
+    same result contract."""
+    import tfdiffeq_tpu.fast as F
+
+    weights = tuple(_weights(seed=30, dims=(3, 8, 3)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(31).randn(4, 3), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+
+    ref = solve_mlp_spec(spec, weights, y0, t, interpret=True)
+    monkeypatch.setattr(F, "_VMEM_BUDGET", 1024)
+    with pytest.warns(UserWarning, match="VMEM"):
+        res = F.solve_mlp_spec(spec, weights, y0, t, interpret=False)
+    assert int(res.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+    def loss(w):
+        with pytest.warns(UserWarning, match="VMEM"):
+            ys = F.odeint_adjoint_mlp(spec, w, y0, t, interpret=False)
+        return jnp.sum(ys ** 2)
+
+    g = jax.grad(loss)(weights)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
 def test_no_bias_layers():
     weights = tuple(_weights(seed=12, dims=(3, 10, 3), bias=False))
     spec = MLPSpec(activation="tanh")

@@ -221,6 +221,17 @@ def _check_spec_inputs(y0, t):
     return y0, t
 
 
+#: VMEM budget for the fused kernels (bytes). v5e has ~16 MB/core; leave
+#: headroom for weights/activations/compiler temporaries.
+_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int) -> int:
+    from .ops.pallas_kernels import _LANE, _round_up
+    BP = _round_up(max(B, _LANE), _LANE)
+    return 4 * (n_traj_buffers * T * D * BP + 4 * D * BP)
+
+
 def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                    atol=1e-8, method: str = "dopri5",
                    interpret: Optional[bool] = None, max_num_steps=None,
@@ -238,6 +249,24 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
         return SolveResult(y0[None], SolverStats(z, z, z, z))
+
+    # The in-kernel trajectory buffer lives in VMEM; past the budget, fall
+    # back to the generic on-device engine (same result contract).
+    if (not interpret and _fused_vmem_bytes(
+            int(t.shape[0]), y0.shape[1], y0.shape[0], 1) > _VMEM_BUDGET):
+        import warnings
+        warnings.warn(
+            "solve_mlp_spec: trajectory buffer exceeds the fused kernel's "
+            "VMEM budget (T x D x B too large); falling back to the "
+            "generic while-loop engine", stacklevel=2)
+        from .odeint import solve as _solve
+        return _solve(lambda tt, yy: mlp_apply(spec, weights, yy), y0, t,
+                      rtol=rtol, atol=atol, method=method,
+                      options={"loop": "while",
+                               **({"max_num_steps": max_num_steps}
+                                  if max_num_steps is not None else {}),
+                               **({"first_step": first_step}
+                                  if first_step is not None else {})})
 
     from .ops.tableaus import (ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, TSIT5)
     order = {"dopri5": DOPRI5, "bosh3": BOSH3,
@@ -307,6 +336,28 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     interp_flag = _auto_interpret(interpret)
     max_steps = (int(max_num_steps) if max_num_steps is not None
                  else 2 ** 31 - 1)
+
+    # Backward kernel holds ys + g ([T, D, B] each) in VMEM; past the
+    # budget, delegate the whole call to the generic adjoint (identical
+    # semantics, XLA path).
+    y0_arr = jnp.asarray(y0)
+    t_arr = jnp.asarray(t)
+    if (not interp_flag and t_arr.ndim >= 1 and _fused_vmem_bytes(
+            int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 2)
+            > _VMEM_BUDGET):
+        import warnings
+        warnings.warn(
+            "odeint_adjoint_mlp: T x D x B exceeds the adjoint kernel's "
+            "VMEM budget; falling back to the generic odeint_adjoint",
+            stacklevel=2)
+        from .adjoint import odeint_adjoint as _generic_adjoint
+        return _generic_adjoint(
+            lambda tt, yy, w: mlp_apply(spec, w, yy), y0, t,
+            params=tuple((W, b) for W, b in weights), rtol=rtol, atol=atol,
+            method=method, adjoint_rtol=adjoint_rtol,
+            adjoint_atol=adjoint_atol, adjoint_method=adjoint_method,
+            adjoint_seminorm=adjoint_seminorm, nfe_meter=nfe_meter,
+            return_stats=return_stats)
 
     from .solvers.base import SolverStats as _Stats
     from .utils.nfe import emit_bwd, emit_fwd
