@@ -55,6 +55,10 @@ def parse_args(argv=None):
                         "(one whole-solve kernel forward, one adjoint-"
                         "sweep kernel backward) instead of the generic "
                         "differentiable loop")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel training over ALL visible devices: "
+                        "batch sharded on a 1-D mesh, params replicated; "
+                        "XLA inserts the gradient psum over ICI")
     return p.parse_args(argv)
 
 
@@ -218,6 +222,22 @@ def main(argv=None):
             start_iter = step
             key = jax.random.fold_in(key, step)
             print(f"resumed from {args.train_dir} at iter {step}")
+
+    if args.dp:
+        # Data-parallel scale-out: batch axis sharded over every device,
+        # parameters/optimizer state replicated. The jitted train step then
+        # runs sharded end-to-end (solver arithmetic included) with XLA
+        # inserting the gradient all-reduce over ICI.
+        from tfdiffeq_tpu.parallel.sharding import (make_mesh, replicate,
+                                                    shard_batch)
+        mesh = make_mesh(axis_names=("data",))
+        if xs.shape[0] % mesh.shape["data"]:
+            raise SystemExit(f"--dp needs nspiral divisible by the device "
+                             f"count {mesh.shape['data']}")
+        xs = shard_batch(xs, mesh)
+        state = TrainState(replicate(state.params, mesh),
+                           replicate(state.opt_state, mesh))
+        print(f"data-parallel over {mesh.shape['data']} device(s)")
 
     train_step, _ = make_train_step(args, rec, dyn, dec, opt, samp_ts)
 

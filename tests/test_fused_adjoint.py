@@ -294,3 +294,64 @@ def test_no_bias_layers():
     g = jax.grad(loss)(weights)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_time_input_spec_forward_matches_generic():
+    """MLPSpec(time_input=True): concat-t dynamics through the fused
+    whole-solve kernel match the generic engine."""
+    rng = np.random.RandomState(40)
+    D, H = 3, 12
+    weights = [
+        (jnp.asarray(rng.randn(D + 1, H) * 0.3, jnp.float32),
+         jnp.asarray(rng.randn(H) * 0.05, jnp.float32)),
+        (jnp.asarray(rng.randn(H, D) * 0.3, jnp.float32),
+         jnp.asarray(rng.randn(D) * 0.05, jnp.float32)),
+    ]
+    spec = MLPSpec(activation="tanh", time_input=True)
+    y0 = jnp.asarray(rng.randn(8, D), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 6, dtype=jnp.float32)
+
+    res = solve_mlp_spec(spec, weights, y0, t, rtol=1e-6, atol=1e-8,
+                         interpret=True)
+    ref = solve(lambda tt, yy: mlp_apply(spec, weights, yy, tt), y0, t,
+                rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while"})
+    assert int(res.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+    # the fused adjoint is autonomous-only: reject time-input specs loudly
+    from tfdiffeq_tpu.fast import odeint_adjoint_mlp as _adj
+    with pytest.raises(ValueError, match="autonomous"):
+        _adj(spec, weights, y0, t, interpret=True)
+
+
+def test_cnf_fused_log_prob_and_sample_match_generic():
+    """cnf_log_prob_fused: flow + EXACT in-kernel divergence + log-det
+    quadrature as one kernel — matches models.cnf.log_prob(trace='exact');
+    cnf_sample_fused matches models.cnf.sample."""
+    from tfdiffeq_tpu.fast import cnf_log_prob_fused, cnf_sample_fused
+    from tfdiffeq_tpu.models.cnf import CNFDynamics, log_prob, sample
+
+    dyn = CNFDynamics(dim=2, hidden=24, depth=3)
+    vs = dyn.init(jax.random.PRNGKey(0), 0.0, jnp.ones((4, 2)))
+    weights = weights_from_flax_dense(vs)
+    x = jnp.asarray(np.random.RandomState(41).randn(12, 2), jnp.float32)
+
+    def f(t, zz):
+        return dyn.apply(vs, t, zz)
+
+    lp_ref = log_prob(f, x, rtol=1e-6, atol=1e-8, trace="exact",
+                      options={"max_steps": 512})
+    lp_fused, st = cnf_log_prob_fused(weights, x, rtol=1e-6, atol=1e-8,
+                                      interpret=True)
+    assert int(st.status) == 0
+    np.testing.assert_allclose(np.asarray(lp_fused), np.asarray(lp_ref),
+                               atol=1e-4, rtol=1e-4)
+
+    s_ref = sample(f, jax.random.PRNGKey(1), 16, 2, rtol=1e-6, atol=1e-8,
+                   options={"max_steps": 512})
+    s_fused = cnf_sample_fused(weights, jax.random.PRNGKey(1), 16, 2,
+                               rtol=1e-6, atol=1e-8, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
+                               atol=1e-4, rtol=1e-4)

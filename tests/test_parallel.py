@@ -196,3 +196,23 @@ def test_globally_coupled_sharded_fused_matches_single_device():
     assert int(rg32.stats.status) == 0
     np.testing.assert_allclose(np.asarray(rg32.ys), np.asarray(r1.ys),
                                atol=5e-4)
+
+
+def test_latent_ode_example_data_parallel():
+    """examples/latent_ode.py --dp: full training step data-parallel over
+    the 8-device CPU mesh (batch sharded, params replicated, XLA-inserted
+    gradient psum)."""
+    import os
+    import sys
+    ex = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples")
+    if ex not in sys.path:
+        sys.path.insert(0, ex)
+    import latent_ode
+
+    state = latent_ode.main([
+        "--dp", "--nspiral", "8", "--ntimes", "40", "--nsample", "8",
+        "--latent_dim", "3", "--nhidden", "8", "--rnn_nhidden", "8",
+        "--niters", "2"])
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -67,6 +67,10 @@ class MLPSpec:
     activation: str = "tanh"
     final_activation: str = "identity"
     input_power: int = 1
+    # Feed the scalar time as one extra FIRST-layer input feature (last
+    # column), for concat-t MLPs like the CNF flow field. Forward solves
+    # only (the fused adjoint kernel assumes autonomous dynamics).
+    time_input: bool = False
 
     def __post_init__(self):
         for a in (self.activation, self.final_activation):
@@ -76,7 +80,7 @@ class MLPSpec:
 
 
 def mlp_apply(spec: MLPSpec, weights: Sequence[Tuple[Array, Array]],
-              y: Array) -> Array:
+              y: Array, t=0.0) -> Array:
     """XLA reference of the fused MLP dynamics; y: [..., D] batch-major.
 
     Matmuls run at HIGHEST precision to match the kernel's exact-f32 VPU
@@ -85,6 +89,10 @@ def mlp_apply(spec: MLPSpec, weights: Sequence[Tuple[Array, Array]],
     h = y
     for _ in range(spec.input_power - 1):
         h = h * y
+    if spec.time_input:
+        tt = jnp.broadcast_to(jnp.asarray(t, h.dtype),
+                              h.shape[:-1] + (1,))
+        h = jnp.concatenate([h, tt], axis=-1)
     L = len(weights)
     for l, (W, b) in enumerate(weights):
         z = jnp.dot(h, W, precision=jax.lax.Precision.HIGHEST)
@@ -279,11 +287,12 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     yT = y0.T                                   # [D, B] feature-major
     D, B = yT.shape
 
-    f0 = (sign * mlp_apply(spec, weights, y0).T).astype(dtype)  # canonical
+    f0 = (sign * mlp_apply(spec, weights, y0, t[0]).T).astype(dtype)
     if first_step is None:
         def flat_g(s, yf):
             yb = yf.reshape(D, B).T
-            return (sign * mlp_apply(spec, weights, yb).T).ravel()
+            return (sign * mlp_apply(spec, weights, yb,
+                                     sign * s).T).ravel()
 
         dt0 = select_initial_step(flat_g, tau[0], yT.ravel(), f0.ravel(),
                                   order - 1, jnp.asarray(rtol, dtype),
@@ -297,7 +306,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     out, stats = mlp_solve(
         warrays, dims, yT, tau, dt0, rtol, atol, sign, f0=f0,
         activation=spec.activation, final_activation=spec.final_activation,
-        input_power=spec.input_power, method=method,
+        input_power=spec.input_power, time_input=spec.time_input,
+        method=method,
         max_steps=(int(max_num_steps) if max_num_steps is not None
                    else 2 ** 31 - 1),
         interpret=interpret)
@@ -330,6 +340,12 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     [T, B, D] (with stats when return_stats=True — forward stats; backward
     stats stream to `nfe_meter`).
     """
+    if spec.time_input:
+        raise ValueError(
+            "odeint_adjoint_mlp assumes autonomous dynamics (the fused "
+            "adjoint kernel's time-gradient quadrature vanishes only "
+            "then); for time-dependent MLPs use the generic "
+            "odeint_adjoint with mlp_apply")
     adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
     adjoint_atol = atol if adjoint_atol is None else adjoint_atol
     adjoint_method = method if adjoint_method is None else adjoint_method
@@ -541,3 +557,101 @@ def solve_mlp_sharded(params: dict, y0: Array, t, mesh, *, axis: str = "data",
     stats = SolverStats(st[:, 0].sum(), st[:, 1].sum(), st[:, 2].sum(),
                         st[:, 3].max())
     return SolveResult(ys, stats)
+
+
+# ---------------------------------------------------------------------------
+# Fused continuous normalizing flows (FFJORD inference tier)
+# ---------------------------------------------------------------------------
+
+def cnf_log_prob_fused(weights, x: Array, *, t0: float = 0.0,
+                       t1: float = 1.0, rtol: float = 1e-5,
+                       atol: float = 1e-7, activation: str = "tanh",
+                       method: str = "dopri5",
+                       interpret: Optional[bool] = None,
+                       max_num_steps=None, first_step=None):
+    """log p(x) under a concat-t MLP flow, fully fused: the ENTIRE
+    augmented solve — flow field, EXACT divergence (D in-kernel
+    forward-mode passes), adaptive stepping, log-det quadrature — is ONE
+    Pallas kernel launch (`ops/pallas_kernels._make_cnf_net`).
+
+    weights: [(W, b), ...] with the FIRST layer taking D+1 inputs, time
+    LAST (the `models.cnf.CNFDynamics` convention;
+    `weights_from_flax_dense` extracts them). Matches
+    `models.cnf.log_prob(trace='exact')` to solve tolerance.
+
+    Inference tier (forward only): train with `models.cnf.log_prob`
+    (differentiable bounded loop), serve/evaluate densities here.
+    Returns (logp [B], SolverStats).
+    """
+    from .models.cnf import augmented_dynamics
+    from .solvers.base import SolverStats as _Stats
+
+    interpret_flag = _auto_interpret(interpret)
+    x = jnp.asarray(x)
+    B, D = x.shape
+    dtype = x.dtype
+    spec = MLPSpec(activation=activation, time_input=True)
+    if weights[0][0].shape[0] != D + 1:
+        raise ValueError(
+            f"first-layer input dim {weights[0][0].shape[0]} != D+1 = "
+            f"{D + 1} (concat-t convention, time last)")
+
+    # Integrate (x, 0) BACKWARD from t1 to t0 (models/cnf.log_prob).
+    t = jnp.asarray([t1, t0], dtype)
+    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
+    tau = sign * t
+    state0 = jnp.concatenate([x.T, jnp.zeros((1, B), dtype)], axis=0)
+
+    # f0 + initial step via the XLA reference of the augmented dynamics.
+    def f_user(tt, zb):
+        return mlp_apply(spec, weights, zb, tt)
+
+    aug = augmented_dynamics(f_user, trace="exact")
+
+    def aug_fm(tt, s):                       # feature-major [D+1, B]
+        dz, dl = aug(tt, (s[:D, :].T, s[D, :]))
+        return jnp.concatenate([dz.T, dl[None, :]], axis=0)
+
+    f0 = (sign * aug_fm(t[0], state0)).astype(dtype)
+    if first_step is None:
+        def flat_g(s, sf):
+            return (sign * aug_fm(sign * s,
+                                  sf.reshape(D + 1, B))).ravel()
+
+        dt0 = select_initial_step(flat_g, tau[0], state0.ravel(),
+                                  f0.ravel(), 4, jnp.asarray(rtol, dtype),
+                                  jnp.asarray(atol, dtype))
+        extra_nfe = 2
+    else:
+        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+        extra_nfe = 1
+
+    warrays, dims = pad_mlp_weights(weights, dtype)
+    out, stats = mlp_solve(
+        warrays, dims, state0, tau, dt0, rtol, atol, sign, f0=f0,
+        activation=activation, time_input=True, rhs="cnf", method=method,
+        max_steps=(int(max_num_steps) if max_num_steps is not None
+                   else 2 ** 31 - 1),
+        interpret=interpret_flag)
+    z_base = out[-1, :D, :]                   # [D, B]
+    dlog = out[-1, D, :]                      # [B]
+    logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=0)
+                 - 0.5 * D * jnp.log(2.0 * jnp.pi).astype(dtype))
+    st = _Stats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
+    return logp_base - dlog, st
+
+
+def cnf_sample_fused(weights, key, n: int, dim: int, *, t0: float = 0.0,
+                     t1: float = 1.0, rtol: float = 1e-5, atol: float = 1e-7,
+                     activation: str = "tanh", method: str = "dopri5",
+                     interpret: Optional[bool] = None,
+                     max_num_steps=None) -> Array:
+    """Draw flow samples with the whole forward solve as one fused kernel
+    (fused counterpart of `models.cnf.sample`)."""
+    z = jax.random.normal(key, (n, dim))
+    spec = MLPSpec(activation=activation, time_input=True)
+    t = jnp.asarray([t0, t1], z.dtype)
+    res = solve_mlp_spec(spec, weights, z, t, rtol=rtol, atol=atol,
+                         method=method, interpret=interpret,
+                         max_num_steps=max_num_steps)
+    return res.ys[-1]

@@ -128,30 +128,94 @@ def _input_transform(y, power: int):
 
 
 def _make_net(wrefs, dims, activation: str, final_activation: str,
-              input_power: int):
-    """Build f(y): [D, B] -> [D_out, B] from padded VMEM weight refs.
+              input_power: int, time_input: bool = False):
+    """Build f(t, y): [D, B] -> [D_out, B] from padded VMEM weight refs.
 
     General L-layer MLP: z_l = W_l^T h_{l-1} + b_l, h_l = act(z_l), with
     `final_activation` on the last layer and y**input_power on the input.
-    Contractions are outer-product broadcasts over TRUE input features plus
-    sublane reads — all VPU, exact f32 (no MXU bf16 passes), and zero work
-    on padded rows (their weights are skipped entirely).
+    `time_input=True` feeds the scalar time as one extra first-layer input
+    feature (concat-t MLPs, e.g. CNF flow fields): the first layer's din
+    must then be D + 1 with the t column LAST. Contractions are
+    outer-product broadcasts over TRUE input features plus sublane reads —
+    all VPU, exact f32 (no MXU bf16 passes), and zero work on padded rows
+    (their weights are skipped entirely).
     """
     acts = ([_ACTIVATIONS[activation]] * (len(dims) - 1)
             + [_ACTIVATIONS[final_activation]])
 
-    def f(y):
+    def f(t, y):
         h = _input_transform(y, input_power)
         for l, (din, dout) in enumerate(dims):
             wT = wrefs[2 * l]
             b = wrefs[2 * l + 1]
+            n_state = din - 1 if (time_input and l == 0) else din
             acc = None
-            for i in range(din):
+            for i in range(n_state):
                 term = wT[:, i:i + 1] * h[i:i + 1, :]     # [doutP, B]
                 acc = term if acc is None else acc + term
+            if time_input and l == 0:
+                acc = acc + wT[:, n_state:n_state + 1] * t
             h = acts[l](acc + b[:])
         dout = dims[-1][1]
         return h[:dout, :]
+
+    return f
+
+
+def _make_cnf_net(wrefs, dims, activation: str, time_input: bool):
+    """Build the CNF augmented RHS from padded VMEM weight refs:
+
+        f_aug(t, s): s = [z (D rows); logp (1 row)] -> [dz; -div f]
+
+    dz = MLP(t, z) (final layer linear); the divergence is EXACT via D
+    in-kernel forward-mode passes reusing the stored pre-activations —
+    the Pallas counterpart of models/cnf.augmented_dynamics(trace='exact').
+    """
+    D = dims[-1][1]
+    L = len(dims)
+    act = _ACTIVATIONS[activation]
+    actg = _ACTIVATION_GRADS[activation]
+
+    def f(t, s):
+        z = s[:D, :]
+        one = (s[:1, :] * 0.0) + 1.0              # [1, B] ones
+        # ---- forward, storing pre-activations ----
+        h = z
+        zs = []
+        for l, (din, dout) in enumerate(dims):
+            wT = wrefs[2 * l]
+            b = wrefs[2 * l + 1]
+            n_state = din - 1 if (time_input and l == 0) else din
+            acc = None
+            for i in range(n_state):
+                term = wT[:, i:i + 1] * h[i:i + 1, :]
+                acc = term if acc is None else acc + term
+            if time_input and l == 0:
+                acc = acc + wT[:, n_state:n_state + 1] * t
+            zpre = acc + b[:]
+            zs.append(zpre)
+            h = act(zpre) if l < L - 1 else zpre   # final layer linear
+        dz = h[:D, :]
+
+        # ---- exact divergence: D forward-mode (JVP) passes ----
+        div = None
+        for i0 in range(D):
+            # du0 = e_{i0} over the state inputs (dt-direction is 0).
+            du = wrefs[0][:, i0:i0 + 1] * one      # [dout0P, B]
+            if L > 1:
+                du = actg(zs[0], act(zs[0])) * du
+            for l in range(1, L):
+                din, dout = dims[l]
+                wT = wrefs[2 * l]
+                v = None
+                for i in range(din):
+                    term = wT[:, i:i + 1] * du[i:i + 1, :]
+                    v = term if v is None else v + term
+                du = v if l == L - 1 else actg(zs[l], act(zs[l])) * v
+            d_i = du[i0:i0 + 1, :]                 # (J e_i)_i  [1, B]
+            div = d_i if div is None else div + d_i
+
+        return jnp.concatenate([dz, -div], axis=0)  # [D+1, B]
 
     return f
 
@@ -178,12 +242,14 @@ def _make_mlp(w1_ref, b1_ref, w2_ref, b2):
     return f
 
 
-def _rk_stages(tab, f, y0, f0, dt):
+def _rk_stages(tab, f, y0, f0, dt, t0=0.0):
     """Evaluate all stages and the solution/error/midpoint combines.
 
-    Returns (k, delta, err, y_mid) with y1 = y0 + delta (y_mid is None for
-    tableaus without 4th-order dense-output weights); coefficients are
-    trace-time constants so XLA folds them into the fused arithmetic.
+    f(t, y): stage times t0 + c_i*dt are threaded through (autonomous RHS
+    simply ignore them). Returns (k, delta, err, y_mid) with y1 = y0 +
+    delta (y_mid is None for tableaus without 4th-order dense-output
+    weights); coefficients are trace-time constants so XLA folds them into
+    the fused arithmetic.
     """
     k = [f0]
     for i in range(1, tab.stages):
@@ -191,7 +257,7 @@ def _rk_stages(tab, f, y0, f0, dt):
         for aij, kj in zip(tab.a[i - 1], k):
             if aij != 0.0:
                 yi = yi + (dt * aij) * kj
-        k.append(f(yi))
+        k.append(f(t0 + tab.c[i] * dt, yi))
 
     delta = None
     for b, kj in zip(tab.b_sol, k):
@@ -279,7 +345,8 @@ def _make_step_kernel(B: int, tile_b: int):
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
         y0 = y_ref[:]
-        f = _make_mlp(w1_ref, b1_ref, w2_ref, b2_ref[:])
+        f_auto = _make_mlp(w1_ref, b1_ref, w2_ref, b2_ref[:])
+        f = lambda t, y: f_auto(y)
 
         k, delta, err, y_mid = _rk_stages(DOPRI5, f, y0, f0_ref[:], dt)
         y1 = y0 + delta
@@ -413,10 +480,9 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
 
         raw_f = make_f(wrefs)
 
-        def f(y):
-            # g(tau, y) = sign * f(sign * tau, y); autonomous RHS, so only
-            # the output flip matters.
-            return sign * raw_f(y)
+        def f(s, y):
+            # Canonical dynamics: g(tau, y) = sign * f(sign * tau, y).
+            return sign * raw_f(sign * s, y)
 
         def cond(c):
             t, dt, oi, nfe, nacc, nrej, status = c
@@ -431,7 +497,8 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
             dth = t1 - t
 
             y0 = y_s[:]
-            k, delta, err, y_mid = _rk_stages(tab, f, y0, f_s[:], dth)
+            k, delta, err, y_mid = _rk_stages(tab, f, y0, f_s[:], dth,
+                                              t0=t)
             y1 = y0 + delta
 
             scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
@@ -457,7 +524,7 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
 
             # Derivative at the step end: FSAL tableaus get it for free;
             # others pay one extra evaluation (counted below).
-            f1 = k[-1] if tab.fsal else f(y1)
+            f1 = k[-1] if tab.fsal else f(t1, y1)
 
             # Dense output over [t, t1], exact at t1 (4th-order through the
             # midpoint when the tableau provides one, else cubic Hermite).
@@ -525,7 +592,8 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
 
 
 def padded_mlp_f(warrays, dims, y: Array, activation: str,
-                 final_activation: str, input_power: int) -> Array:
+                 final_activation: str, input_power: int,
+                 t=None, time_input: bool = False) -> Array:
     """XLA reference of the in-kernel general MLP (padded weights, [D, B]
     feature-major) — used for f0/initial-step selection and testing."""
     acts = ([_ACTIVATIONS[activation]] * (len(dims) - 1)
@@ -534,6 +602,10 @@ def padded_mlp_f(warrays, dims, y: Array, activation: str,
     for l, (din, dout) in enumerate(dims):
         wT = warrays[2 * l]
         b = warrays[2 * l + 1]
+        if time_input and l == 0:
+            tt = jnp.broadcast_to(jnp.asarray(t, h.dtype),
+                                  (1, h.shape[1]))
+            h = jnp.concatenate([h[:din - 1, :], tt], axis=0)
         z = jnp.einsum("oi,ib->ob", wT[:, :din], h[:din, :],
                        precision=jax.lax.Precision.HIGHEST) + b
         h = acts[l](z)
@@ -543,11 +615,12 @@ def padded_mlp_f(warrays, dims, y: Array, activation: str,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
-                     "method", "safety", "ifactor", "dfactor", "max_steps",
-                     "interpret"))
+                     "time_input", "rhs", "method", "safety", "ifactor",
+                     "dfactor", "max_steps", "interpret"))
 def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               sign, *, f0: Array = None, activation: str = "tanh",
               final_activation: str = "identity", input_power: int = 1,
+              time_input: bool = False, rhs: str = "mlp",
               method: str = "dopri5", safety: float = 0.9,
               ifactor: float = 10.0, dfactor: float = 0.2,
               max_steps: int = 2 ** 31 - 1, interpret: bool = False):
@@ -579,8 +652,12 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     warrays = [jnp.asarray(w, dtype) for w in warrays]
     sign = jnp.asarray(sign, dtype)
     if f0 is None:
+        if rhs != "mlp":
+            raise ValueError(f"rhs={rhs!r} needs an explicit f0 (the XLA "
+                             "reference only covers the plain MLP)")
         f0 = sign * padded_mlp_f(warrays, dims, y0, activation,
-                                 final_activation, input_power)
+                                 final_activation, input_power,
+                                 t=sign * tau[0], time_input=time_input)
 
     # Pad ANY batch up to a full VPU lane multiple (Mosaic needs lane-aligned
     # vectors; e.g. B=200 would reach the kernel unaligned otherwise); padded
@@ -599,9 +676,16 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
                             1.0)).astype(dtype)
 
-    def make_f(wrefs):
-        return _make_net(wrefs, dims, activation, final_activation,
-                         input_power)
+    if rhs == "mlp":
+        def make_f(wrefs):
+            return _make_net(wrefs, dims, activation, final_activation,
+                             input_power, time_input)
+    elif rhs == "cnf":
+        # y0 rows = [z (D_flow); logp]; dims describe the flow MLP.
+        def make_f(wrefs):
+            return _make_cnf_net(wrefs, dims, activation, time_input)
+    else:
+        raise ValueError(f"unknown rhs {rhs!r} (expected 'mlp' or 'cnf')")
 
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
                                 int(max_steps), float(D * B_true), B_true,
