@@ -290,6 +290,26 @@ def test_adjoint_interpolated_rejects_fixed_forward():
     with pytest.raises(ValueError, match="interpolated"):
         odeint_adjoint(lambda t, y: -y, Y0, T, method="rk4",
                        adjoint_mode="interpolated")
+    # and fixed-grid ADJOINT + step_size (the per-interval walk integrates
+    # y, which 'interpolated' replaces): require num_steps instead.
+    with pytest.raises(ValueError, match="num_steps"):
+        odeint_adjoint(lambda t, y: -y, Y0, T, method="dopri5",
+                       adjoint_method="rk4",
+                       adjoint_options={"step_size": 0.1},
+                       adjoint_mode="interpolated")
+
+    # num_steps works: interpolated + fixed-grid adjoint
+    def loss(y0):
+        ys = odeint_adjoint(lambda t, y: -y, y0, T, method="dopri5",
+                            adjoint_method="rk4",
+                            adjoint_options={"num_steps": 20},
+                            adjoint_mode="interpolated")
+        return jnp.sum(ys[-1])
+
+    g = jax.grad(loss)(Y0)
+    np.testing.assert_allclose(np.asarray(g),
+                               np.exp(-float(T[-1])) * np.ones(2),
+                               rtol=1e-4)
 
 
 def test_dense_output_option():

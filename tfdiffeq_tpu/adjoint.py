@@ -213,6 +213,14 @@ def odeint_adjoint(
             "cannot derive the backward grid from step_size; pass "
             "adjoint_options={'num_steps': n} (static steps per observation "
             "interval) instead.")
+    if (adjoint_mode == "interpolated" and adj_kind == "fixed"
+            and step_size is not None and "num_steps" not in bwd_options):
+        raise ValueError(
+            "adjoint_mode='interpolated' with a fixed-grid adjoint method "
+            "derives its backward grid from num_steps; pass "
+            "adjoint_options={'num_steps': n} (the per-interval walk that "
+            "step_size builds integrates y as part of the augmented state, "
+            "which 'interpolated' replaces)")
     if (step_size is not None and "num_steps" not in bwd_options
             and adj_kind == "fixed"):
         t_arr = jnp.asarray(t)

@@ -25,10 +25,17 @@ configs"; the generic `odeint` stays fully general. The tier now covers:
   *single-step* kernel into the generic adaptive engine via
   `AdaptiveConfig.step_override` (cross-validation + template for fusing
   other dynamics).
-- `solve_mlp_sharded`: data-parallel whole-solve kernels over a mesh.
+- `solve_mlp_sharded` / `solve_mlp_global_sharded`: data-parallel
+  whole-solve kernels over a mesh (per-shard or psum-coupled global step
+  control).
+- `cnf_log_prob_fused` / `cnf_sample_fused`: FFJORD density evaluation and
+  sampling for concat-t MLP flows, with the EXACT divergence computed
+  in-kernel (one launch per solve).
 
-Remaining limitation (by design): the dynamics must be an autonomous MLP —
-arbitrary user funcs take the generic `odeint`/`odeint_adjoint` path.
+Remaining limitation (by design): the dynamics must be an MLP of the
+declared shape — arbitrary user funcs take the generic
+`odeint`/`odeint_adjoint` path; the fused ADJOINT additionally requires
+autonomous dynamics.
 """
 
 from __future__ import annotations
@@ -268,7 +275,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             "VMEM budget (T x D x B too large); falling back to the "
             "generic while-loop engine", stacklevel=2)
         from .odeint import solve as _solve
-        return _solve(lambda tt, yy: mlp_apply(spec, weights, yy), y0, t,
+        return _solve(lambda tt, yy: mlp_apply(spec, weights, yy, tt),
+                      y0, t,
                       rtol=rtol, atol=atol, method=method,
                       options={"loop": "while",
                                **({"max_num_steps": max_num_steps}
@@ -595,6 +603,21 @@ def cnf_log_prob_fused(weights, x: Array, *, t0: float = 0.0,
         raise ValueError(
             f"first-layer input dim {weights[0][0].shape[0]} != D+1 = "
             f"{D + 1} (concat-t convention, time last)")
+
+    if (not interpret_flag
+            and _fused_vmem_bytes(2, D + 1, B, 1) > _VMEM_BUDGET):
+        import warnings
+        warnings.warn("cnf_log_prob_fused: batch exceeds the kernel's "
+                      "VMEM budget; falling back to models.cnf.log_prob",
+                      stacklevel=2)
+        from .models.cnf import log_prob as _generic_log_prob
+        lp = _generic_log_prob(
+            lambda tt, zz: mlp_apply(spec, weights, zz, tt), x,
+            t0=t0, t1=t1, rtol=rtol, atol=atol, trace="exact",
+            method=method, options={"loop": "while"})
+        z = jnp.asarray(0, jnp.int32)
+        from .solvers.base import SolverStats as _S
+        return lp, _S(z, z, z, z)
 
     # Integrate (x, 0) BACKWARD from t1 to t0 (models/cnf.log_prob).
     t = jnp.asarray([t1, t0], dtype)
