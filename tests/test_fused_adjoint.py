@@ -355,3 +355,133 @@ def test_cnf_fused_log_prob_and_sample_match_generic():
                                rtol=1e-6, atol=1e-8, interpret=True)
     np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_adjoint_seminorm_step_control_matches_generic_nfe():
+    """Regression: the fused seminorm once divided the reduced error sum by
+    the FULL element count (2DB + n_params), understating the ratio ~8.7x
+    here and accepting oversized steps. Raw fused-vs-generic NFE cannot be
+    compared directly (the fused sweep warm-starts dt across observation
+    intervals; the generic one re-selects per interval), so compare the
+    seminorm/full-norm NFE RATIO of each path — the warm-start effect
+    cancels, the norm's step-control effect doesn't."""
+    from tfdiffeq_tpu import NFEMeter
+
+    weights = tuple(_weights(seed=50, dims=(4, 64, 64, 4)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(51).randn(8, 4), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+
+    def b_nfe(fused, semi):
+        meter = NFEMeter()
+
+        def loss(w):
+            if fused:
+                ys = odeint_adjoint_mlp(spec, w, y0, t, rtol=1e-5,
+                                        atol=1e-7, adjoint_seminorm=semi,
+                                        interpret=True, nfe_meter=meter)
+            else:
+                ys = odeint_adjoint(
+                    lambda tt, yy, p: mlp_apply(spec, p, yy), y0, t,
+                    params=w, rtol=1e-5, atol=1e-7,
+                    adjoint_seminorm=semi, nfe_meter=meter)
+            return jnp.sum(ys[-1] ** 2)
+
+        jax.grad(loss)(weights)
+        jax.effects_barrier()
+        return meter.snapshot()["b_nfe"]
+
+    r_fused = b_nfe(True, True) / b_nfe(True, False)
+    r_gen = b_nfe(False, True) / b_nfe(False, False)
+    # Measured: ~0.83 vs ~0.80. The old bug drove the fused seminorm ratio
+    # to ~0.55 (an extra sqrt((2DB+P)/2DB) ~ 8.7x tolerance inflation).
+    assert 0.8 < r_fused / r_gen < 1.25, (r_fused, r_gen)
+
+
+def test_fused_adjoint_backward_failure_poisons_grads():
+    """A backward sweep that exhausts max_num_steps must return NaN
+    gradients (loud), not a partial adjoint plus raw cotangent sums."""
+    weights = tuple(_weights(seed=52, dims=(3, 10, 3)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(53).randn(4, 3), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+
+    # Loose forward succeeds within the budget; tight backward cannot.
+    def loss(w):
+        ys = odeint_adjoint_mlp(spec, w, y0, t, rtol=1e-3, atol=1e-5,
+                                adjoint_rtol=1e-9, adjoint_atol=1e-12,
+                                max_num_steps=40, interpret=True)
+        return jnp.sum(ys ** 2)
+
+    ys_ok = odeint_adjoint_mlp(spec, weights, y0, t, rtol=1e-3, atol=1e-5,
+                               max_num_steps=40, interpret=True,
+                               return_stats=True)[1]
+    assert int(ys_ok.status) == 0          # forward fits the budget
+    g = jax.grad(loss)(weights)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isnan(np.asarray(x))) for x in leaves)
+
+
+def test_vmem_fallback_passes_max_num_steps(monkeypatch):
+    """Regression: the VMEM fallback once dropped max_num_steps/first_step
+    when delegating to the generic adjoint. A budget the fused path would
+    enforce must also fail loudly on the generic path."""
+    import tfdiffeq_tpu.fast as F
+
+    weights = tuple(_weights(seed=54, dims=(3, 8, 3)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(55).randn(4, 3), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+
+    monkeypatch.setattr(F, "_VMEM_BUDGET", 1024)
+    with pytest.warns(UserWarning, match="VMEM"):
+        with pytest.raises(RuntimeError, match="status"):
+            F.odeint_adjoint_mlp(spec, weights, y0, t, rtol=1e-7,
+                                 atol=1e-9, max_num_steps=2,
+                                 interpret=False)
+
+
+def test_weights_from_flax_dense_ignores_non_dense_keys():
+    rng = np.random.RandomState(56)
+    kb = lambda a, b: {"kernel": jnp.asarray(rng.randn(a, b), jnp.float32),
+                       "bias": jnp.zeros((b,), jnp.float32)}
+    params = {"params": {"Dense_0": kb(3, 8), "Dense_1": kb(8, 3),
+                         "DenseGeneral_0": kb(9, 9)}}
+    ws = weights_from_flax_dense(params)
+    assert len(ws) == 2 and ws[0][0].shape == (3, 8)
+    with pytest.raises(ValueError, match="Dense"):
+        weights_from_flax_dense({"params": {"GRUCell_0": kb(2, 2)}})
+
+
+@pytest.mark.parametrize("mm", ["mxu", "auto"])
+def test_mxu_matmul_mode_forward_and_adjoint_parity(mm):
+    """MLPSpec(matmul='mxu'/'auto'): wide layers contract on the systolic
+    array (one dot per layer) instead of unrolled VPU broadcasts; results
+    must match the VPU path and the generic engine at f32 tolerance."""
+    weights = tuple(_weights(seed=60, dims=(8, 64, 64, 8)))
+    y0 = jnp.asarray(np.random.RandomState(61).randn(16, 8), jnp.float32)
+    t = jnp.linspace(0.0, 1.5, 5, dtype=jnp.float32)
+
+    spec = MLPSpec(activation="tanh", matmul=mm)
+    res = solve_mlp_spec(spec, weights, y0, t, rtol=1e-6, atol=1e-8,
+                         interpret=True)
+    ref = solve(lambda tt, yy: mlp_apply(spec, weights, yy), y0, t,
+                rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while"})
+    assert int(res.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+    def loss(w, mode):
+        s = MLPSpec(activation="tanh", matmul=mode)
+        ys = odeint_adjoint_mlp(s, w, y0, t, rtol=1e-6, atol=1e-8,
+                                interpret=True)
+        return jnp.sum(ys[-1] ** 2)
+
+    gm = jax.grad(lambda w: loss(w, mm))(weights)
+    gv = jax.grad(lambda w: loss(w, "vpu"))(weights)
+    for a, b in zip(jax.tree_util.tree_leaves(gm),
+                    jax.tree_util.tree_leaves(gv)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 1e-3, (mm, d, m)

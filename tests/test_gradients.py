@@ -356,3 +356,27 @@ def test_adjoint_seminorm_matches_full_norm():
                     jax.tree_util.tree_leaves(g_semi)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_adjoint_interpolated_budget_exhaustion_is_loud():
+    """adjoint_mode='interpolated' forces the forward onto the BUDGETED
+    bounded loop; exhausting options['max_steps'] must raise (eager) or
+    NaN-poison (traced), never silently return a truncated trajectory."""
+    def f(t, y):
+        return -y
+
+    with pytest.raises(RuntimeError, match="status"):
+        odeint_adjoint(f, Y0, jnp.linspace(0.0, 10.0, 5), rtol=1e-12,
+                       atol=1e-14, options={"max_steps": 4},
+                       adjoint_mode="interpolated")
+
+    # Traced path: gradients come out NaN instead of silently wrong.
+    @jax.jit
+    def loss(y0):
+        ys = odeint_adjoint(f, y0, jnp.linspace(0.0, 10.0, 5), rtol=1e-12,
+                            atol=1e-14, options={"max_steps": 4},
+                            adjoint_mode="interpolated")
+        return jnp.sum(ys[-1])
+
+    g = jax.grad(loss)(Y0)
+    assert np.all(np.isnan(np.asarray(g)))

@@ -216,3 +216,14 @@ def test_latent_ode_example_data_parallel():
         "--niters", "2"])
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_dryrun_bootstrap_guard(monkeypatch):
+    """The self-bootstrap re-exec must be one-shot: a child that still sees
+    too few devices fails loudly instead of forking an identical grandchild
+    forever."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("_GRAFT_DRYRUN_BOOTSTRAPPED", "1")
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        ge.dryrun_multichip(4096)

@@ -262,7 +262,33 @@ def odeint_adjoint(
                     rtol=rtol, atol=atol, method=method,
                     options=fwd_options)
         emit_fwd(nfe_meter, res.stats.nfe, res.stats.n_accepted)
-        return res.ys, res.stats, res.dense
+        # Surface forward failures the same way odeint() does: raise when
+        # the status is concrete, NaN-poison the trajectory beyond y0 when
+        # traced. This matters most for adjoint_mode='interpolated', which
+        # silently moves the forward onto the BUDGETED bounded loop
+        # (default max_steps=1024): exhausting the budget would otherwise
+        # return a truncated dense output and quietly wrong gradients.
+        status = res.stats.status
+        if not isinstance(status, jax.core.Tracer):
+            code = int(status)
+            if code != 0:
+                from .solvers.base import Status
+                raise RuntimeError(
+                    f"odeint_adjoint forward solve failed with status "
+                    f"{Status(code).name}; raise options['max_steps'] "
+                    "(bounded-loop budget, default 1024) or loosen "
+                    "tolerances")
+            return res.ys, res.stats, res.dense
+        ok = status == 0
+
+        def _poison(leaf):
+            T_ = leaf.shape[0]
+            keep = ok | (jnp.arange(T_) == 0)
+            keep = keep.reshape((T_,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(keep, leaf, jnp.asarray(jnp.nan, leaf.dtype))
+
+        ys = jax.tree_util.tree_map(_poison, res.ys)
+        return ys, res.stats, res.dense
 
     @jax.custom_vjp
     def _odeint(y0_, t_, params_):
@@ -271,13 +297,25 @@ def odeint_adjoint(
 
     def _fwd(y0_, t_, params_):
         ys, stats, dense = _impl(y0_, t_, params_)
-        return (ys, stats), (ys, t_, params_, dense)
+        return (ys, stats), (ys, t_, params_, dense, stats.status)
 
     def _bwd(res, g):
-        ys, t_, params_, dense = res
+        ys, t_, params_, dense, fwd_status = res
         g, _g_stats = g          # stats cotangents are symbolic zeros
         t_ = jnp.asarray(t_)
         T = t_.shape[0]
+
+        # A failed forward poisons the OUTPUT ys (loss -> NaN), but sum/mean
+        # cotangents stay finite, so the backward sweep would integrate the
+        # truncated trajectory into finite, silently-wrong gradients —
+        # poison them too.
+        fwd_bad = fwd_status != 0
+
+        def _loud_grads(grads):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.where(fwd_bad,
+                                    jnp.asarray(jnp.nan, x.dtype), x),
+                grads)
 
         # Flatten trajectory and cotangents to [T, N].
         y_template = jax.tree_util.tree_map(lambda l: l[0], ys)
@@ -336,7 +374,8 @@ def odeint_adjoint(
                 aug_dynamics, f_flat, params_, zero_p, ys_flat, g_flat,
                 t_, N)
             emit_bwd(nfe_meter, b_nfe, b_acc)
-            return (unravel(y0_bar), ts_bar.astype(t_.dtype), a_p)
+            return _loud_grads((unravel(y0_bar), ts_bar.astype(t_.dtype),
+                                a_p))
 
         def scan_fun(carry, i):
             a_y, a_p, a_t0, b_nfe, b_acc = carry
@@ -379,7 +418,7 @@ def odeint_adjoint(
             ts_bar = jnp.zeros_like(t_)
 
         y0_bar = unravel(a_y)
-        return (y0_bar, ts_bar.astype(t_.dtype), a_p)
+        return _loud_grads((y0_bar, ts_bar.astype(t_.dtype), a_p))
 
     _odeint.defvjp(_fwd, _bwd)
     t_in = jnp.asarray(t)

@@ -78,12 +78,20 @@ class MLPSpec:
     # column), for concat-t MLPs like the CNF flow field. Forward solves
     # only (the fused adjoint kernel assumes autonomous dynamics).
     time_input: bool = False
+    # Per-layer contraction engine: 'vpu' (unrolled exact-f32 broadcasts,
+    # right for narrow nets), 'mxu' (one systolic-array dot per layer,
+    # right for wide nets), or 'auto' (MXU once a layer's weight block is
+    # >= ~32x64 — see ops/pallas_kernels._layer_uses_mxu).
+    matmul: str = "auto"
 
     def __post_init__(self):
         for a in (self.activation, self.final_activation):
             if a not in _ACTIVATIONS:
                 raise ValueError(f"unknown activation {a!r}; available: "
                                  f"{sorted(_ACTIVATIONS)}")
+        if self.matmul not in ("vpu", "mxu", "auto"):
+            raise ValueError(f"matmul must be 'vpu', 'mxu' or 'auto', got "
+                             f"{self.matmul!r}")
 
 
 def mlp_apply(spec: MLPSpec, weights: Sequence[Tuple[Array, Array]],
@@ -113,11 +121,17 @@ def mlp_apply(spec: MLPSpec, weights: Sequence[Tuple[Array, Array]],
 def weights_from_flax_dense(variables) -> list:
     """Extract [(kernel, bias), ...] from a flax module made of nn.Dense
     layers (e.g. `models.latent_ode.LatentODEFunc`), in layer order."""
+    import re
     params = variables.get("params", variables)
-    names = sorted((k for k in params if k.startswith("Dense")),
-                   key=lambda k: int(k.split("_")[-1]))
+    # Exactly flax's auto-naming for nn.Dense ("Dense_<idx>"): a bare
+    # prefix match would silently pull in e.g. nn.DenseGeneral_0 (a
+    # different function) or crash on a non-indexed custom name.
+    names = sorted((k for k in params if re.fullmatch(r"Dense_\d+", k)),
+                   key=lambda k: int(k.rsplit("_", 1)[1]))
     if not names:
-        raise ValueError("no nn.Dense layers found in the flax params")
+        raise ValueError(
+            "no auto-named nn.Dense layers (Dense_<i>) found in the flax "
+            f"params; got keys {sorted(params)}")
     return [(params[k]["kernel"], params[k].get("bias")) for k in names]
 
 
@@ -318,7 +332,7 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         method=method,
         max_steps=(int(max_num_steps) if max_num_steps is not None
                    else 2 ** 31 - 1),
-        interpret=interpret)
+        matmul=spec.matmul, interpret=interpret)
     ys = jnp.transpose(out, (0, 2, 1))          # [T, B, D]
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
     return SolveResult(ys, st)
@@ -375,11 +389,22 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             "VMEM budget; falling back to the generic odeint_adjoint",
             stacklevel=2)
         from .adjoint import odeint_adjoint as _generic_adjoint
+        fb_options = {}
+        if max_num_steps is not None:
+            fb_options["max_num_steps"] = int(max_num_steps)
+        if first_step is not None:
+            fb_options["first_step"] = first_step
+        fb_adj_options = dict(fb_options)
+        fb_adj_options.pop("first_step", None)
+        if adjoint_first_step is not None:
+            fb_adj_options["first_step"] = adjoint_first_step
         return _generic_adjoint(
             lambda tt, yy, w: mlp_apply(spec, w, yy), y0, t,
             params=tuple((W, b) for W, b in weights), rtol=rtol, atol=atol,
-            method=method, adjoint_rtol=adjoint_rtol,
+            method=method, options=fb_options or None,
+            adjoint_rtol=adjoint_rtol,
             adjoint_atol=adjoint_atol, adjoint_method=adjoint_method,
+            adjoint_options=fb_adj_options or None,
             adjoint_seminorm=adjoint_seminorm, nfe_meter=nfe_meter,
             return_stats=return_stats)
 
@@ -440,17 +465,28 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             final_activation=spec.final_activation,
             input_power=spec.input_power, method=adjoint_method,
             max_steps=max_steps, seminorm=adjoint_seminorm,
-            interpret=interp_flag)
+            matmul=spec.matmul, interpret=interp_flag)
         emit_bwd(nfe_meter, bstats[0], bstats[1])
+
+        # Surface backward-sweep failures (dt underflow / max_num_steps):
+        # a Python raise cannot cross the vjp, so NaN-poison every gradient
+        # (the same contract as odeint's traced-status path) — a truncated
+        # sweep would otherwise return a partial adjoint plus the raw sum
+        # of the never-integrated remaining cotangents.
+        bad = bstats[3] != 0
+
+        def _loud(x):
+            return jnp.where(bad, jnp.asarray(jnp.nan, x.dtype), x)
 
         w_bar = []
         for (W, b), (dWp, dbp) in zip(weights_, aws):
             din, dout = W.shape
-            dW = dWp[:dout, :din].T.astype(W.dtype)
-            db = (dbp[:dout, 0].astype(b.dtype) if b is not None else None)
+            dW = _loud(dWp[:dout, :din].T.astype(W.dtype))
+            db = (_loud(dbp[:dout, 0].astype(b.dtype))
+                  if b is not None else None)
             w_bar.append((dW, db))
-        return (tuple(w_bar), ay0.T.astype(ys.dtype),
-                ts_bar.astype(t_.dtype))
+        return (tuple(w_bar), _loud(ay0.T.astype(ys.dtype)),
+                _loud(ts_bar.astype(t_.dtype)))
 
     _run.defvjp(_vjp_fwd, _vjp_bwd)
     ys, stats = _run(weights, y0, jnp.asarray(t))

@@ -35,18 +35,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import (_ACTIVATION_GRADS, _ACTIVATIONS, _LANE,
-                             _controller_factor, _input_transform, _round_up)
+                             _controller_factor, _input_transform,
+                             _layer_uses_mxu, _pad_rows, _round_up)
 
 Array = jax.Array
 
 
 def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
-                   input_power: int):
+                   input_power: int, matmul: str = "vpu"):
     """Build F(y, a_y) -> (f, v_y, [(dW, db), ...]).
 
     f = MLP(y) with y [D, B] feature-major; v_y = (df/dy)^T a_y [D, B];
     dW [doutP, dinP] (wT layout), db [doutP, 1] are batch-summed parameter
-    cotangents. All contractions are unrolled over TRUE feature dims.
+    cotangents. Per layer (`_layer_uses_mxu`), contractions run either
+    unrolled over TRUE feature dims on the VPU, or as systolic-array dots
+    (forward, the dW outer-product reduction, and the dh back-contraction
+    each map to one `dot_general`).
     """
     L = len(dims)
     acts = [activation] * (L - 1) + [final_activation]
@@ -61,10 +65,15 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
         for l, (din, dout) in enumerate(dims):
             wT = wrefs[2 * l]
             b = wrefs[2 * l + 1]
-            acc = None
-            for i in range(din):
-                term = wT[:, i:i + 1] * h[i:i + 1, :]
-                acc = term if acc is None else acc + term
+            if _layer_uses_mxu(matmul, din, dout):
+                hp = (h if h.shape[0] == wT.shape[1]
+                      else _pad_rows(h[:din, :], wT.shape[1]))
+                acc = jnp.dot(wT[:, :], hp, preferred_element_type=dtype)
+            else:
+                acc = None
+                for i in range(din):
+                    term = wT[:, i:i + 1] * h[i:i + 1, :]
+                    acc = term if acc is None else acc + term
             z = acc + b[:]
             zs.append(z)
             h = _ACTIVATIONS[acts[l]](z)
@@ -81,40 +90,49 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
             din, dout = dims[l]
             wT = wrefs[2 * l]
             doutP, dinP = wT.shape
+            use_mxu = _layer_uses_mxu(matmul, din, dout)
             # Pad dz rows to doutP for full-height elementwise ops.
             if doutP != dout:
                 dz_p = jnp.concatenate(
                     [dz, jnp.zeros((doutP - dout, B), dtype)], axis=0)
             else:
                 dz_p = dz
-            # dW[o, i] = sum_b h_in[i, b] * dz[o, b]  (lane reduction per
-            # input feature; padded columns stay zero).
             h_in = hs[l]
-            cols = [jnp.sum(h_in[i:i + 1, :] * dz_p, axis=1, keepdims=True)
-                    for i in range(din)]
-            if dinP != din:
-                cols.append(jnp.zeros((doutP, dinP - din), dtype))
-            dW = jnp.concatenate(cols, axis=1)               # [doutP, dinP]
+            if use_mxu:
+                # dW[o, i] = sum_b dz[o, b] h_in[i, b]: one NT matmul.
+                h_in_p = _pad_rows(h_in[:din, :], dinP)
+                dW = jax.lax.dot_general(
+                    dz_p, h_in_p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype)            # [doutP, dinP]
+            else:
+                # Lane reduction per input feature; padded columns stay 0.
+                cols = [jnp.sum(h_in[i:i + 1, :] * dz_p, axis=1,
+                                keepdims=True) for i in range(din)]
+                if dinP != din:
+                    cols.append(jnp.zeros((doutP, dinP - din), dtype))
+                dW = jnp.concatenate(cols, axis=1)           # [doutP, dinP]
             db = jnp.sum(dz_p, axis=1, keepdims=True)        # [doutP, 1]
             dparams[l] = (dW, db)
-            if l > 0:
-                # dh_in[i, :] = sum_o w[i, o] dz[o, :] (sublane reduction).
-                rows = [jnp.sum(wT[:, i:i + 1] * dz_p, axis=0, keepdims=True)
-                        for i in range(din)]
+            # dh_in[i, :] = sum_o w[i, o] dz[o, :].
+            if use_mxu:
+                dh = jax.lax.dot_general(
+                    wT[:, :], dz_p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype)[:din, :]   # [din, B]
+            else:
+                rows = [jnp.sum(wT[:, i:i + 1] * dz_p, axis=0,
+                                keepdims=True) for i in range(din)]
                 dh = jnp.concatenate(rows, axis=0)           # [din, B]
+            if l > 0:
                 din_prev, dout_prev = dims[l - 1]
                 dz = dh * _ACTIVATION_GRADS[acts[l - 1]](
                     zs[l - 1][:dout_prev, :], hs[l][:dout_prev, :])
             else:
-                rows = [jnp.sum(wT[:, i:i + 1] * dz_p, axis=0, keepdims=True)
-                        for i in range(din)]
-                dx0 = jnp.concatenate(rows, axis=0)          # [D, B]
                 if input_power == 1:
-                    v_y = dx0
+                    v_y = dh
                 else:
                     # d(y**p)/dy = p * y**(p-1)
                     yp = _input_transform(y, input_power - 1)
-                    v_y = dx0 * (float(input_power) * yp)
+                    v_y = dh * (float(input_power) * yp)
         return f, v_y, dparams
 
     return aug_eval
@@ -124,7 +142,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                          dfactor: float, max_steps: int, denom: float,
                          B_true: int, dims, activation: str,
                          final_activation: str, input_power: int,
-                         seminorm: bool):
+                         seminorm: bool, matmul: str):
     """Kernel: the full backward sweep. Ref layout (inputs then outputs then
     scratch):
 
@@ -152,7 +170,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         sf = sf_ref[0, 0]
 
         aug_eval = _make_aug_eval(wrefs, dims, activation, final_activation,
-                                  input_power)
+                                  input_power, matmul)
 
         def rhs(y, ay):
             f, v_y, dparams = aug_eval(y, ay)
@@ -164,8 +182,6 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         for r in awrefs:
             r[:] = jnp.zeros_like(r)
         ay_s[:] = jnp.zeros_like(ay_s)
-
-        lane = None  # built lazily inside the loop body
 
         def interval_body(ii, carry):
             dt, nfe, nacc, nrej, status = carry
@@ -266,17 +282,22 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                                          ifactor, dfactor, tab.order)
                 dt_next = dth * fac
 
-                # Kahan-compensated accumulation for y and a_y.
+                # Kahan-compensated accumulation for y and a_y. Pad lanes
+                # are pinned to exactly 0: without the mask they would
+                # integrate dy/dsigma = -sign*f(y) from y=0 (f(0) != 0 with
+                # biases) and a divergent pad state reaching Inf would turn
+                # the 0*Inf in the weight-quadrature lane reductions into
+                # NaN that contaminates true gradients.
                 adj_y = d_y - cy_s[:]
-                y_new = y0 + adj_y
+                y_new = jnp.where(valid, y0 + adj_y, 0.0)
                 adj_ay = d_ay - cay_s[:]
-                ay_new = ay0 + adj_ay
+                ay_new = jnp.where(valid, ay0 + adj_ay, 0.0)
 
                 @pl.when(accept)
                 def _():
-                    cy_s[:] = (y_new - y0) - adj_y
+                    cy_s[:] = jnp.where(valid, (y_new - y0) - adj_y, 0.0)
                     y_s[:] = y_new
-                    cay_s[:] = (ay_new - ay0) - adj_ay
+                    cay_s[:] = jnp.where(valid, (ay_new - ay0) - adj_ay, 0.0)
                     ay_s[:] = ay_new
                     for l in range(L):
                         awrefs[2 * l][:] = awrefs[2 * l][:] + d_ws[l][0]
@@ -317,7 +338,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "method", "safety", "ifactor", "dfactor", "max_steps",
-                     "seminorm", "interpret"))
+                     "seminorm", "matmul", "interpret"))
 def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       dt0: Array, rtol, atol, sign, *,
                       activation: str = "tanh",
@@ -325,7 +346,8 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       input_power: int = 1, method: str = "dopri5",
                       safety: float = 0.9, ifactor: float = 10.0,
                       dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
-                      seminorm: bool = False, interpret: bool = False):
+                      seminorm: bool = False, matmul: str = "vpu",
+                      interpret: bool = False):
     """Fused adjoint backward sweep, one kernel launch.
 
     warrays/dims: padded weights (`pad_mlp_weights`). ys, g: [T, D, B]
@@ -359,13 +381,17 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
               * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
                             1.0)).astype(dtype)
 
+    # RMS denominator = the number of elements actually in the error sum:
+    # seminorm excludes the parameter quadratures from step control
+    # (matches the generic adjoint's rms_norm(x_flat[:2N])).
     n_params = sum(din * dout + dout for din, dout in dims)
-    denom = float(2 * D * B_true + n_params)
+    denom = (float(2 * D * B_true) if seminorm
+             else float(2 * D * B_true + n_params))
 
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), denom, B_true, dims,
                                   activation, final_activation, input_power,
-                                  seminorm)
+                                  seminorm, matmul)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -127,18 +127,51 @@ def _input_transform(y, power: int):
     return h
 
 
+def _layer_uses_mxu(matmul: str, din: int, dout: int) -> bool:
+    """Static per-layer engine choice. 'vpu' = unrolled outer-product
+    broadcasts (exact f32, zero work on padded rows — right for narrow
+    nets); 'mxu' = one systolic-array dot per layer (right for wide nets,
+    where an unrolled VPU contraction is O(din) sequential [dout, B] ops
+    AND O(din) generated instructions). 'auto' switches a layer to the MXU
+    once the weight block is big enough to fill the array usefully."""
+    if matmul == "vpu":
+        return False
+    if matmul == "mxu":
+        return True
+    if matmul == "auto":
+        return min(din, dout) >= 32 and din * dout >= 2048
+    raise ValueError(f"matmul must be 'vpu', 'mxu' or 'auto', got "
+                     f"{matmul!r}")
+
+
+def _pad_rows(h, rows_p: int):
+    """Zero-pad a [rows, B] block up to [rows_p, B] for an MXU dot (the
+    matching weight COLUMNS are zero-padded, so pad rows contribute 0)."""
+    rows = h.shape[0]
+    if rows == rows_p:
+        return h
+    return jnp.concatenate(
+        [h, jnp.zeros((rows_p - rows, h.shape[1]), h.dtype)], axis=0)
+
+
 def _make_net(wrefs, dims, activation: str, final_activation: str,
-              input_power: int, time_input: bool = False):
+              input_power: int, time_input: bool = False,
+              matmul: str = "vpu"):
     """Build f(t, y): [D, B] -> [D_out, B] from padded VMEM weight refs.
 
     General L-layer MLP: z_l = W_l^T h_{l-1} + b_l, h_l = act(z_l), with
     `final_activation` on the last layer and y**input_power on the input.
     `time_input=True` feeds the scalar time as one extra first-layer input
     feature (concat-t MLPs, e.g. CNF flow fields): the first layer's din
-    must then be D + 1 with the t column LAST. Contractions are
-    outer-product broadcasts over TRUE input features plus sublane reads —
-    all VPU, exact f32 (no MXU bf16 passes), and zero work on padded rows
-    (their weights are skipped entirely).
+    must then be D + 1 with the t column LAST.
+
+    Contractions run per-layer on either engine (`_layer_uses_mxu`):
+    - VPU: outer-product broadcasts over TRUE input features plus sublane
+      reads — exact f32, zero work on padded rows (their weights are
+      skipped entirely).
+    - MXU: one `jnp.dot(wT, h)` per layer (f32 accumulate). Zero-padded
+      weight columns null out any pad-row garbage in h, so results match
+      the VPU path to f32 roundoff.
     """
     acts = ([_ACTIVATIONS[activation]] * (len(dims) - 1)
             + [_ACTIVATIONS[final_activation]])
@@ -149,12 +182,26 @@ def _make_net(wrefs, dims, activation: str, final_activation: str,
             wT = wrefs[2 * l]
             b = wrefs[2 * l + 1]
             n_state = din - 1 if (time_input and l == 0) else din
-            acc = None
-            for i in range(n_state):
-                term = wT[:, i:i + 1] * h[i:i + 1, :]     # [doutP, B]
-                acc = term if acc is None else acc + term
-            if time_input and l == 0:
-                acc = acc + wT[:, n_state:n_state + 1] * t
+            if _layer_uses_mxu(matmul, din, dout):
+                if time_input and l == 0:
+                    hp = jnp.concatenate(
+                        [h[:n_state, :], h[:1, :] * 0.0 + t], axis=0)
+                    hp = _pad_rows(hp, wT.shape[1])
+                elif h.shape[0] == wT.shape[1]:
+                    # Already padded height; pad rows (even a nonzero
+                    # act(0)) hit zero-padded weight COLUMNS -> contribute 0.
+                    hp = h
+                else:
+                    hp = _pad_rows(h[:n_state, :], wT.shape[1])
+                acc = jnp.dot(wT[:, :], hp,
+                              preferred_element_type=hp.dtype)
+            else:
+                acc = None
+                for i in range(n_state):
+                    term = wT[:, i:i + 1] * h[i:i + 1, :]     # [doutP, B]
+                    acc = term if acc is None else acc + term
+                if time_input and l == 0:
+                    acc = acc + wT[:, n_state:n_state + 1] * t
             h = acts[l](acc + b[:])
         dout = dims[-1][1]
         return h[:dout, :]
@@ -616,14 +663,15 @@ def padded_mlp_f(warrays, dims, y: Array, activation: str,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "time_input", "rhs", "method", "safety", "ifactor",
-                     "dfactor", "max_steps", "interpret"))
+                     "dfactor", "max_steps", "matmul", "interpret"))
 def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               sign, *, f0: Array = None, activation: str = "tanh",
               final_activation: str = "identity", input_power: int = 1,
               time_input: bool = False, rhs: str = "mlp",
               method: str = "dopri5", safety: float = 0.9,
               ifactor: float = 10.0, dfactor: float = 0.2,
-              max_steps: int = 2 ** 31 - 1, interpret: bool = False):
+              max_steps: int = 2 ** 31 - 1, matmul: str = "vpu",
+              interpret: bool = False):
     """Whole-solve fused adaptive RK for a GENERAL autonomous MLP ODE, one
     kernel launch: every stage evaluation, combine, error norm, controller
     decision and dense-output write runs in-kernel.
@@ -679,7 +727,7 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     if rhs == "mlp":
         def make_f(wrefs):
             return _make_net(wrefs, dims, activation, final_activation,
-                             input_power, time_input)
+                             input_power, time_input, matmul)
     elif rhs == "cnf":
         # y0 rows = [z (D_flow); logp]; dims describe the flow MLP.
         def make_f(wrefs):
