@@ -1,0 +1,96 @@
+"""Fused conv-ODE tier (ops/conv_ode.py, ops/pallas_conv.py,
+fast.solve_conv_ode) — the MNIST ODEBlock dynamics as one kernel.
+
+Interpret mode on CPU; the same code path compiles under Mosaic on TPU
+(driven separately — BASELINE.md has measured numbers).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfdiffeq_tpu import solve
+from tfdiffeq_tpu.fast import solve_conv_ode
+from tfdiffeq_tpu.models.odenet import ODEConvFunc
+from tfdiffeq_tpu.ops.conv_ode import (ConvODESpec, conv_ode_apply,
+                                       conv_params_from_flax)
+
+
+def _setup(B=3, C=16, groups=8, seed=0):
+    mod = ODEConvFunc(features=C, groups=groups)
+    x = jnp.asarray(np.random.RandomState(seed).randn(B, 7, 7, C) * 0.5,
+                    jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(seed), 0.0, x)
+    return mod, vs, x
+
+
+def test_feature_major_dynamics_match_flax():
+    """conv_ode_apply (9 masked rolls + reduce/spread-dot GroupNorm) ==
+    ODEConvFunc.apply (XLA convs + nn.GroupNorm) to f32 roundoff."""
+    mod, vs, x = _setup(B=4, C=64, groups=32)
+    params = conv_params_from_flax(vs)
+    spec = ConvODESpec(channels=64, groups=32)
+    for t in (0.0, 0.37, 1.0):
+        want = mod.apply(vs, t, x)
+        got = conv_ode_apply(params, t, x, spec)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_fused_conv_solve_matches_generic():
+    mod, vs, x = _setup()
+    t = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
+
+    res = solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
+                         interpret=True)
+    ref = solve(lambda tt, yy: mod.apply(vs, tt, yy), x, t,
+                rtol=1e-4, atol=1e-4, method="dopri5",
+                options={"loop": "while"})
+    assert int(res.stats.status) == 0
+    assert int(res.stats.nfe) == int(ref.stats.nfe)
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_fused_conv_solve_reverse_time():
+    mod, vs, x = _setup(seed=1)
+    t = jnp.asarray([1.0, 0.4, 0.0], jnp.float32)   # decreasing
+
+    res = solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
+                         interpret=True)
+    ref = solve(lambda tt, yy: mod.apply(vs, tt, yy), x, t,
+                rtol=1e-4, atol=1e-4, method="dopri5",
+                options={"loop": "while"})
+    assert int(res.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_fused_conv_vmem_fallback(monkeypatch):
+    import tfdiffeq_tpu.fast as F
+
+    mod, vs, x = _setup(seed=2)
+    t = jnp.asarray([0.0, 1.0], jnp.float32)
+    ref = solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
+                         interpret=True)
+    monkeypatch.setattr(F, "_VMEM_BUDGET", 1024)
+    with pytest.warns(UserWarning, match="VMEM"):
+        res = F.solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
+                               interpret=False)
+    assert int(res.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_fused_conv_input_validation():
+    mod, vs, x = _setup()
+    with pytest.raises(ValueError, match="B, H, W, C"):
+        solve_conv_ode(vs, x[0], jnp.asarray([0.0, 1.0]), groups=8,
+                       interpret=True)
+    with pytest.raises(ValueError, match="monotonic"):
+        solve_conv_ode(vs, x, jnp.asarray([0.0, 1.0, 0.5]), groups=8,
+                       interpret=True)
+    with pytest.raises(ValueError, match="divisible"):
+        solve_conv_ode(vs, x, jnp.asarray([0.0, 1.0]), groups=5,
+                       interpret=True)

@@ -714,3 +714,108 @@ def cnf_sample_fused(weights, key, n: int, dim: int, *, t0: float = 0.0,
                          method=method, interpret=interpret,
                          max_num_steps=max_num_steps)
     return res.ys[-1]
+
+
+def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
+                   rtol=1e-3, atol=1e-3, method: str = "dopri5",
+                   interpret: Optional[bool] = None, max_num_steps=None,
+                   first_step=None) -> SolveResult:
+    """Whole-solve fused adaptive RK for the CONV ODE dynamics — the MNIST
+    `ODEBlock`'s GN -> relu -> ConcatConv3x3 -> GN -> relu -> ConcatConv3x3
+    -> GN field (reference `examples/odenet_mnist.py` ODEfunc,
+    SURVEY.md:104) — as ONE Pallas kernel launch (ops/pallas_conv.py:
+    convs = 9 masked lane-rolls + MXU dots, GroupNorm = reduce/spread
+    dots; inference tier, like the fused CNF).
+
+    variables: flax `ODEConvFunc` variables (models/odenet.py) or the
+    pre-extracted {'gn': ..., 'conv': ...} dict. x: [B, H, W, C]; t may
+    increase or decrease. Returns ys [T, B, H, W, C] + stats.
+    """
+    from .ops import conv_ode as co
+    from .ops.pallas_conv import conv_solve, pack_conv_ode_inputs
+
+    x = jnp.asarray(x)
+    if x.ndim != 4:
+        raise ValueError(f"x must be [B, H, W, C], got {x.shape}")
+    B, H, W, C = x.shape
+    spec = co.ConvODESpec(height=H, width=W, channels=C, groups=groups)
+    if C % groups:
+        raise ValueError(f"channels {C} not divisible by groups {groups}")
+    params = (variables if isinstance(variables, dict)
+              and "gn" in variables else co.conv_params_from_flax(variables))
+    interp_flag = _auto_interpret(interpret)
+    dtype = jnp.float32
+    x = x.astype(dtype)
+
+    t = jnp.asarray(t, dtype)
+    if t.ndim != 1:
+        raise ValueError("t must be 1-D")
+    if not isinstance(t, jax.core.Tracer):
+        tv = np.asarray(t)
+        if tv.shape[0] > 1 and not (np.all(np.diff(tv) > 0)
+                                    or np.all(np.diff(tv) < 0)):
+            raise ValueError("t must be strictly monotonic")
+    if t.shape[0] == 1:
+        z = jnp.asarray(0, jnp.int32)
+        return SolveResult(x[None], SolverStats(z, z, z, z))
+
+    # VMEM budget: ~14 live [C, NP] blocks (k-stages + state + interp) +
+    # trajectory + R; past it, fall back to the generic engine on the
+    # same feature-major reference dynamics.
+    from .ops.pallas_kernels import _LANE, _round_up
+    N = B * spec.positions
+    NP = _round_up(N, _LANE)
+    need = 4 * ((14 + int(t.shape[0])) * C * NP + NP * B)
+    if not interp_flag and need > _VMEM_BUDGET:
+        import warnings
+        warnings.warn(
+            "solve_conv_ode: state exceeds the fused kernel's VMEM budget "
+            f"(~{need >> 20} MiB); falling back to the generic while-loop "
+            "engine — split the batch (B <= ~64 at 7x7x64) to stay fused",
+            stacklevel=2)
+        from .odeint import solve as _solve
+        return _solve(lambda tt, yy: co.conv_ode_apply(params, tt, yy,
+                                                       spec),
+                      x, t, rtol=rtol, atol=atol, method=method,
+                      options={"loop": "while",
+                               **({"max_num_steps": max_num_steps}
+                                  if max_num_steps is not None else {})})
+
+    order = {"dopri5": tableaus.DOPRI5, "bosh3": tableaus.BOSH3,
+             "adaptive_heun": tableaus.ADAPTIVE_HEUN,
+             "tsit5": tableaus.TSIT5,
+             "dopri8": tableaus.DOPRI8}[method].order
+
+    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
+    tau = sign * t
+    xf = co.to_feature_major(x, spec)                      # [C, N]
+    ref_f = co.make_conv_ode_f(params, B, spec, dtype)
+
+    f0_true = (sign * ref_f(t[0], xf)).astype(dtype)
+    if first_step is None:
+        def flat_g(s, yflat):
+            y = yflat.reshape(C, N)
+            return (sign * ref_f(sign * s, y)).ravel()
+
+        dt0 = select_initial_step(flat_g, tau[0], xf.ravel(),
+                                  f0_true.ravel(), order - 1,
+                                  jnp.asarray(rtol, dtype),
+                                  jnp.asarray(atol, dtype))
+        extra_nfe = 2
+    else:
+        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+        extra_nfe = 1
+
+    warrays, NP = pack_conv_ode_inputs(params, B, spec, dtype)
+    y0p = jnp.pad(xf, ((0, 0), (0, NP - N)))
+    f0p = jnp.pad(f0_true, ((0, 0), (0, NP - N)))
+
+    out, stats = conv_solve(
+        warrays, spec, y0p, tau, dt0, rtol, atol, sign, f0p,
+        method=method,
+        max_steps=(int(max_num_steps) if max_num_steps is not None
+                   else 2 ** 31 - 1),
+        interpret=interp_flag)
+    ys = jax.vmap(lambda o: co.from_feature_major(o[:, :N], B, spec))(out)
+    st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
+    return SolveResult(ys, st)

@@ -68,7 +68,10 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
             if _layer_uses_mxu(matmul, din, dout):
                 hp = (h if h.shape[0] == wT.shape[1]
                       else _pad_rows(h[:din, :], wT.shape[1]))
-                acc = jnp.dot(wT[:, :], hp, preferred_element_type=dtype)
+                # HIGHEST: the default single-pass bf16 dot (~2e-3 rel)
+                # would swamp the embedded error estimate (see _make_net).
+                acc = jnp.dot(wT[:, :], hp, preferred_element_type=dtype,
+                              precision=jax.lax.Precision.HIGHEST)
             else:
                 acc = None
                 for i in range(din):
@@ -103,7 +106,8 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
                 h_in_p = _pad_rows(h_in[:din, :], dinP)
                 dW = jax.lax.dot_general(
                     dz_p, h_in_p, (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype)            # [doutP, dinP]
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST)     # [doutP, dinP]
             else:
                 # Lane reduction per input feature; padded columns stay 0.
                 cols = [jnp.sum(h_in[i:i + 1, :] * dz_p, axis=1,
@@ -117,7 +121,8 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
             if use_mxu:
                 dh = jax.lax.dot_general(
                     wT[:, :], dz_p, (((0,), (0,)), ((), ())),
-                    preferred_element_type=dtype)[:din, :]   # [din, B]
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST)[:din, :]  # [din, B]
             else:
                 rows = [jnp.sum(wT[:, i:i + 1] * dz_p, axis=0,
                                 keepdims=True) for i in range(din)]

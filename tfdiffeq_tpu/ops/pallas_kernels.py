@@ -193,8 +193,13 @@ def _make_net(wrefs, dims, activation: str, final_activation: str,
                     hp = h
                 else:
                     hp = _pad_rows(h[:n_state, :], wT.shape[1])
+                # HIGHEST: Mosaic's default dot is a SINGLE bf16 pass
+                # (measured rel err ~2e-3) — noise above the embedded
+                # error estimate that inflates NFE ~5x; the 3-pass f32
+                # path measured the same wall-clock on v5e.
                 acc = jnp.dot(wT[:, :], hp,
-                              preferred_element_type=hp.dtype)
+                              preferred_element_type=hp.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
             else:
                 acc = None
                 for i in range(n_state):
