@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--train_dir", default="",
                    help="Orbax checkpoint dir; resumes from the newest "
                         "checkpoint when one exists")
+    p.add_argument("--fused_eval", action="store_true",
+                   help="evaluate through the fused Pallas conv-ODE "
+                        "kernel (fast.solve_conv_ode; inference-only)")
     return p.parse_args(argv)
 
 
@@ -164,10 +167,16 @@ def main(argv=None):
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # Same params tree; the ODE block solve runs as fused Pallas kernels.
+    eval_model = (ODENetMNIST(network=args.network, tol=args.tol,
+                              fused=True)
+                  if args.fused_eval and args.network == "odenet"
+                  else model)
+
     @jax.jit
     def accuracy(params, xb, yb):
-        logits, diag = model.apply({"params": params}, xb,
-                                   mutable=["diagnostics"])
+        logits, diag = eval_model.apply({"params": params}, xb,
+                                        mutable=["diagnostics"])
         acc = jnp.mean(jnp.argmax(logits, -1) == yb)
         nfe = jnp.asarray(0, jnp.int32)
         if args.network == "odenet":

@@ -67,17 +67,55 @@ def test_fused_conv_solve_reverse_time():
                                atol=5e-4, rtol=1e-3)
 
 
-def test_fused_conv_vmem_fallback(monkeypatch):
+def test_fused_conv_batch_chunking(monkeypatch):
+    """Batches beyond the Mosaic stack budget are auto-chunked into fused
+    per-block solves (independent per-block controllers); results match
+    the unchunked solve at tolerance level, and a ragged final block is
+    padded and sliced correctly."""
     import tfdiffeq_tpu.fast as F
 
-    mod, vs, x = _setup(seed=2)
+    mod, vs, x = _setup(B=5, seed=2)
     t = jnp.asarray([0.0, 1.0], jnp.float32)
     ref = solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
                          interpret=True)
-    monkeypatch.setattr(F, "_VMEM_BUDGET", 1024)
+    # Blockwise references BEFORE shrinking the budget (unchunked).
+    blk01 = solve_conv_ode(vs, x[0:2], t, groups=8, rtol=1e-4, atol=1e-4,
+                           interpret=True)
+    blk23 = solve_conv_ode(vs, x[2:4], t, groups=8, rtol=1e-4, atol=1e-4,
+                           interpret=True)
+    # Shrink the budget so b_chunk = 2 (NP 128) -> blocks (2, 2, 1-pad).
+    budget2 = 4 * (F._CONV_STACK_BLOCKS + 2) * 16 * 128
+    monkeypatch.setattr(F, "_CONV_STACK_BUDGET", budget2)
+    res = F.solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
+                           interpret=True)
+    assert int(res.stats.status) == 0
+    assert res.ys.shape == ref.ys.shape
+    # Strong invariant: chunked == concatenation of per-block solves (the
+    # dynamics have no cross-sample coupling; only the controller's error
+    # norm population changes per block).
+    np.testing.assert_allclose(np.asarray(res.ys[:, 0:2]),
+                               np.asarray(blk01.ys), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res.ys[:, 2:4]),
+                               np.asarray(blk23.ys), atol=2e-5)
+    # Weak: matches the unchunked solve at a few x tolerance (different
+    # accept sequences).
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               atol=2e-2)
+    # Per-block stats are summed: more blocks => at least as many NFE.
+    assert int(res.stats.nfe) >= int(ref.stats.nfe)
+
+
+def test_fused_conv_generic_fallback_on_huge_t(monkeypatch):
+    import tfdiffeq_tpu.fast as F
+
+    mod, vs, x = _setup(seed=3)
+    t = jnp.asarray([0.0, 1.0], jnp.float32)
+    ref = solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
+                         interpret=True)
+    monkeypatch.setattr(F, "_CONV_STACK_BUDGET", 1024)
     with pytest.warns(UserWarning, match="VMEM"):
         res = F.solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
-                               interpret=False)
+                               interpret=True)
     assert int(res.stats.status) == 0
     np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
                                atol=5e-4, rtol=1e-3)

@@ -254,6 +254,13 @@ def _check_spec_inputs(y0, t):
 #: headroom for weights/activations/compiler temporaries.
 _VMEM_BUDGET = 12 * 2 ** 20
 
+# Conv-ODE kernel stack model (measured, v5e Mosaic): the solver body
+# keeps ~60 [C, NP] blocks live on the scoped-VMEM stack (25.2 MiB at
+# C=64, NP=1664), against a ~16 MiB limit; batches are chunked to the
+# largest block that fits (see fast.solve_conv_ode).
+_CONV_STACK_BLOCKS = 60
+_CONV_STACK_BUDGET = 14 * 2 ** 20
+
 
 def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int) -> int:
     from .ops.pallas_kernels import _LANE, _round_up
@@ -759,20 +766,30 @@ def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
         z = jnp.asarray(0, jnp.int32)
         return SolveResult(x[None], SolverStats(z, z, z, z))
 
-    # VMEM budget: ~14 live [C, NP] blocks (k-stages + state + interp) +
-    # trajectory + R; past it, fall back to the generic engine on the
-    # same feature-major reference dynamics.
+    # Mosaic scoped-VMEM model (measured on v5e: the solver body keeps
+    # ~60 [C, NP] blocks live — k-stages, conv/GN temporaries, interp
+    # coeffs — 25.2 MiB at C=64, NP=1664) plus the [T, C, NP] trajectory.
+    # Batches larger than the biggest fitting block are auto-chunked:
+    # lax.map over fused per-block solves in ONE dispatch (independent
+    # per-block step control, like solve_mlp_sharded's per-shard
+    # semantics; stats summed, status = max).
     from .ops.pallas_kernels import _LANE, _round_up
-    N = B * spec.positions
-    NP = _round_up(N, _LANE)
-    need = 4 * ((14 + int(t.shape[0])) * C * NP + NP * B)
-    if not interp_flag and need > _VMEM_BUDGET:
+    T_out = int(t.shape[0])
+
+    def fits(b):
+        np_b = _round_up(b * spec.positions, _LANE)
+        return (4 * (_CONV_STACK_BLOCKS + T_out) * C * np_b
+                <= _CONV_STACK_BUDGET)
+
+    b_chunk = B
+    while b_chunk > 1 and not fits(b_chunk):
+        b_chunk -= 1
+    if not fits(b_chunk):
         import warnings
         warnings.warn(
-            "solve_conv_ode: state exceeds the fused kernel's VMEM budget "
-            f"(~{need >> 20} MiB); falling back to the generic while-loop "
-            "engine — split the batch (B <= ~64 at 7x7x64) to stay fused",
-            stacklevel=2)
+            "solve_conv_ode: even a single-sample block exceeds the "
+            "kernel's VMEM budget (huge T or C); falling back to the "
+            "generic while-loop engine", stacklevel=2)
         from .odeint import solve as _solve
         return _solve(lambda tt, yy: co.conv_ode_apply(params, tt, yy,
                                                        spec),
@@ -780,6 +797,29 @@ def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
                       options={"loop": "while",
                                **({"max_num_steps": max_num_steps}
                                   if max_num_steps is not None else {})})
+    if b_chunk < B:
+        n_blocks = -(-B // b_chunk)
+        pad_b = n_blocks * b_chunk - B
+        xp = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        xb = xp.reshape(n_blocks, b_chunk, H, W, C)
+
+        def one(xi):
+            r = solve_conv_ode(params, xi, t, groups=groups, rtol=rtol,
+                               atol=atol, method=method,
+                               interpret=interpret,
+                               max_num_steps=max_num_steps,
+                               first_step=first_step)
+            return r.ys, jnp.stack([r.stats.nfe, r.stats.n_accepted,
+                                    r.stats.n_rejected, r.stats.status])
+
+        ys_b, st_b = jax.lax.map(one, xb)      # [nb, T, b, H, W, C]
+        ys = jnp.moveaxis(ys_b, 0, 1).reshape(
+            T_out, n_blocks * b_chunk, H, W, C)[:, :B]
+        st = SolverStats(jnp.sum(st_b[:, 0]), jnp.sum(st_b[:, 1]),
+                         jnp.sum(st_b[:, 2]), jnp.max(st_b[:, 3]))
+        return SolveResult(ys, st)
+    N = B * spec.positions
+    NP = _round_up(N, _LANE)
 
     order = {"dopri5": tableaus.DOPRI5, "bosh3": tableaus.BOSH3,
              "adaptive_heun": tableaus.ADAPTIVE_HEUN,

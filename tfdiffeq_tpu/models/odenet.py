@@ -77,6 +77,10 @@ class ODEBlock(nn.Module):
     adjoint: bool = False
     method: str = "dopri5"
     nfe_meter: Any = None
+    # Inference-only fast path: run the solve as fused Pallas conv-ODE
+    # kernels (fast.solve_conv_ode; batches auto-chunked to the VMEM
+    # budget). Forward-only — gradients need adjoint/direct mode.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -92,6 +96,13 @@ class ODEBlock(nn.Module):
             return x
 
         params = func_mod.variables
+
+        if self.fused:
+            from ..fast import solve_conv_ode
+            res = solve_conv_ode(params, x, t, rtol=self.tol,
+                                 atol=self.tol, method=self.method)
+            self.sow("diagnostics", "nfe", res.stats.nfe)
+            return res.ys[-1]
 
         if self.adjoint:
             def f(tt, yy, p):
@@ -137,6 +148,7 @@ class ODENetMNIST(nn.Module):
     tol: float = 1e-3
     n_res_blocks: int = 6
     nfe_meter: Any = None          # NFEMeter for adjoint f/b-NFE logging
+    fused: bool = False            # fused Pallas ODE block (inference)
 
     @nn.compact
     def __call__(self, x):
@@ -152,7 +164,8 @@ class ODENetMNIST(nn.Module):
         if self.network == "odenet":
             h = ODEBlock(features=self.features, tol=self.tol,
                          adjoint=self.adjoint,
-                         nfe_meter=self.nfe_meter)(h)
+                         nfe_meter=self.nfe_meter,
+                         fused=self.fused)(h)
         else:
             for _ in range(self.n_res_blocks):
                 h = ResBlock(features=self.features)(h)
