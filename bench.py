@@ -268,6 +268,46 @@ def bench_latent_ode_iter_ms(fused: bool, iters: int = 40):
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
+def bench_conv_ode_us_per_sample(iters: int = 10):
+    """Fused conv-ODE tier (MNIST ODEBlock dynamics, 7x7x64, B=16 native
+    block) vs the generic NHWC engine at the same batch: sustained
+    us/sample over 8 chained solves per dispatch."""
+    import numpy as np
+
+    from tfdiffeq_tpu import solve
+    from tfdiffeq_tpu.fast import solve_conv_ode
+    from tfdiffeq_tpu.models.odenet import ODEConvFunc
+
+    mod = ODEConvFunc(features=64, groups=32)
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 7, 7, 64) * 0.5,
+                    jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), 0.0, x)
+    t = jnp.asarray([0.0, 1.0], jnp.float32)
+
+    def chain(step):
+        @jax.jit
+        def run(x):
+            y = x
+            for _ in range(8):
+                y = step(y)[-1] * 0.98
+            return y
+
+        y = run(x)
+        y.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = run(x)
+        y.block_until_ready()
+        return (time.perf_counter() - t0) / iters / 8 * 1e6 / x.shape[0]
+
+    fused_us = chain(lambda y: solve_conv_ode(
+        vs, y, t, rtol=1e-3, atol=1e-3).ys)
+    gen_us = chain(lambda y: solve(
+        lambda tt, yy: mod.apply(vs, tt, yy), y, t, rtol=1e-3, atol=1e-3,
+        method="dopri5", options={"loop": "while"}).ys)
+    return fused_us, gen_us
+
+
 def bench_fused_train_nfe_per_sec(iters: int = 20):
     """Training-step NFE/s on the fused adjoint path (BASELINE.json config
     3: spiral neural-ODE training with O(1)-memory gradients): full SGD
@@ -365,6 +405,12 @@ def main():
             bench_fused_train_nfe_per_sec()
     except Exception:
         train_nfe_s = train_nfe_iter = train_iter_s = None
+    try:
+        conv_fused_us, conv_gen_us = (
+            (None, None) if "--no-conv" in sys.argv
+            else bench_conv_ode_us_per_sample())
+    except Exception:
+        conv_fused_us = conv_gen_us = None
 
     print(json.dumps({
         "metric": "dopri5_nfe_per_sec_batched_spiral",
@@ -393,6 +439,10 @@ def main():
                 train_nfe_iter,
             "train_step_iter_ms":
                 round(train_iter_s * 1000, 2) if train_iter_s else None,
+            "conv_ode_us_per_sample_fused":
+                round(conv_fused_us, 1) if conv_fused_us else None,
+            "conv_ode_us_per_sample_generic":
+                round(conv_gen_us, 1) if conv_gen_us else None,
             "batch_sweep_nfe_per_sec":
                 None if "--no-sweep" in sys.argv else batch_sweep(),
             "device": str(jax.devices()[0]),

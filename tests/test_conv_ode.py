@@ -132,3 +132,24 @@ def test_fused_conv_input_validation():
     with pytest.raises(ValueError, match="divisible"):
         solve_conv_ode(vs, x, jnp.asarray([0.0, 1.0]), groups=5,
                        interpret=True)
+
+
+def test_odeblock_fused_flag_matches_generic():
+    """ODEBlock(fused=True) routes the solve through the fused kernel and
+    reproduces the generic block's logits."""
+    from tfdiffeq_tpu.models.odenet import ODENetMNIST
+
+    m = ODENetMNIST(tol=1e-3)
+    mf = ODENetMNIST(tol=1e-3, fused=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 28, 28, 1),
+                    jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    la, _ = m.apply(vs, x, mutable=["diagnostics"])
+    lb, diag = mf.apply(vs, x, mutable=["diagnostics"])
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la), atol=1e-4)
+    leaves = jax.tree_util.tree_leaves(diag)
+    assert leaves
+    # sow appends: leaf 0 is the init-time 0 carried in `vs`, the last
+    # leaf is this apply's NFE.
+    nfe = int(jnp.asarray(leaves[-1]).ravel()[-1])
+    assert nfe > 0
