@@ -227,3 +227,30 @@ def test_dryrun_bootstrap_guard(monkeypatch):
     monkeypatch.setenv("_GRAFT_DRYRUN_BOOTSTRAPPED", "1")
     with pytest.raises(RuntimeError, match="bootstrap"):
         ge.dryrun_multichip(4096)
+
+
+def test_sharded_fused_conv_solve():
+    """solve_conv_ode_sharded: each batch shard runs its own fused
+    conv-ODE solve; per-shard results equal the per-block single-device
+    solves exactly."""
+    import numpy as np
+
+    from tfdiffeq_tpu.fast import solve_conv_ode, solve_conv_ode_sharded
+    from tfdiffeq_tpu.models.odenet import ODEConvFunc
+
+    mod = ODEConvFunc(features=16, groups=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 7, 7, 16) * 0.5,
+                    jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), 0.0, x)
+    t = jnp.asarray([0.0, 1.0], jnp.float32)
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+
+    res = solve_conv_ode_sharded(vs, x, t, mesh, groups=8, rtol=1e-4,
+                                 atol=1e-4, interpret=True)
+    assert int(res.stats.status) == 0
+    for s in range(4):
+        blk = solve_conv_ode(vs, x[2 * s:2 * s + 2], t, groups=8,
+                             rtol=1e-4, atol=1e-4, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(res.ys[:, 2 * s:2 * s + 2]), np.asarray(blk.ys),
+            atol=2e-5)

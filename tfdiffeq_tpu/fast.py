@@ -31,11 +31,16 @@ configs"; the generic `odeint` stays fully general. The tier now covers:
 - `cnf_log_prob_fused` / `cnf_sample_fused`: FFJORD density evaluation and
   sampling for concat-t MLP flows, with the EXACT divergence computed
   in-kernel (one launch per solve).
+- `solve_conv_ode` / `solve_conv_ode_sharded`: the MNIST ODEBlock's conv
+  dynamics (GN -> relu -> ConcatConv3x3, twice, -> GN) as whole-solve
+  kernels — convs as masked lane-rolls + MXU dots, GroupNorm as
+  reduce/spread dots (ops/pallas_conv.py); batches auto-chunk to the
+  Mosaic stack budget. Inference tier (`ODEBlock(fused=True)`).
 
-Remaining limitation (by design): the dynamics must be an MLP of the
-declared shape — arbitrary user funcs take the generic
+Remaining limitation (by design): the dynamics must be an MLP or the
+conv block above — arbitrary user funcs take the generic
 `odeint`/`odeint_adjoint` path; the fused ADJOINT additionally requires
-autonomous dynamics.
+autonomous MLP dynamics.
 """
 
 from __future__ import annotations
@@ -859,3 +864,50 @@ def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
     ys = jax.vmap(lambda o: co.from_feature_major(o[:, :N], B, spec))(out)
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
     return SolveResult(ys, st)
+
+
+def solve_conv_ode_sharded(variables, x: Array, t, mesh, *,
+                           axis: str = "data", groups: int = 32,
+                           rtol=1e-3, atol=1e-3, method: str = "dopri5",
+                           interpret: Optional[bool] = None,
+                           max_num_steps=None,
+                           first_step=None) -> SolveResult:
+    """Data-parallel fused conv-ODE solve over a device mesh: each batch
+    shard runs its own `solve_conv_ode` (per-shard step control, auto
+    block-chunking inside the shard, zero per-step collectives — same
+    contract as `solve_mlp_sharded`). Stats: nfe/accepted/rejected summed,
+    status = max."""
+    from jax.sharding import PartitionSpec as P
+
+    x = jnp.asarray(x)
+    if x.ndim != 4:
+        raise ValueError(f"x must be [B, H, W, C], got {x.shape}")
+    n_shards = mesh.shape[axis]
+    if x.shape[0] % n_shards:
+        raise ValueError(f"batch {x.shape[0]} not divisible by mesh axis "
+                         f"'{axis}' size {n_shards}")
+    from .ops import conv_ode as co
+    params = (variables if isinstance(variables, dict)
+              and "gn" in variables else co.conv_params_from_flax(variables))
+
+    def local_solve(x_shard):
+        r = solve_conv_ode(params, x_shard, t, groups=groups, rtol=rtol,
+                           atol=atol, method=method, interpret=interpret,
+                           max_num_steps=max_num_steps,
+                           first_step=first_step)
+        return r.ys, jnp.stack([r.stats.nfe, r.stats.n_accepted,
+                                r.stats.n_rejected, r.stats.status])
+
+    try:
+        ys, st = jax.shard_map(
+            local_solve, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(None, axis), P(axis)), check_vma=False)(x)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        ys, st = _sm(local_solve, mesh=mesh, in_specs=P(axis),
+                     out_specs=(P(None, axis), P(axis)),
+                     check_rep=False)(x)
+    st = st.reshape(n_shards, 4)
+    stats = SolverStats(st[:, 0].sum(), st[:, 1].sum(), st[:, 2].sum(),
+                        st[:, 3].max())
+    return SolveResult(ys, stats)
