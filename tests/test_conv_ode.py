@@ -153,3 +153,51 @@ def test_odeblock_fused_flag_matches_generic():
     # leaf is this apply's NFE.
     nfe = int(jnp.asarray(leaves[-1]).ravel()[-1])
     assert nfe > 0
+
+
+def test_group_norm_negative_variance_clamp():
+    """f32 cancellation in E[x^2] - mean^2 can go negative beyond eps for
+    near-constant large-magnitude groups; flax clamps, so must we — else
+    rsqrt(negative) NaNs every RK stage and the solve dies at
+    DT_UNDERFLOW where the generic path integrates fine."""
+    import flax.linen as nn
+
+    from tfdiffeq_tpu.ops.conv_ode import (ConvODESpec, group_matrix,
+                                           group_norm, reduce_matrix)
+
+    spec = ConvODESpec(channels=16, groups=8)
+    B = 2
+    rng = np.random.RandomState(0)
+    # One group pinned near-constant at large magnitude.
+    x = jnp.asarray(rng.randn(B, 7, 7, 16), jnp.float32)
+    x = x.at[..., 0:2].set(173.2578)
+    xf = jnp.transpose(x, (3, 0, 1, 2)).reshape(16, B * 49)
+    scale = jnp.ones((16, 1), jnp.float32)
+    bias = jnp.zeros((16, 1), jnp.float32)
+    out = group_norm(xf, scale, bias, reduce_matrix(B, spec),
+                     group_matrix(spec), spec)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ref = nn.GroupNorm(num_groups=8, use_bias=False, use_scale=False,
+                       epsilon=spec.eps).apply({}, x)
+    reff = jnp.transpose(ref, (3, 0, 1, 2)).reshape(16, B * 49)
+    assert np.all(np.isfinite(np.asarray(reff)))
+    # The pinned group is degenerate (output = f32 summation residue
+    # scaled by 1/sqrt(eps) — implementation-defined noise in BOTH
+    # implementations); compare the healthy groups only.
+    np.testing.assert_allclose(np.asarray(out[2:]), np.asarray(reff[2:]),
+                               atol=1e-3)
+
+
+def test_odeblock_fused_small_features():
+    """ODEBlock(features=16, fused=True) must use the block's effective
+    num_groups (min(32, features)), not the solve_conv_ode default."""
+    from tfdiffeq_tpu.models.odenet import ODEBlock
+
+    blk = ODEBlock(features=16, tol=1e-3)
+    blkf = ODEBlock(features=16, tol=1e-3, fused=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 7, 7, 16) * 0.5,
+                    jnp.float32)
+    vs = blk.init(jax.random.PRNGKey(0), x)
+    ya, _ = blk.apply(vs, x, mutable=["diagnostics"])
+    yb, _ = blkf.apply(vs, x, mutable=["diagnostics"])
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=1e-4)

@@ -310,10 +310,7 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                                **({"first_step": first_step}
                                   if first_step is not None else {})})
 
-    from .ops.tableaus import (ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, TSIT5)
-    order = {"dopri5": DOPRI5, "bosh3": BOSH3,
-             "adaptive_heun": ADAPTIVE_HEUN, "tsit5": TSIT5,
-             "dopri8": DOPRI8}[method].order
+    order = tableaus.TABLEAUS_BY_NAME[method].order
 
     t = t.astype(dtype)
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
@@ -801,7 +798,9 @@ def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
                       x, t, rtol=rtol, atol=atol, method=method,
                       options={"loop": "while",
                                **({"max_num_steps": max_num_steps}
-                                  if max_num_steps is not None else {})})
+                                  if max_num_steps is not None else {}),
+                               **({"first_step": first_step}
+                                  if first_step is not None else {})})
     if b_chunk < B:
         n_blocks = -(-B // b_chunk)
         pad_b = n_blocks * b_chunk - B
@@ -823,13 +822,8 @@ def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
         st = SolverStats(jnp.sum(st_b[:, 0]), jnp.sum(st_b[:, 1]),
                          jnp.sum(st_b[:, 2]), jnp.max(st_b[:, 3]))
         return SolveResult(ys, st)
-    N = B * spec.positions
-    NP = _round_up(N, _LANE)
-
-    order = {"dopri5": tableaus.DOPRI5, "bosh3": tableaus.BOSH3,
-             "adaptive_heun": tableaus.ADAPTIVE_HEUN,
-             "tsit5": tableaus.TSIT5,
-             "dopri8": tableaus.DOPRI8}[method].order
+    N = B * spec.positions        # lane padding is pack_conv_ode_inputs'
+    order = tableaus.TABLEAUS_BY_NAME[method].order
 
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
     tau = sign * t

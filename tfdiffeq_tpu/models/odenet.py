@@ -99,8 +99,12 @@ class ODEBlock(nn.Module):
 
         if self.fused:
             from ..fast import solve_conv_ode
+            # groups must match ODEConvFunc's effective num_groups; the
+            # step budget matches the direct path's max_steps below.
             res = solve_conv_ode(params, x, t, rtol=self.tol,
-                                 atol=self.tol, method=self.method)
+                                 atol=self.tol, method=self.method,
+                                 groups=min(32, self.features),
+                                 max_num_steps=256)
             self.sow("diagnostics", "nfe", res.stats.nfe)
             return res.ys[-1]
 

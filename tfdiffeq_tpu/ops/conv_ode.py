@@ -165,7 +165,10 @@ def group_norm(x: Array, scale: Array, gbias: Array, R: Array, G: Array,
     gsq = jnp.dot(G, s2, preferred_element_type=x.dtype,
                   precision=hi)                                   # [G, B]
     mean = gsum / cnt
-    var = gsq / cnt - mean * mean
+    # Clamp like flax's _compute_stats: f32 cancellation in E[x^2]-mean^2
+    # can go negative beyond eps for near-constant large-magnitude groups
+    # (measured -0.0039 at |x|~173), and rsqrt(negative) = NaN.
+    var = jnp.maximum(gsq / cnt - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + spec.eps)
     # Spread per-group stats to channels (contract G's group axis), then
     # to lanes (contract R's sample axis) — no transposes materialized.

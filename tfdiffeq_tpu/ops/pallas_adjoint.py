@@ -366,9 +366,7 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     (dW [doutP, dinP], db [doutP, 1]) cotangents, stats [4] int32).
     """
     from . import tableaus as _tabs
-    tab = {"dopri5": _tabs.DOPRI5, "bosh3": _tabs.BOSH3,
-           "adaptive_heun": _tabs.ADAPTIVE_HEUN, "tsit5": _tabs.TSIT5,
-           "dopri8": _tabs.DOPRI8}[method]
+    tab = _tabs.TABLEAUS_BY_NAME[method]
     T, D, B = ys.shape
     dtype = ys.dtype
     warrays = [jnp.asarray(w, dtype) for w in warrays]

@@ -114,9 +114,7 @@ def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
     canonical times, sign as in solvers/base.py. Returns
     (out [T, C, NP], stats [4] int32)."""
     from . import tableaus as _tabs
-    tab = {"dopri5": _tabs.DOPRI5, "bosh3": _tabs.BOSH3,
-           "adaptive_heun": _tabs.ADAPTIVE_HEUN, "tsit5": _tabs.TSIT5,
-           "dopri8": _tabs.DOPRI8}[method]
+    tab = _tabs.TABLEAUS_BY_NAME[method]
     C, NP = y0.shape
     T = int(tau.shape[0])
     dtype = y0.dtype

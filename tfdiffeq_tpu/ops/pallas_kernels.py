@@ -696,9 +696,7 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     Status: 0 OK, 1 MAX_STEPS_REACHED, 2 DT_UNDERFLOW, 3 INVALID_TIMES.
     """
     from . import tableaus as _tabs
-    tab = {"dopri5": _tabs.DOPRI5, "bosh3": _tabs.BOSH3,
-           "adaptive_heun": _tabs.ADAPTIVE_HEUN, "tsit5": _tabs.TSIT5,
-           "dopri8": _tabs.DOPRI8}[method]
+    tab = _tabs.TABLEAUS_BY_NAME[method]
     D, B = y0.shape
     T = int(tau.shape[0])
     dtype = y0.dtype

@@ -323,3 +323,15 @@ DOPRI8 = ButcherTableau(
     c_mid=derive_c_mid(tuple(float(x) for x in _DP8_C),
                        tuple(tuple(float(x) for x in row) for row in _DP8_A)),
 )
+
+
+# Single source of truth for the fused-tier method name -> tableau map
+# (mlp_solve, mlp_adjoint_solve, conv_solve, and the fast.py front-ends
+# all resolve through this).
+TABLEAUS_BY_NAME = {
+    "dopri5": DOPRI5,
+    "bosh3": BOSH3,
+    "adaptive_heun": ADAPTIVE_HEUN,
+    "tsit5": TSIT5,
+    "dopri8": DOPRI8,
+}
