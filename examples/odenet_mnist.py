@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--fused_eval", action="store_true",
                    help="evaluate through the fused Pallas conv-ODE "
                         "kernel (fast.solve_conv_ode; inference-only)")
+    p.add_argument("--fused", action="store_true",
+                   help="TRAIN with the fused conv-ODE forward + generic "
+                        "O(1)-memory backward (requires --adjoint)")
     return p.parse_args(argv)
 
 
@@ -124,8 +127,11 @@ def main(argv=None):
     # host through an NFEMeter (reference parity: the upstream example logs
     # both forward and backward NFE per step).
     meter = NFEMeter() if args.adjoint else None
+    if args.fused and not args.adjoint:
+        raise SystemExit("--fused trains through the fused forward + "
+                         "adjoint backward; add --adjoint")
     model = ODENetMNIST(network=args.network, adjoint=args.adjoint,
-                        tol=args.tol, nfe_meter=meter)
+                        tol=args.tol, nfe_meter=meter, fused=args.fused)
     key = jax.random.PRNGKey(args.seed)
     variables = model.init(key, jnp.ones((1, 28, 28, 1)))
     # Differentiate only the 'params' collection; 'diagnostics' carries the

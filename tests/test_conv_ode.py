@@ -38,14 +38,15 @@ def test_feature_major_dynamics_match_flax():
                                    atol=1e-5)
 
 
-def test_fused_conv_solve_matches_generic():
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "tsit5"])
+def test_fused_conv_solve_matches_generic(method):
     mod, vs, x = _setup()
     t = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
 
     res = solve_conv_ode(vs, x, t, groups=8, rtol=1e-4, atol=1e-4,
-                         interpret=True)
+                         method=method, interpret=True)
     ref = solve(lambda tt, yy: mod.apply(vs, tt, yy), x, t,
-                rtol=1e-4, atol=1e-4, method="dopri5",
+                rtol=1e-4, atol=1e-4, method=method,
                 options={"loop": "while"})
     assert int(res.stats.status) == 0
     assert int(res.stats.nfe) == int(ref.stats.nfe)
@@ -201,3 +202,29 @@ def test_odeblock_fused_small_features():
     ya, _ = blk.apply(vs, x, mutable=["diagnostics"])
     yb, _ = blkf.apply(vs, x, mutable=["diagnostics"])
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=1e-4)
+
+
+def test_odeblock_fused_adjoint_trains():
+    """ODEBlock(fused=True, adjoint=True): fused forward + generic
+    O(1)-memory backward — gradients match the all-generic adjoint
+    block at tolerance level."""
+    from tfdiffeq_tpu.models.odenet import ODEBlock
+
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 7, 7, 16) * 0.5,
+                    jnp.float32)
+    blk = ODEBlock(features=16, tol=1e-3, adjoint=True)
+    blkf = ODEBlock(features=16, tol=1e-3, adjoint=True, fused=True)
+    vs = blk.init(jax.random.PRNGKey(0), x)
+    p0 = vs["params"]
+
+    def loss(model, p):
+        y, _ = model.apply({"params": p}, x, mutable=["diagnostics"])
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(lambda p: loss(blk, p))(p0)
+    gf = jax.grad(lambda p: loss(blkf, p))(p0)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(g)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b)))
+        assert d < 1e-4 + 5e-2 * m, (d, m)

@@ -380,3 +380,45 @@ def test_adjoint_interpolated_budget_exhaustion_is_loud():
 
     g = jax.grad(loss)(Y0)
     assert np.all(np.isnan(np.asarray(g)))
+
+
+def test_adjoint_forward_solver_hook():
+    """odeint_adjoint(forward_solver=...): a fused whole-solve kernel
+    replaces the internal forward; gradients (from the generic backward
+    sweep over the kernel's trajectory) match the all-generic adjoint."""
+    from tfdiffeq_tpu.fast import MLPSpec, mlp_apply, solve_mlp_spec
+
+    rng = np.random.RandomState(70)
+    dims = (3, 12, 3)
+    weights = tuple(
+        (jnp.asarray(rng.randn(a, b) * 0.3 / np.sqrt(a), jnp.float32),
+         jnp.asarray(rng.randn(b) * 0.05, jnp.float32))
+        for a, b in zip(dims[:-1], dims[1:]))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(rng.randn(6, 3), jnp.float32)
+    t = jnp.linspace(0.0, 1.5, 5, dtype=jnp.float32)
+
+    def f(tt, yy, p):
+        return mlp_apply(spec, p, yy)
+
+    def fwd(y0_, t_, p_):
+        r = solve_mlp_spec(spec, p_, y0_, t_, rtol=1e-6, atol=1e-8,
+                           interpret=True)
+        return r.ys, r.stats
+
+    def loss(w, use_hook):
+        ys = odeint_adjoint(f, y0, t, params=w, rtol=1e-6, atol=1e-8,
+                            forward_solver=fwd if use_hook else None)
+        return jnp.sum(ys[-1] ** 2)
+
+    gh = jax.grad(lambda w: loss(w, True))(weights)
+    gg = jax.grad(lambda w: loss(w, False))(weights)
+    for a, b in zip(jax.tree_util.tree_leaves(gh),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 2e-3, (d, m)
+
+    with pytest.raises(ValueError, match="interpolated"):
+        odeint_adjoint(f, y0, t, params=weights, forward_solver=fwd,
+                       adjoint_mode="interpolated")

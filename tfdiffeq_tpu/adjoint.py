@@ -52,6 +52,15 @@ Array = jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
+class _FwdResult:
+    """Duck-typed stand-in for odeint.SolveResult when a custom
+    `forward_solver` produced the trajectory (no dense output)."""
+    ys: Any
+    stats: Any
+    dense: Any
+
+
+@dataclasses.dataclass(frozen=True)
 class _BackwardWalk:
     """Static per-interval backward grid (fixed-grid adjoint + step_size).
 
@@ -99,6 +108,7 @@ def odeint_adjoint(
     adjoint_mode: str = "resets",
     return_stats: bool = False,
     nfe_meter=None,
+    forward_solver: Optional[Callable] = None,
 ) -> Any:
     """Like `odeint`, but gradients use the augmented adjoint ODE.
 
@@ -133,6 +143,15 @@ def odeint_adjoint(
         y cannot drift backward through unstable dynamics, and the backward
         solve is cheaper per step. Memory is O(forward steps x state size).
         Requires an adaptive forward method.
+
+    forward_solver: optional replacement for the internal forward solve —
+    `forward_solver(y0, t, params) -> (ys, SolverStats)` must integrate
+    the SAME dynamics as `func` (e.g. a fused Pallas whole-solve kernel:
+    `fast.solve_conv_ode` / `fast.solve_mlp_spec`). custom_vjp never
+    differentiates the forward, so gradients stay exact as long as the
+    trajectories agree; the backward sweep still evaluates `func` via
+    `jax.vjp`. Only `adjoint_mode='resets'` (the default) — the
+    interpolated mode needs the internal forward's dense output.
     """
     if params is None:
         user_func = lambda t_, y_, p_: func(t_, y_)
@@ -157,6 +176,11 @@ def odeint_adjoint(
     if adjoint_mode not in ("resets", "interpolated"):
         raise ValueError(f"adjoint_mode must be 'resets' or 'interpolated',"
                          f" got {adjoint_mode!r}")
+    if forward_solver is not None and adjoint_mode == "interpolated":
+        raise ValueError(
+            "forward_solver cannot be combined with "
+            "adjoint_mode='interpolated' (the interpolated backward needs "
+            "the internal forward's per-step dense output)")
     if adjoint_mode == "interpolated" and not _is_adaptive(method):
         raise ValueError("adjoint_mode='interpolated' needs the forward "
                          "dense-output interpolants, which only adaptive "
@@ -258,9 +282,13 @@ def odeint_adjoint(
                        if k in _allowed}
 
     def _impl(y0_, t_, params_):
-        res = solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
-                    rtol=rtol, atol=atol, method=method,
-                    options=fwd_options)
+        if forward_solver is not None:
+            ys_f, stats_f = forward_solver(y0_, t_, params_)
+            res = _FwdResult(ys_f, stats_f, None)
+        else:
+            res = solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
+                        rtol=rtol, atol=atol, method=method,
+                        options=fwd_options)
         emit_fwd(nfe_meter, res.stats.nfe, res.stats.n_accepted)
         # Surface forward failures the same way odeint() does: raise when
         # the status is concrete, NaN-poison the trajectory beyond y0 when

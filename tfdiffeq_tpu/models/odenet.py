@@ -97,7 +97,7 @@ class ODEBlock(nn.Module):
 
         params = func_mod.variables
 
-        if self.fused:
+        if self.fused and not self.adjoint:
             from ..fast import solve_conv_ode
             # groups must match ODEConvFunc's effective num_groups; the
             # step budget matches the direct path's max_steps below.
@@ -111,10 +111,26 @@ class ODEBlock(nn.Module):
         if self.adjoint:
             def f(tt, yy, p):
                 return func_mod.apply(p, tt, yy)
+
+            fwd = None
+            if self.fused:
+                # Fused forward + generic O(1)-memory backward: the
+                # custom_vjp never differentiates the forward, so the
+                # kernel trajectory simply replaces the internal solve.
+                from ..fast import solve_conv_ode
+
+                def fwd(y0_, t_, p_):
+                    r = solve_conv_ode(p_, y0_, t_, rtol=self.tol,
+                                       atol=self.tol, method=self.method,
+                                       groups=min(32, self.features),
+                                       max_num_steps=256)
+                    return r.ys, r.stats
+
             ys, st = odeint_adjoint(f, x, t, params=params, rtol=self.tol,
                                     atol=self.tol, method=self.method,
                                     return_stats=True,
-                                    nfe_meter=self.nfe_meter)
+                                    nfe_meter=self.nfe_meter,
+                                    forward_solver=fwd)
             self.sow("diagnostics", "nfe", st.nfe)
             return ys[-1]
 
