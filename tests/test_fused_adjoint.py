@@ -485,3 +485,38 @@ def test_mxu_matmul_mode_forward_and_adjoint_parity(mm):
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b))) + 1e-8
         assert d / m < 1e-3, (mm, d, m)
+
+
+def test_cnf_log_prob_train_matches_generic_gradients():
+    """cnf_log_prob_train (fused forward kernel + generic adjoint
+    backward) matches models.cnf.log_prob's direct gradients."""
+    from tfdiffeq_tpu.fast import cnf_log_prob_train
+    from tfdiffeq_tpu.models.cnf import CNFDynamics, log_prob
+
+    dyn = CNFDynamics(dim=2, hidden=16, depth=2)
+    vs = dyn.init(jax.random.PRNGKey(0), 0.0, jnp.ones((4, 2)))
+    weights = tuple((W, b) for W, b in weights_from_flax_dense(vs))
+    x = jnp.asarray(np.random.RandomState(80).randn(8, 2), jnp.float32)
+
+    def loss_train(w):
+        return -jnp.mean(cnf_log_prob_train(w, x, rtol=1e-6, atol=1e-8,
+                                            interpret=True))
+
+    def loss_gen(w):
+        spec = MLPSpec(activation="tanh", time_input=True)
+        lp = log_prob(lambda tt, zz: mlp_apply(spec, w, zz, tt), x,
+                      rtol=1e-6, atol=1e-8, trace="exact",
+                      options={"max_steps": 512})
+        return -jnp.mean(lp)
+
+    lt = float(loss_train(weights))
+    lg = float(loss_gen(weights))
+    assert abs(lt - lg) < 1e-3, (lt, lg)
+
+    gt = jax.grad(loss_train)(weights)
+    gg = jax.grad(loss_gen)(weights)
+    for a, b in zip(jax.tree_util.tree_leaves(gt),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b)))
+        assert d < 1e-4 + 5e-3 * m, (d, m)

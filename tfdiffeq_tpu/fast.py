@@ -30,7 +30,9 @@ configs"; the generic `odeint` stays fully general. The tier now covers:
   control).
 - `cnf_log_prob_fused` / `cnf_sample_fused`: FFJORD density evaluation and
   sampling for concat-t MLP flows, with the EXACT divergence computed
-  in-kernel (one launch per solve).
+  in-kernel (one launch per solve); `cnf_log_prob_train` is the
+  differentiable variant (fused forward kernel + generic O(1)-memory
+  adjoint backward via `odeint_adjoint(forward_solver=...)`).
 - `solve_conv_ode` / `solve_conv_ode_sharded`: the MNIST ODEBlock's conv
   dynamics (GN -> relu -> ConcatConv3x3, twice, -> GN) as whole-solve
   kernels — convs as masked lane-rolls + MXU dots, GroupNorm as
@@ -616,6 +618,54 @@ def solve_mlp_sharded(params: dict, y0: Array, t, mesh, *, axis: str = "data",
 # Fused continuous normalizing flows (FFJORD inference tier)
 # ---------------------------------------------------------------------------
 
+def _cnf_forward_solve(spec, weights, z0: Array, l0: Array, t, rtol, atol,
+                       method: str, interpret_flag: bool, max_num_steps,
+                       first_step):
+    """Shared fused CNF forward: one whole-solve kernel over the augmented
+    feature-major state [z (D rows); logp]. Returns (out [T, D+1, B],
+    stats [4] int32, extra_nfe)."""
+    from .models.cnf import augmented_dynamics
+
+    B, D = z0.shape
+    dtype = z0.dtype
+    t = jnp.asarray(t, dtype)
+    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
+    tau = sign * t
+    state0 = jnp.concatenate([z0.T, l0[None, :]], axis=0)
+
+    # f0 + initial step via the XLA reference of the augmented dynamics.
+    aug = augmented_dynamics(
+        lambda tt, zb: mlp_apply(spec, weights, zb, tt), trace="exact")
+
+    def aug_fm(tt, s):                       # feature-major [D+1, B]
+        dz, dl = aug(tt, (s[:D, :].T, s[D, :]))
+        return jnp.concatenate([dz.T, dl[None, :]], axis=0)
+
+    f0 = (sign * aug_fm(t[0], state0)).astype(dtype)
+    if first_step is None:
+        def flat_g(s, sf):
+            return (sign * aug_fm(sign * s,
+                                  sf.reshape(D + 1, B))).ravel()
+
+        dt0 = select_initial_step(flat_g, tau[0], state0.ravel(),
+                                  f0.ravel(), 4, jnp.asarray(rtol, dtype),
+                                  jnp.asarray(atol, dtype))
+        extra_nfe = 2
+    else:
+        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+        extra_nfe = 1
+
+    warrays, dims = pad_mlp_weights(weights, dtype)
+    out, stats = mlp_solve(
+        warrays, dims, state0, tau, dt0, rtol, atol, sign, f0=f0,
+        activation=spec.activation, time_input=True, rhs="cnf",
+        method=method,
+        max_steps=(int(max_num_steps) if max_num_steps is not None
+                   else 2 ** 31 - 1),
+        interpret=interpret_flag)
+    return out, stats, extra_nfe
+
+
 def cnf_log_prob_fused(weights, x: Array, *, t0: float = 0.0,
                        t1: float = 1.0, rtol: float = 1e-5,
                        atol: float = 1e-7, activation: str = "tanh",
@@ -666,41 +716,9 @@ def cnf_log_prob_fused(weights, x: Array, *, t0: float = 0.0,
 
     # Integrate (x, 0) BACKWARD from t1 to t0 (models/cnf.log_prob).
     t = jnp.asarray([t1, t0], dtype)
-    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
-    tau = sign * t
-    state0 = jnp.concatenate([x.T, jnp.zeros((1, B), dtype)], axis=0)
-
-    # f0 + initial step via the XLA reference of the augmented dynamics.
-    def f_user(tt, zb):
-        return mlp_apply(spec, weights, zb, tt)
-
-    aug = augmented_dynamics(f_user, trace="exact")
-
-    def aug_fm(tt, s):                       # feature-major [D+1, B]
-        dz, dl = aug(tt, (s[:D, :].T, s[D, :]))
-        return jnp.concatenate([dz.T, dl[None, :]], axis=0)
-
-    f0 = (sign * aug_fm(t[0], state0)).astype(dtype)
-    if first_step is None:
-        def flat_g(s, sf):
-            return (sign * aug_fm(sign * s,
-                                  sf.reshape(D + 1, B))).ravel()
-
-        dt0 = select_initial_step(flat_g, tau[0], state0.ravel(),
-                                  f0.ravel(), 4, jnp.asarray(rtol, dtype),
-                                  jnp.asarray(atol, dtype))
-        extra_nfe = 2
-    else:
-        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
-        extra_nfe = 1
-
-    warrays, dims = pad_mlp_weights(weights, dtype)
-    out, stats = mlp_solve(
-        warrays, dims, state0, tau, dt0, rtol, atol, sign, f0=f0,
-        activation=activation, time_input=True, rhs="cnf", method=method,
-        max_steps=(int(max_num_steps) if max_num_steps is not None
-                   else 2 ** 31 - 1),
-        interpret=interpret_flag)
+    out, stats, extra_nfe = _cnf_forward_solve(
+        spec, weights, x, jnp.zeros(B, dtype), t, rtol, atol, method,
+        interpret_flag, max_num_steps, first_step)
     z_base = out[-1, :D, :]                   # [D, B]
     dlog = out[-1, D, :]                      # [B]
     logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=0)
@@ -905,3 +923,68 @@ def solve_conv_ode_sharded(variables, x: Array, t, mesh, *,
     stats = SolverStats(st[:, 0].sum(), st[:, 1].sum(), st[:, 2].sum(),
                         st[:, 3].max())
     return SolveResult(ys, stats)
+
+
+def cnf_log_prob_train(weights, x: Array, *, t0: float = 0.0,
+                       t1: float = 1.0, rtol: float = 1e-5,
+                       atol: float = 1e-7, activation: str = "tanh",
+                       method: str = "dopri5",
+                       adjoint_rtol=None, adjoint_atol=None,
+                       adjoint_seminorm: bool = False,
+                       interpret: Optional[bool] = None,
+                       max_num_steps=None, first_step=None,
+                       nfe_meter=None) -> Array:
+    """O(1)-memory DIFFERENTIABLE FFJORD density: the forward augmented
+    solve (flow + exact in-kernel divergence + log-det quadrature) runs as
+    ONE Pallas kernel via `odeint_adjoint`'s forward_solver hook; the
+    backward pass is the generic continuous-adjoint sweep with exact-trace
+    VJPs. Gradients flow to `weights` and `x`.
+
+    Same weight convention as `cnf_log_prob_fused` (concat-t MLP, time
+    last). Use `cnf_log_prob_fused` for pure inference (cheaper: no
+    custom_vjp machinery), `models.cnf.log_prob` for the all-generic
+    differentiable bounded loop.
+    """
+    from .adjoint import odeint_adjoint
+    from .models.cnf import augmented_dynamics
+
+    x = jnp.asarray(x)
+    B, D = x.shape
+    dtype = x.dtype
+    spec = MLPSpec(activation=activation, time_input=True)
+    if weights[0][0].shape[0] != D + 1:
+        raise ValueError(
+            f"first-layer input dim {weights[0][0].shape[0]} != D+1 = "
+            f"{D + 1} (concat-t convention, time last)")
+    weights = tuple((W, b) for W, b in weights)
+    interpret_flag = _auto_interpret(interpret)
+    t = jnp.asarray([t1, t0], dtype)
+
+    def f_aug(tt, state, w):
+        aug = augmented_dynamics(
+            lambda a, zz: mlp_apply(spec, w, zz, a), trace="exact")
+        return aug(tt, state)
+
+    fwd = None
+    if not (not interpret_flag
+            and _fused_vmem_bytes(2, D + 1, B, 1) > _VMEM_BUDGET):
+        def fwd(state0, t_, w):
+            z0, l0 = state0
+            out, stats, extra = _cnf_forward_solve(
+                spec, w, z0, l0, t_, rtol, atol, method, interpret_flag,
+                max_num_steps, first_step)
+            ys = (jnp.transpose(out[:, :D, :], (0, 2, 1)),   # [T, B, D]
+                  out[:, D, :])                              # [T, B]
+            return ys, SolverStats(stats[0] + extra, stats[1], stats[2],
+                                   stats[3])
+
+    state0 = (x, jnp.zeros(B, dtype))
+    zs, dlogs = odeint_adjoint(
+        f_aug, state0, t, params=weights, rtol=rtol, atol=atol,
+        method=method, adjoint_rtol=adjoint_rtol,
+        adjoint_atol=adjoint_atol, adjoint_seminorm=adjoint_seminorm,
+        nfe_meter=nfe_meter, forward_solver=fwd)
+    z_base, dlog = zs[-1], dlogs[-1]
+    logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=-1)
+                 - 0.5 * D * jnp.log(2.0 * jnp.pi).astype(dtype))
+    return logp_base - dlog
