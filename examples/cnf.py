@@ -72,10 +72,14 @@ def main():
 
             def nll(p):
                 # weights_from_flax_dense is plain dict indexing, so
-                # gradients flow back into the flax param tree.
-                w = tuple((W, b) for W, b in weights_from_flax_dense(p))
+                # gradients flow back into the flax param tree. Keep the
+                # non-fused path's step budget: an untrained flow can
+                # transiently near-diverge, and the budget turns a hung
+                # kernel into NaN-poisoned (loud) gradients.
+                w = weights_from_flax_dense(p)
                 return -jnp.mean(cnf_log_prob_train(
-                    w, xb, rtol=args.rtol, atol=args.atol))
+                    w, xb, rtol=args.rtol, atol=args.atol,
+                    max_num_steps=256))
         else:
             def nll(p):
                 f = lambda t, z: model.apply(p, t, z)

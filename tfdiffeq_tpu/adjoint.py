@@ -52,15 +52,6 @@ Array = jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
-class _FwdResult:
-    """Duck-typed stand-in for odeint.SolveResult when a custom
-    `forward_solver` produced the trajectory (no dense output)."""
-    ys: Any
-    stats: Any
-    dense: Any
-
-
-@dataclasses.dataclass(frozen=True)
 class _BackwardWalk:
     """Static per-interval backward grid (fixed-grid adjoint + step_size).
 
@@ -181,6 +172,11 @@ def odeint_adjoint(
             "forward_solver cannot be combined with "
             "adjoint_mode='interpolated' (the interpolated backward needs "
             "the internal forward's per-step dense output)")
+    if forward_solver is not None and options:
+        raise ValueError(
+            "options are ignored when forward_solver replaces the internal "
+            "forward solve — configure the forward through the solver "
+            "callable itself (adjoint_options still control the backward)")
     if adjoint_mode == "interpolated" and not _is_adaptive(method):
         raise ValueError("adjoint_mode='interpolated' needs the forward "
                          "dense-output interpolants, which only adaptive "
@@ -284,7 +280,8 @@ def odeint_adjoint(
     def _impl(y0_, t_, params_):
         if forward_solver is not None:
             ys_f, stats_f = forward_solver(y0_, t_, params_)
-            res = _FwdResult(ys_f, stats_f, None)
+            from .solvers.base import SolveResult
+            res = SolveResult(ys_f, stats_f)
         else:
             res = solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
                         rtol=rtol, atol=atol, method=method,

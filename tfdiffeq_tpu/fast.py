@@ -648,7 +648,9 @@ def _cnf_forward_solve(spec, weights, z0: Array, l0: Array, t, rtol, atol,
                                   sf.reshape(D + 1, B))).ravel()
 
         dt0 = select_initial_step(flat_g, tau[0], state0.ravel(),
-                                  f0.ravel(), 4, jnp.asarray(rtol, dtype),
+                                  f0.ravel(),
+                                  tableaus.TABLEAUS_BY_NAME[method].order - 1,
+                                  jnp.asarray(rtol, dtype),
                                   jnp.asarray(atol, dtype))
         extra_nfe = 2
     else:
@@ -966,8 +968,19 @@ def cnf_log_prob_train(weights, x: Array, *, t0: float = 0.0,
         return aug(tt, state)
 
     fwd = None
-    if not (not interpret_flag
-            and _fused_vmem_bytes(2, D + 1, B, 1) > _VMEM_BUDGET):
+    fwd_opts = None
+    if not interpret_flag and _fused_vmem_bytes(2, D + 1, B, 1) > _VMEM_BUDGET:
+        import warnings
+        warnings.warn(
+            "cnf_log_prob_train: batch exceeds the fused kernel's VMEM "
+            "budget; the forward runs the generic while-loop engine",
+            stacklevel=2)
+        fwd_opts = {
+            **({"max_num_steps": int(max_num_steps)}
+               if max_num_steps is not None else {}),
+            **({"first_step": first_step}
+               if first_step is not None else {})} or None
+    else:
         def fwd(state0, t_, w):
             z0, l0 = state0
             out, stats, extra = _cnf_forward_solve(
@@ -978,11 +991,15 @@ def cnf_log_prob_train(weights, x: Array, *, t0: float = 0.0,
             return ys, SolverStats(stats[0] + extra, stats[1], stats[2],
                                    stats[3])
 
+    # Bound the backward sweep with the same budget as the forward.
+    adj_opts = ({"max_num_steps": int(max_num_steps)}
+                if max_num_steps is not None else None)
     state0 = (x, jnp.zeros(B, dtype))
     zs, dlogs = odeint_adjoint(
         f_aug, state0, t, params=weights, rtol=rtol, atol=atol,
-        method=method, adjoint_rtol=adjoint_rtol,
-        adjoint_atol=adjoint_atol, adjoint_seminorm=adjoint_seminorm,
+        method=method, options=fwd_opts, adjoint_rtol=adjoint_rtol,
+        adjoint_atol=adjoint_atol, adjoint_options=adj_opts,
+        adjoint_seminorm=adjoint_seminorm,
         nfe_meter=nfe_meter, forward_solver=fwd)
     z_base, dlog = zs[-1], dlogs[-1]
     logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=-1)

@@ -77,9 +77,10 @@ class ODEBlock(nn.Module):
     adjoint: bool = False
     method: str = "dopri5"
     nfe_meter: Any = None
-    # Inference-only fast path: run the solve as fused Pallas conv-ODE
-    # kernels (fast.solve_conv_ode; batches auto-chunked to the VMEM
-    # budget). Forward-only — gradients need adjoint/direct mode.
+    # Fused Pallas conv-ODE fast path (fast.solve_conv_ode; batches
+    # auto-chunked to the VMEM budget). Alone it is forward-only
+    # (inference); combined with adjoint=True the kernel runs the forward
+    # and the generic O(1)-memory adjoint supplies gradients (training).
     fused: bool = False
 
     @nn.compact
@@ -168,7 +169,8 @@ class ODENetMNIST(nn.Module):
     tol: float = 1e-3
     n_res_blocks: int = 6
     nfe_meter: Any = None          # NFEMeter for adjoint f/b-NFE logging
-    fused: bool = False            # fused Pallas ODE block (inference)
+    fused: bool = False            # fused Pallas ODE block (inference,
+                                   # or training when adjoint=True)
 
     @nn.compact
     def __call__(self, x):
