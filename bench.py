@@ -37,20 +37,60 @@ def _params(hidden=50, dim=2, seed=0):
     }
 
 
-def bench_jax_nfe_per_sec(reps: int = 16):
-    """Generic-path NFE/s (arbitrary user func, XLA while-loop).
+def _median_iqr(fn, k: int = 5):
+    """Median and inter-quartile range of k timed calls (BASELINE.md: the
+    tunnel makes single-run numbers weather; median-of-k plus spread is the
+    quantity that survives round-over-round comparison)."""
+    ts = []
+    for _ in range(k):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    n = len(ts)
+    med = ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
+    q1 = ts[int(0.25 * (n - 1))]
+    q3 = ts[min(n - 1, int(round(0.75 * (n - 1))))]
+    return med, q3 - q1
 
-    Sustained like the fused headline: `reps` chained solves inside one
-    compiled program (sequential data dependency), so the testbed's fixed
-    ~26 ms per-dispatch tunnel latency doesn't masquerade as solver cost;
-    single-call latency is reported separately in details."""
-    from tfdiffeq_tpu import solve
 
-    p = _params()
-    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
-                     jnp.float32)
-    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+def _bench_sustained(one, y0, reps: int, k: int = 5):
+    """Sustained throughput of `one(y) -> (ys, nfe)` via chained solves.
 
+    Times chains of `reps` and `reps//2` solves inside single compiled
+    programs (sequential data dependency so XLA cannot hoist), then
+    regresses out the fixed per-dispatch latency: the marginal cost per
+    solver step = (t_full - t_half) / (nfe_full - nfe_half) — the stable
+    quantity on this testbed (BASELINE.md "variance caveat").
+
+    Returns (nfe_per_sec, marginal_us_per_step, median_s, iqr_s, nfe_full).
+    """
+    def make_chain(n):
+        @jax.jit
+        def run(y0):
+            def body(c, _):
+                y, tot = c
+                ys, nfe = one(y)
+                # Real data dependency: each rep starts from the previous
+                # endpoint (bounded dynamics keep the chain in
+                # distribution).
+                return (ys[-1], tot + nfe), None
+            (_, tot), _ = jax.lax.scan(body, (y0, jnp.int32(0)), None,
+                                       length=n)
+            return tot
+        return run
+
+    full = make_chain(reps)
+    half = make_chain(max(reps // 2, 1))
+    nfe_full = int(full(y0))          # also compiles
+    nfe_half = int(half(y0))
+    med_f, iqr_f = _median_iqr(lambda: jax.block_until_ready(full(y0)), k)
+    med_h, _ = _median_iqr(lambda: jax.block_until_ready(half(y0)), k)
+    marginal_us = ((med_f - med_h) / max(nfe_full - nfe_half, 1)) * 1e6
+    return nfe_full / med_f, marginal_us, med_f, iqr_f, nfe_full
+
+
+def _spiral_dyn(p):
     def dyn(tt, yy):
         # HIGHEST matmul precision: TPU's default bf16 matmuls inject ~1e-3
         # relative noise into the error estimate, inflating step counts ~9x.
@@ -58,6 +98,23 @@ def bench_jax_nfe_per_sec(reps: int = 16):
                              precision=jax.lax.Precision.HIGHEST) + p["b1"])
         return jnp.dot(h, p["w2"],
                        precision=jax.lax.Precision.HIGHEST) + p["b2"]
+    return dyn
+
+
+def bench_jax_nfe_per_sec(reps: int = 16):
+    """Generic-path NFE/s (arbitrary user func, XLA while-loop).
+
+    Sustained like the fused headline: `reps` chained solves inside one
+    compiled program, so the testbed's fixed ~26 ms per-dispatch tunnel
+    latency doesn't masquerade as solver cost; single-call latency is
+    reported separately in details."""
+    from tfdiffeq_tpu import solve
+
+    p = _params()
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+    dyn = _spiral_dyn(p)
 
     def one(y):
         res = solve(dyn, y, t, rtol=RTOL, atol=ATOL, method="dopri5",
@@ -68,34 +125,55 @@ def bench_jax_nfe_per_sec(reps: int = 16):
     def run_single(y0):
         return one(y0)
 
-    @jax.jit
-    def run_chain(y0):
-        def body(c, _):
-            y, tot = c
-            ys, nfe = one(y)
-            return (ys[-1], tot + nfe), None
-        (_, tot), _ = jax.lax.scan(body, (y0, jnp.int32(0)), None,
-                                   length=reps)
-        return tot
-
     ys, nfe1 = run_single(y0)
     jax.block_until_ready(ys)
-    best1 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ys, nfe1 = run_single(y0)
-        jax.block_until_ready(ys)
-        best1 = min(best1, time.perf_counter() - t0)
+    best1, _ = _median_iqr(
+        lambda: jax.block_until_ready(run_single(y0)[0]), 3)
 
-    tot = run_chain(y0)
-    jax.block_until_ready(tot)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        tot = run_chain(y0)
-        jax.block_until_ready(tot)
-        best = min(best, time.perf_counter() - t0)
-    return int(tot) / best, int(nfe1), best1
+    nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=5)
+    return nfe_s, int(nfe1), best1, marginal_us, med, iqr
+
+
+def bench_fused_auto_nfe_per_sec(reps: int = 64):
+    """Auto-fused generic path: the SAME plain-jnp user function as
+    `bench_jax_nfe_per_sec`, routed through the jaxpr->Pallas bridge
+    (`options={'fuse': True}`) so the whole solve runs as one kernel —
+    no MLPSpec, no hand-written kernel for these dynamics."""
+    from tfdiffeq_tpu import solve
+
+    p = _params()
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+    dyn = _spiral_dyn(p)
+
+    def one(y):
+        res = solve(dyn, y, t, rtol=RTOL, atol=ATOL, method="dopri5",
+                    options={"fuse": True, "first_step": 0.01})
+        return res.ys, res.stats.nfe
+
+    nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=5)
+    return nfe_s, marginal_us
+
+
+def bench_adams_nfe_per_sec(reps: int = 8):
+    """VCABM ('adams') sustained NFE/s on the batched spiral — the
+    hardest solver in the registry (SURVEY.md §7 hard-part 2), previously
+    unbenchmarked."""
+    from tfdiffeq_tpu import solve
+
+    p = _params()
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+    dyn = _spiral_dyn(p)
+
+    def one(y):
+        res = solve(dyn, y, t, rtol=RTOL, atol=ATOL, method="adams")
+        return res.ys, res.stats.nfe
+
+    nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=3)
+    return nfe_s, marginal_us
 
 
 def bench_fused_nfe_per_sec(reps: int = 64):
@@ -117,41 +195,17 @@ def bench_fused_nfe_per_sec(reps: int = 64):
         return r.ys, r.stats.nfe
 
     @jax.jit
-    def run_chain(y0):
-        def body(c, _):
-            y, total = c
-            ys, nfe = one(y)
-            # Real data dependency: each rep starts from the previous
-            # endpoint (the spiral is bounded, so the chain stays in
-            # distribution and XLA cannot hoist the solve).
-            return (ys[-1], total + nfe), None
-        (_, total), _ = jax.lax.scan(body, (y0, jnp.int32(0)), None,
-                                     length=reps)
-        return total
-
-    @jax.jit
     def run_single(y0):
         ys, nfe = one(y0)
         return ys, nfe
 
     ys, nfe1 = run_single(y0)
     jax.block_until_ready(ys)
-    best1 = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        ys, nfe1 = run_single(y0)
-        jax.block_until_ready(ys)
-        best1 = min(best1, time.perf_counter() - t0)
+    best1, _ = _median_iqr(
+        lambda: jax.block_until_ready(run_single(y0)[0]), 5)
 
-    total = run_chain(y0)
-    jax.block_until_ready(total)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        total = run_chain(y0)
-        jax.block_until_ready(total)
-        best = min(best, time.perf_counter() - t0)
-    return int(total) / best, int(nfe1), best1
+    nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=5)
+    return nfe_s, int(nfe1), best1, marginal_us, med, iqr
 
 
 def bench_torch_proxy_nfe_per_sec():
@@ -371,7 +425,7 @@ def batch_sweep():
     for b in (1, 256, 4096):
         saved, BATCH = BATCH, b
         try:
-            nfe_s, _, _ = bench_fused_nfe_per_sec(reps=32)
+            nfe_s = bench_fused_nfe_per_sec(reps=32)[0]
             out[b] = round(nfe_s, 1)
         except Exception:
             out[b] = None
@@ -382,11 +436,21 @@ def batch_sweep():
 
 def main():
     import sys
-    fused_nfe_s, fused_nfe1, fused_t1 = bench_fused_nfe_per_sec()
+    (fused_nfe_s, fused_nfe1, fused_t1, fused_marg_us, fused_med,
+     fused_iqr) = bench_fused_nfe_per_sec()
     try:
-        gen_nfe_s, gen_nfe, gen_time = bench_jax_nfe_per_sec()
+        (gen_nfe_s, gen_nfe, gen_time, gen_marg_us, _gen_med,
+         _gen_iqr) = bench_jax_nfe_per_sec()
     except Exception:
-        gen_nfe_s = gen_nfe = gen_time = None
+        gen_nfe_s = gen_nfe = gen_time = gen_marg_us = None
+    try:
+        auto_nfe_s, auto_marg_us = bench_fused_auto_nfe_per_sec()
+    except Exception:
+        auto_nfe_s = auto_marg_us = None
+    try:
+        adams_nfe_s, adams_marg_us = bench_adams_nfe_per_sec()
+    except Exception:
+        adams_nfe_s = adams_marg_us = None
     try:
         torch_nfe_s, _, _, frac = bench_torch_proxy_nfe_per_sec()
         vs = fused_nfe_s / torch_nfe_s
@@ -423,10 +487,23 @@ def main():
                     " solves per dispatch)",
             "fused_single_solve_nfe": fused_nfe1,
             "fused_single_solve_ms": round(fused_t1 * 1000, 2),
+            "fused_chain_median_s": round(fused_med, 4),
+            "fused_chain_iqr_s": round(fused_iqr, 4),
+            "fused_marginal_us_per_step": round(fused_marg_us, 3),
             "generic_path_nfe_per_sec":
                 round(gen_nfe_s, 1) if gen_nfe_s else None,
             "generic_single_solve_ms":
                 round(gen_time * 1000, 2) if gen_time else None,
+            "generic_marginal_us_per_step":
+                round(gen_marg_us, 3) if gen_marg_us else None,
+            "generic_path_fused_auto_nfe_per_sec":
+                round(auto_nfe_s, 1) if auto_nfe_s else None,
+            "generic_path_fused_auto_marginal_us_per_step":
+                round(auto_marg_us, 3) if auto_marg_us else None,
+            "adams_vcabm_nfe_per_sec":
+                round(adams_nfe_s, 1) if adams_nfe_s else None,
+            "adams_vcabm_marginal_us_per_step":
+                round(adams_marg_us, 3) if adams_marg_us else None,
             "torch_eager_cpu_proxy_nfe_per_sec":
                 round(torch_nfe_s, 1) if torch_nfe_s else None,
             "latent_ode_train_iter_ms":

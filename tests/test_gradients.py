@@ -422,3 +422,33 @@ def test_adjoint_forward_solver_hook():
     with pytest.raises(ValueError, match="interpolated"):
         odeint_adjoint(f, y0, t, params=weights, forward_solver=fwd,
                        adjoint_mode="interpolated")
+
+
+def test_adjoint_method_adams_gradient_parity():
+    """adjoint_method='adams' (VCABM backward sweep) matches direct
+    gradients — exercises the custom-solver option-allowlist filtering in
+    adjoint.py (forward-only adaptive keys like max_steps must be dropped
+    before reaching the adams backward solves)."""
+    g_out = jnp.asarray(np.random.RandomState(3).randn(*(T.shape[0], 2)))
+
+    def f(t, y, p):
+        return y @ p.T
+
+    def loss_direct(y0, p):
+        ys = odeint(lambda tt, yy: f(tt, yy, p), y0, T, method="dopri5",
+                    rtol=1e-9, atol=1e-11, options={"max_steps": 2048})
+        return jnp.sum(ys * g_out)
+
+    def loss_adams(y0, p):
+        ys = odeint_adjoint(f, y0, T, params=p, rtol=1e-9, atol=1e-11,
+                            method="dopri5", adjoint_method="adams",
+                            options={"max_steps": 2048})
+        return jnp.sum(ys * g_out)
+
+    gd = jax.grad(loss_direct, argnums=(0, 1))(Y0, A)
+    ga = jax.grad(loss_adams, argnums=(0, 1))(Y0, A)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gd)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert d / m < 1e-4, (d, m)

@@ -795,18 +795,17 @@ def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
     # lax.map over fused per-block solves in ONE dispatch (independent
     # per-block step control, like solve_mlp_sharded's per-shard
     # semantics; stats summed, status = max).
-    from .ops.pallas_kernels import _LANE, _round_up
+    from .ops.pallas_kernels import _LANE
     T_out = int(t.shape[0])
 
-    def fits(b):
-        np_b = _round_up(b * spec.positions, _LANE)
-        return (4 * (_CONV_STACK_BLOCKS + T_out) * C * np_b
-                <= _CONV_STACK_BUDGET)
-
-    b_chunk = B
-    while b_chunk > 1 and not fits(b_chunk):
-        b_chunk -= 1
-    if not fits(b_chunk):
+    # Largest block whose lane-padded [C, NP] footprint fits the stack
+    # budget, in closed form: round_up(b*positions, LANE) <= cap  <=>
+    # b*positions <= floor(cap/LANE)*LANE (the former O(B) linear decrement
+    # was Python work per trace).
+    cap = _CONV_STACK_BUDGET // (4 * (_CONV_STACK_BLOCKS + T_out) * C)
+    b_max = (cap // _LANE) * _LANE // spec.positions
+    b_chunk = max(min(B, b_max), 0)
+    if b_chunk < 1:
         import warnings
         warnings.warn(
             "solve_conv_ode: even a single-sample block exceeds the "
