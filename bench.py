@@ -398,7 +398,7 @@ def bench_fused_train_nfe_per_sec(iters: int = 20):
     fwd = solve_mlp_spec(spec, weights, y0, t, rtol=RTOL, atol=ATOL)
     g_cot = 2.0 * (fwd.ys - target) / target.size
     warrays, dims = pad_mlp_weights(weights, jnp.float32)
-    _, _, bstats = mlp_adjoint_solve(
+    _, _, _, bstats = mlp_adjoint_solve(
         warrays, dims, jnp.transpose(fwd.ys, (0, 2, 1)),
         jnp.transpose(g_cot, (0, 2, 1)), t,
         0.1 * jnp.abs(t[-1] - t[-2]), RTOL, ATOL, 1.0,

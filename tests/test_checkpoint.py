@@ -4,6 +4,7 @@
 
 import os
 import sys
+import pytest
 
 import jax
 import numpy as np
@@ -48,6 +49,7 @@ def test_latent_ode_checkpoint_resume(tmp_path, capsys):
     assert changed
 
 
+@pytest.mark.slow
 def test_odenet_mnist_checkpoint_resume(tmp_path, capsys):
     import odenet_mnist
 

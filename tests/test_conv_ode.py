@@ -38,6 +38,7 @@ def test_feature_major_dynamics_match_flax():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ["dopri5", "bosh3", "tsit5"])
 def test_fused_conv_solve_matches_generic(method):
     mod, vs, x = _setup()
@@ -68,6 +69,7 @@ def test_fused_conv_solve_reverse_time():
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_conv_batch_chunking(monkeypatch):
     """Batches beyond the Mosaic stack budget are auto-chunked into fused
     per-block solves (independent per-block controllers); results match
@@ -106,6 +108,7 @@ def test_fused_conv_batch_chunking(monkeypatch):
     assert int(res.stats.nfe) >= int(ref.stats.nfe)
 
 
+@pytest.mark.slow
 def test_fused_conv_generic_fallback_on_huge_t(monkeypatch):
     import tfdiffeq_tpu.fast as F
 
@@ -135,6 +138,7 @@ def test_fused_conv_input_validation():
                        interpret=True)
 
 
+@pytest.mark.slow
 def test_odeblock_fused_flag_matches_generic():
     """ODEBlock(fused=True) routes the solve through the fused kernel and
     reproduces the generic block's logits."""
@@ -204,6 +208,7 @@ def test_odeblock_fused_small_features():
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_odeblock_fused_adjoint_trains():
     """ODEBlock(fused=True, adjoint=True): fused forward + generic
     O(1)-memory backward — gradients match the all-generic adjoint

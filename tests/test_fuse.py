@@ -1,0 +1,210 @@
+"""jaxpr -> Pallas auto-fusion bridge (ops/jaxpr_bridge.py).
+
+Round-2 verdict item 1: arbitrary plain-jnp dynamics must run the fused
+whole-solve kernel via `options={'fuse': True}` with clean fallback.
+Parity is checked against the generic while-loop engine on the SAME f32
+arithmetic; matching NFE counts prove the step sequences are identical
+(same controller decisions), so differences are pure roundoff.
+
+All tests run the kernel in Pallas interpret mode (CPU).
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfdiffeq_tpu import odeint, odeint_adjoint, solve
+from tfdiffeq_tpu.fast import solve_fused
+from tfdiffeq_tpu.ops.jaxpr_bridge import FusionError, build_plan
+
+A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+_rng = np.random.RandomState(1)
+W1 = jnp.asarray(_rng.randn(2, 16) * 0.3, jnp.float32)
+B1 = jnp.asarray(_rng.randn(16) * 0.1, jnp.float32)
+W2 = jnp.asarray(_rng.randn(16, 2) * 0.3, jnp.float32)
+W1C = jnp.asarray(_rng.randn(3, 16) * 0.3, jnp.float32)
+WM1 = jnp.asarray(_rng.randn(2, 64) * 0.2, jnp.float32)
+WM2 = jnp.asarray(_rng.randn(64, 2) * 0.2, jnp.float32)
+
+Y0 = jnp.asarray(np.random.RandomState(0).randn(8, 2) * 1.5, jnp.float32)
+T = jnp.linspace(0.0, 5.0, 7, dtype=jnp.float32)
+
+
+def spiral(t, y):
+    return (y ** 3) @ A
+
+
+def mlp(t, y):
+    return jnp.tanh(y @ W1 + B1) @ W2
+
+
+def timedep(t, y):
+    return jnp.sin(t) * y - 0.3 * y ** 3 + 0.1
+
+
+def concat_t(t, y):
+    tt = jnp.broadcast_to(t, (y.shape[0], 1)).astype(y.dtype)
+    return jnp.tanh(jnp.concatenate([y, tt], axis=-1) @ W1C) @ W2
+
+
+def gated(t, y):
+    return jnp.where(y > 0, -0.5 * y, -0.1 * y)
+
+
+def sigmoid_mxu(t, y):
+    # 2->64 layer crosses the auto-MXU threshold; sigmoid exercises
+    # custom_jvp inlining.
+    return jax.nn.sigmoid(y @ WM1) @ WM2 - 0.2 * y
+
+
+DYNAMICS = {"spiral": spiral, "mlp": mlp, "timedep": timedep,
+            "concat_t": concat_t, "gated": gated,
+            "sigmoid_mxu": sigmoid_mxu}
+
+
+@pytest.mark.parametrize("name", sorted(DYNAMICS))
+def test_fused_matches_generic(name):
+    f = DYNAMICS[name]
+    # first_step pinned: the auto-dt0 heuristic reduces over a different
+    # ravel order in the two paths, and its f32 startup estimate is
+    # cancellation noise (BASELINE.md) — pinning isolates solver parity.
+    r = solve_fused(f, Y0, T, rtol=1e-6, atol=1e-8, first_step=0.05)
+    ref = solve(f, Y0, T, rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while", "first_step": 0.05})
+    assert int(r.stats.status) == 0
+    if name != "sigmoid_mxu":
+        # identical accept/reject sequence => identical NFE (the MXU case
+        # reduces its dots in a different order than XLA, so its error
+        # ratios differ in the last ulp and the sequence may diverge)
+        assert int(r.stats.nfe) == int(ref.stats.nfe)
+    # identical sequences; residual is per-step roundoff accumulated over
+    # ~150 steps of an amplitude-3 trajectory
+    np.testing.assert_allclose(np.asarray(r.ys), np.asarray(ref.ys),
+                               atol=1e-5)
+
+
+def test_fused_reverse_time_and_methods():
+    tr = jnp.linspace(5.0, 0.0, 7, dtype=jnp.float32)
+    for method in ("dopri5", "bosh3", "tsit5"):
+        r = solve_fused(spiral, Y0, tr, rtol=1e-6, atol=1e-8,
+                        method=method)
+        ref = solve(spiral, Y0, tr, rtol=1e-6, atol=1e-8, method=method,
+                    options={"loop": "while"})
+        np.testing.assert_allclose(np.asarray(r.ys), np.asarray(ref.ys),
+                                   atol=5e-6)
+
+
+def test_fused_unbatched_y0():
+    r = solve_fused(spiral, Y0[0], T)
+    ref = solve(spiral, Y0[0], T, rtol=1e-6, atol=1e-8,
+                options={"loop": "while"})
+    assert r.ys.shape == (7, 2)
+    np.testing.assert_allclose(np.asarray(r.ys), np.asarray(ref.ys),
+                               atol=5e-6)
+
+
+def test_odeint_fuse_option_and_fallback():
+    ys = odeint(spiral, Y0, T, rtol=1e-6, atol=1e-8,
+                options={"fuse": True})
+    ref = solve(spiral, Y0, T, rtol=1e-6, atol=1e-8,
+                options={"loop": "while"})
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref.ys),
+                               atol=5e-6)
+
+    # unfusable primitive (rev) -> warning + generic result
+    def unfusable(t, y):
+        return jnp.flip(y, axis=-1) * -0.5
+
+    with warnings.catch_warnings(record=True) as wlog:
+        warnings.simplefilter("always")
+        ys2 = odeint(unfusable, Y0, T, rtol=1e-6, atol=1e-8,
+                     options={"fuse": True})
+    assert any("falling back" in str(w.message) for w in wlog)
+    ref2 = solve(unfusable, Y0, T, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(ref2.ys),
+                               atol=1e-6)
+
+    # pytree state -> fallback, not crash
+    def tree_f(t, y):
+        return {"a": -y["a"]}
+
+    with warnings.catch_warnings(record=True) as wlog:
+        warnings.simplefilter("always")
+        ys3 = odeint(tree_f, {"a": Y0}, T, options={"fuse": True})
+    assert any("falling back" in str(w.message) for w in wlog)
+    assert ys3["a"].shape == (7, 8, 2)
+
+    # fixed-grid method + fuse is a hard error (not silently ignored)
+    with pytest.raises(ValueError, match="adaptive"):
+        odeint(spiral, Y0, T, method="rk4", options={"fuse": True})
+
+
+def test_fuse_under_jit_with_traced_weights():
+    def run(Amat, y):
+        return solve(lambda tt, yy: (yy ** 3) @ Amat, y, T, rtol=1e-6,
+                     atol=1e-8, options={"fuse": True,
+                                         "first_step": 0.01}).ys
+
+    out = jax.jit(run)(A, Y0)
+    ref = solve(spiral, Y0, T, rtol=1e-6, atol=1e-8,
+                options={"loop": "while", "first_step": 0.01})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref.ys),
+                               atol=5e-6)
+
+
+def test_adjoint_fuse_gradient_parity():
+    g_out = jnp.asarray(np.random.RandomState(2).randn(5, 8, 2),
+                        jnp.float32)
+    t5 = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+
+    def f(tt, yy, p):
+        return jnp.tanh(yy @ p[0] + p[1]) @ p[2]
+
+    params = (W1, B1, W2)
+
+    def loss(p, y, fuse):
+        ys = odeint_adjoint(f, y, t5, params=p, rtol=1e-6, atol=1e-8,
+                            options={"fuse": True} if fuse else None)
+        return jnp.sum(ys * g_out)
+
+    gf = jax.grad(loss, argnums=(0, 1))(params, Y0, True)
+    gg = jax.grad(loss, argnums=(0, 1))(params, Y0, False)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert d / m < 1e-4, (d, m)
+
+
+def test_adjoint_fuse_fallback_still_trains():
+    def fb(tt, yy, p):
+        return jnp.flip(yy, axis=-1) * p
+
+    with warnings.catch_warnings(record=True) as wlog:
+        warnings.simplefilter("always")
+        g = jax.grad(lambda p: jnp.sum(odeint_adjoint(
+            fb, Y0, T, params=p, options={"fuse": True})))(jnp.float32(-0.5))
+    assert any("generic engine" in str(w.message) for w in wlog)
+    assert np.isfinite(float(g))
+
+
+def test_build_plan_rejects_batch_reduction_and_computed_weights():
+    # cross-batch coupling must not fuse
+    with pytest.raises(FusionError):
+        build_plan(lambda t, y: y - jnp.mean(y, axis=0, keepdims=True),
+                   T[0], Y0)
+    # computed (non-const) dot weights must not fuse
+    with pytest.raises(FusionError):
+        build_plan(lambda t, y: y @ (A @ A), T[0], Y0)
+
+
+def test_plan_cache_hit_across_calls():
+    """Equal-structure dynamics produce EQUAL plans (one kernel compile)."""
+    A2 = 2.0 * A
+    p1, c1 = build_plan(spiral, T[0], Y0)
+    p2, c2 = build_plan(lambda tt, yy: (yy ** 3) @ A2, T[0], Y0)
+    assert p1 == p2 and hash(p1) == hash(p2)
+    assert len(c1) == len(c2) == 1

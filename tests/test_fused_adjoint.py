@@ -74,6 +74,7 @@ def test_spec_input_power_matches_benchmark_mlp():
                                np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_adjoint_matches_generic_gradients():
     """The one-kernel adjoint sweep must agree with the generic
     odeint_adjoint on gradients wrt weights, y0, AND t."""
@@ -103,6 +104,7 @@ def test_fused_adjoint_matches_generic_gradients():
         assert d / m < 1e-3, (d, m)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ["bosh3", "tsit5"])
 def test_fused_adjoint_other_tableaus(method):
     """The adjoint kernel is tableau-parametrized like the forward."""
@@ -131,6 +133,7 @@ def test_fused_adjoint_other_tableaus(method):
         assert d / m < 1e-3, (method, d, m)
 
 
+@pytest.mark.slow
 def test_fused_adjoint_reverse_time_grid():
     """Fused adjoint on a DECREASING observation grid matches generic."""
     weights = tuple(_weights(seed=23, dims=(3, 10, 3)))
@@ -157,6 +160,7 @@ def test_fused_adjoint_reverse_time_grid():
         assert d / m < 1e-3, (d, m)
 
 
+@pytest.mark.slow
 def test_fused_adjoint_seminorm_close_to_full():
     weights = tuple(_weights(seed=7))
     spec = MLPSpec(activation="tanh")
@@ -176,6 +180,7 @@ def test_fused_adjoint_seminorm_close_to_full():
                                    rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_adjoint_return_stats_and_meter():
     from tfdiffeq_tpu import NFEMeter
 
@@ -211,6 +216,7 @@ def test_weights_from_flax_dense_roundtrip():
         np.asarray(dyn.apply(variables, 0.0, z)), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_latent_ode_train_step_runs():
     """One --fused latent-ODE training step end-to-end (tiny, interpret)."""
     import os
@@ -326,6 +332,7 @@ def test_time_input_spec_forward_matches_generic():
         _adj(spec, weights, y0, t, interpret=True)
 
 
+@pytest.mark.slow
 def test_cnf_fused_log_prob_and_sample_match_generic():
     """cnf_log_prob_fused: flow + EXACT in-kernel divergence + log-det
     quadrature as one kernel — matches models.cnf.log_prob(trace='exact');
@@ -357,6 +364,7 @@ def test_cnf_fused_log_prob_and_sample_match_generic():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_adjoint_seminorm_step_control_matches_generic_nfe():
     """Regression: the fused seminorm once divided the reduced error sum by
     the FULL element count (2DB + n_params), understating the ratio ~8.7x
@@ -453,6 +461,7 @@ def test_weights_from_flax_dense_ignores_non_dense_keys():
         weights_from_flax_dense({"params": {"GRUCell_0": kb(2, 2)}})
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mm", ["mxu", "auto"])
 def test_mxu_matmul_mode_forward_and_adjoint_parity(mm):
     """MLPSpec(matmul='mxu'/'auto'): wide layers contract on the systolic
@@ -487,6 +496,7 @@ def test_mxu_matmul_mode_forward_and_adjoint_parity(mm):
         assert d / m < 1e-3, (mm, d, m)
 
 
+@pytest.mark.slow
 def test_cnf_log_prob_train_matches_generic_gradients():
     """cnf_log_prob_train (fused forward kernel + generic adjoint
     backward) matches models.cnf.log_prob's direct gradients."""
@@ -520,3 +530,39 @@ def test_cnf_log_prob_train_matches_generic_gradients():
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b)))
         assert d < 1e-4 + 5e-3 * m, (d, m)
+
+
+@pytest.mark.slow
+def test_fused_adjoint_time_input_matches_generic():
+    """Concat-t (time-dependent) MLP through the fused adjoint kernel:
+    weight/bias/y0/t gradients — including the first layer's t-column and
+    the a_t quadrature — match the generic odeint_adjoint (round-2
+    verdict item 4; previously time_input raised)."""
+    rng = np.random.RandomState(3)
+    D = 2
+    W1 = jnp.asarray(rng.randn(D + 1, 24) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.randn(24) * 0.1, jnp.float32)
+    W2 = jnp.asarray(rng.randn(24, D) * 0.3, jnp.float32)
+    b2 = jnp.asarray(rng.randn(D) * 0.1, jnp.float32)
+    weights = ((W1, b1), (W2, b2))
+    spec = MLPSpec(activation="tanh", time_input=True)
+    y0 = jnp.asarray(rng.randn(8, D), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    g_out = jnp.asarray(rng.randn(5, 8, D), jnp.float32)
+
+    def loss_fused(w, y, tt):
+        ys = odeint_adjoint_mlp(spec, w, y, tt, rtol=1e-6, atol=1e-8)
+        return jnp.sum(ys * g_out)
+
+    def loss_gen(w, y, tt):
+        ys = odeint_adjoint(lambda a, b, p: mlp_apply(spec, p, b, a), y,
+                            tt, params=w, rtol=1e-6, atol=1e-8)
+        return jnp.sum(ys * g_out)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(weights, y0, t)
+    gg = jax.grad(loss_gen, argnums=(0, 1, 2))(weights, y0, t)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert d / m < 1e-4, (d, m)

@@ -252,6 +252,7 @@ def test_adjoint_fixed_grid_walk_reverse_time():
     np.testing.assert_allclose(float(gw), float(gd), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_adjoint_interpolated_mode_matches_direct():
     """adjoint_mode='interpolated' (Daulbaev et al. 2020): the backward
     pass evaluates y(s) from the stored forward dense output instead of
@@ -382,6 +383,7 @@ def test_adjoint_interpolated_budget_exhaustion_is_loud():
     assert np.all(np.isnan(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_adjoint_forward_solver_hook():
     """odeint_adjoint(forward_solver=...): a fused whole-solve kernel
     replaces the internal forward; gradients (from the generic backward

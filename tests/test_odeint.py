@@ -189,6 +189,7 @@ def test_f32_long_grid_compensated_accumulation():
     assert dev < 4e-7, dev
 
 
+@pytest.mark.slow
 def test_complex_state_integration():
     """Complex pytree states (capability extension over the reference):
     dy/dt = i*w*y has exact solution y0*exp(i*w*t); the RMS error norm must

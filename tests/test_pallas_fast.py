@@ -170,6 +170,7 @@ def test_hyper_reverse_time_sign():
 
 @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun", "tsit5",
                                     "dopri8"])
+@pytest.mark.slow
 def test_fused_solve_other_tableaus(method):
     """The whole-solve kernel is tableau-parametrized; each method must
     match the generic engine's trajectory at the solve tolerance."""

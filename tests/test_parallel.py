@@ -229,6 +229,7 @@ def test_dryrun_bootstrap_guard(monkeypatch):
         ge.dryrun_multichip(4096)
 
 
+@pytest.mark.slow
 def test_sharded_fused_conv_solve():
     """solve_conv_ode_sharded: each batch shard runs its own fused
     conv-ODE solve; per-shard results equal the per-block single-device

@@ -164,6 +164,10 @@ def odeint_adjoint(
     # forward-only rewrites below).
     bwd_options = dict(adjoint_options if adjoint_options is not None
                        else fwd_options)
+    # 'fuse' is a forward-solve concern: the backward augmented dynamics
+    # (vjp-bearing) are outside the fusable subset by construction.
+    use_fuse = bool(fwd_options.pop("fuse", False))
+    bwd_options.pop("fuse", None)
     if adjoint_mode not in ("resets", "interpolated"):
         raise ValueError(f"adjoint_mode must be 'resets' or 'interpolated',"
                          f" got {adjoint_mode!r}")
@@ -276,6 +280,16 @@ def odeint_adjoint(
     if _allowed is not None:
         bwd_options = {k: v for k, v in bwd_options.items()
                        if k in _allowed}
+
+    # options={'fuse': True}: run the forward as ONE whole-solve Pallas
+    # kernel via the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py), keeping
+    # the generic O(1)-memory adjoint backward — arbitrary-dynamics
+    # training with a fused forward. Validated eagerly so unfusable
+    # dynamics fall back (warning) instead of failing inside custom_vjp.
+    if (use_fuse and forward_solver is None and adjoint_mode == "resets"
+            and _is_adaptive(method)):
+        forward_solver = _build_fused_forward(
+            user_func, y0, t, params_in, rtol, atol, method, fwd_options)
 
     def _impl(y0_, t_, params_):
         if forward_solver is not None:
@@ -455,6 +469,44 @@ def odeint_adjoint(
     if return_stats:
         return ys_out, SolverStats(*stats)
     return ys_out
+
+
+def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
+                         fwd_options):
+    """Build a fused-forward `forward_solver` for odeint_adjoint's
+    options={'fuse': True}, or None (with a warning) when the dynamics /
+    state fall outside the fusable subset."""
+    import warnings
+
+    from .ops.jaxpr_bridge import FusionError, build_plan
+
+    method = method or "dopri5"
+    try:
+        if not (hasattr(y0, "ndim") and jnp.ndim(y0) == 2):
+            raise FusionError("fused forward needs a single [B, D] array "
+                              "state")
+        t0 = jnp.asarray(t).reshape(-1)[0]
+        # Validation trace only (the real plan is rebuilt inside the
+        # custom_vjp forward, where params are that trace's tracers).
+        build_plan(lambda tt, yy: user_func(tt, yy, params), t0,
+                   jnp.asarray(y0))
+    except FusionError as e:
+        warnings.warn(f"odeint_adjoint(options={{'fuse': True}}): forward "
+                      f"runs the generic engine — {e}", stacklevel=3)
+        return None
+
+    first_step = fwd_options.get("first_step")
+    max_num_steps = fwd_options.get("max_num_steps")
+
+    def forward_solver(y0_, t_, params_):
+        from .fast import solve_fused
+        res = solve_fused(lambda tt, yy: user_func(tt, yy, params_), y0_,
+                          t_, rtol=rtol, atol=atol, method=method,
+                          first_step=first_step,
+                          max_num_steps=max_num_steps)
+        return res.ys, res.stats
+
+    return forward_solver
 
 
 def _bwd_fixed_grid_walk(walk: _BackwardWalk, tableau, aug_dynamics, f_flat,

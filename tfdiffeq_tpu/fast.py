@@ -349,6 +349,105 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     return SolveResult(ys, st)
 
 
+def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
+                method: str = "dopri5", interpret: Optional[bool] = None,
+                max_num_steps=None, first_step=None, matmul: str = "auto",
+                safety: float = 0.9, ifactor: float = 10.0,
+                dfactor: float = 0.2) -> SolveResult:
+    """Whole-solve fused adaptive RK for ARBITRARY plain-jnp dynamics via
+    the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py).
+
+    func(t, y): any jnp function over batch-major y [B, D] built from the
+    fusable primitive subset (elementwise ops, @/jnp.dot against
+    closed-over weight arrays, broadcasts, feature-axis reductions and
+    concats — which covers MLPs of any shape, the benchmark spiral written
+    as plain jnp, concat-t nets, elementwise fields...). Dynamics outside
+    the subset raise `ops.jaxpr_bridge.FusionError` — callers that need a
+    guarantee use `odeint(..., options={'fuse': True})`, which catches it
+    and falls back to the generic engine.
+
+    y0: [B, D] (or [D]: auto-vmapped to a B=1 batch); t may increase or
+    decrease. Forward-only (the in-kernel while loop is not reverse
+    differentiable): for training use `odeint_adjoint(...,
+    options={'fuse': True})` (fused forward + generic O(1)-memory adjoint
+    backward). Returns ys [T, B, D] (or [T, D]) + on-device stats.
+    """
+    from .ops import jaxpr_bridge as jb
+    from .ops.pallas_kernels import _LANE, _round_up
+
+    y0 = jnp.asarray(y0)
+    squeeze = False
+    if y0.ndim == 1:
+        # Unbatched state: vmap the user func over a singleton batch axis
+        # (tracing the batched variant directly; yy[0]-style indexing would
+        # leave the fusable subset).
+        inner = func
+        func = lambda tt, yy: jax.vmap(lambda y_: inner(tt, y_))(yy)
+        y0 = y0[None]
+        squeeze = True
+    y0, t = _check_spec_inputs(y0, t)
+    interpret = _auto_interpret(interpret)
+    dtype = y0.dtype
+
+    if method not in tableaus.TABLEAUS_BY_NAME:
+        raise jb.FusionError(
+            f"method {method!r} has no whole-solve tableau (available: "
+            f"{sorted(tableaus.TABLEAUS_BY_NAME)})")
+    if t.shape[0] == 1:
+        z = jnp.asarray(0, jnp.int32)
+        res = SolveResult(y0[None], SolverStats(z, z, z, z))
+        return SolveResult(res.ys[:, 0], res.stats) if squeeze else res
+    T_out, (B, D) = int(t.shape[0]), y0.shape
+    if not interpret and _fused_vmem_bytes(T_out, D, B, 1) > _VMEM_BUDGET:
+        raise jb.FusionError(
+            "trajectory buffer exceeds the fused kernel's VMEM budget "
+            "(T x D x B too large)")
+
+    plan, consts = jb.build_plan(func, jnp.asarray(t)[0].astype(dtype), y0,
+                                 matmul=matmul)
+
+    t = t.astype(dtype)
+    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
+    tau = sign * t
+    yT = y0.T                                    # [D, B] feature-major
+    order = tableaus.TABLEAUS_BY_NAME[method].order
+
+    f0 = (sign * func(t[0], y0).T).astype(dtype)
+    if first_step is None:
+        def flat_g(s, yf):
+            yb = yf.reshape(D, B).T
+            return (sign * func(sign * s, yb).T).ravel()
+
+        dt0 = select_initial_step(flat_g, tau[0], yT.ravel(), f0.ravel(),
+                                  order - 1, jnp.asarray(rtol, dtype),
+                                  jnp.asarray(atol, dtype))
+        extra_nfe = 2
+    else:
+        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+        extra_nfe = 1
+
+    BP = _round_up(max(B, _LANE), _LANE)
+    y0p, f0p = yT, f0
+    if BP != B:
+        y0p = jnp.pad(yT, ((0, 0), (0, BP - B)))
+        f0p = jnp.pad(f0, ((0, 0), (0, BP - B)))
+    packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
+
+    out, stats = jb.plan_solve(
+        plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p, method=method,
+        safety=safety, ifactor=ifactor, dfactor=dfactor,
+        max_steps=(int(max_num_steps) if max_num_steps is not None
+                   else 2 ** 31 - 1),
+        interpret=interpret)
+    if BP != B:
+        out = out[:, :, :B]
+    ys = jnp.transpose(out, (0, 2, 1))           # [T, B, D]
+    if squeeze:
+        ys = ys[:, 0]
+    st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
+    return SolveResult(ys, st)
+
+
 def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                        atol=1e-8, adjoint_rtol=None, adjoint_atol=None,
                        method: str = "dopri5",
@@ -368,17 +467,12 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     step on this path.
 
     Differentiable wrt `weights`, `y0`, and `t` (time gradients follow the
-    same continuous-adjoint recipe as adjoint.py; the a_t quadrature
-    vanishes because the dynamics are autonomous). Returns the trajectory
-    [T, B, D] (with stats when return_stats=True — forward stats; backward
-    stats stream to `nfe_meter`).
+    same continuous-adjoint recipe as adjoint.py; for concat-t dynamics —
+    `spec.time_input=True` — the backward kernel additionally integrates
+    the a_t quadrature and the first layer's t-column gradient). Returns
+    the trajectory [T, B, D] (with stats when return_stats=True — forward
+    stats; backward stats stream to `nfe_meter`).
     """
-    if spec.time_input:
-        raise ValueError(
-            "odeint_adjoint_mlp assumes autonomous dynamics (the fused "
-            "adjoint kernel's time-gradient quadrature vanishes only "
-            "then); for time-dependent MLPs use the generic "
-            "odeint_adjoint with mlp_apply")
     adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
     adjoint_atol = atol if adjoint_atol is None else adjoint_atol
     adjoint_method = method if adjoint_method is None else adjoint_method
@@ -450,12 +544,12 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             zero_w = jax.tree_util.tree_map(jnp.zeros_like, weights_)
             return (zero_w, g[0], jnp.zeros_like(t_))
 
-        # d loss / d t_i = dot(f(t_i, y_i), g_i); the a_t quadrature is
-        # zero for autonomous dynamics, so ts_bar[0] = -sum(t_bars[1:]).
-        f_obs = mlp_apply(spec, weights_, ys)          # [T, B, D]
+        # d loss / d t_i = dot(f(t_i, y_i), g_i); ts_bar[0] additionally
+        # carries the integrated a_t quadrature (zero for autonomous
+        # dynamics), matching adjoint.py's scan recipe.
+        f_obs = jax.vmap(
+            lambda ti, yi: mlp_apply(spec, weights_, yi, ti))(t_, ys)
         t_bars = jnp.sum(f_obs * g, axis=(1, 2)).astype(t_.dtype)
-        ts_bar = jnp.concatenate(
-            [-jnp.sum(t_bars[1:])[None], t_bars[1:]])
 
         sign = jnp.where(t_[-1] >= t_[0], 1.0, -1.0).astype(dtype)
         tau = (sign * t_).astype(dtype)
@@ -470,14 +564,18 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             dt0 = 0.1 * jnp.abs(tau[-1] - tau[-2]).astype(dtype)
 
         warrays, dims = pad_mlp_weights(weights_, dtype)
-        ay0, aws, bstats = mlp_adjoint_solve(
+        ay0, aws, at_q, bstats = mlp_adjoint_solve(
             warrays, dims, ysT, gT, tau, dt0, adjoint_rtol, adjoint_atol,
             sign, activation=spec.activation,
             final_activation=spec.final_activation,
             input_power=spec.input_power, method=adjoint_method,
             max_steps=max_steps, seminorm=adjoint_seminorm,
-            matmul=spec.matmul, interpret=interp_flag)
+            matmul=spec.matmul, time_input=spec.time_input,
+            interpret=interp_flag)
         emit_bwd(nfe_meter, bstats[0], bstats[1])
+        ts_bar = jnp.concatenate(
+            [(at_q.astype(t_.dtype) - jnp.sum(t_bars[1:]))[None],
+             t_bars[1:]])
 
         # Surface backward-sweep failures (dt underflow / max_num_steps):
         # a Python raise cannot cross the vjp, so NaN-poison every gradient

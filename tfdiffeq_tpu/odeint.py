@@ -84,6 +84,46 @@ def _resolve_tolerance(tol, y0) -> Any:
     return flat
 
 
+#: options the fused whole-solve kernel honors; any OTHER adaptive option
+#: present alongside 'fuse' routes the call to the generic engine instead
+#: (the kernel has no telemetry/dense-output/custom-norm machinery).
+_FUSABLE_OPTIONS = frozenset({"first_step", "max_num_steps", "safety",
+                              "ifactor", "dfactor", "loop"})
+
+
+def _try_fused(func, y0, t, rtol, atol, method, options):
+    """Attempt the jaxpr->Pallas fused solve; None => use the generic
+    engine (with a warning naming the reason)."""
+    import warnings
+
+    from .ops.jaxpr_bridge import FusionError
+
+    try:
+        unsupported = set(options) - _FUSABLE_OPTIONS
+        if unsupported:
+            raise FusionError(f"options {sorted(unsupported)} are not "
+                              "supported by the fused kernel")
+        if not (hasattr(y0, "ndim") and jnp.ndim(y0) in (1, 2)):
+            raise FusionError("fused solves need a single [B, D] (or [D]) "
+                              "array state, not a pytree")
+        for tol in (rtol, atol):
+            if not (isinstance(tol, (int, float)) or jnp.ndim(tol) == 0):
+                raise FusionError("per-leaf tolerance pytrees are not "
+                                  "supported by the fused kernel")
+        from .fast import solve_fused
+        return solve_fused(
+            func, y0, t, rtol=rtol, atol=atol, method=method,
+            max_num_steps=options.get("max_num_steps"),
+            first_step=options.get("first_step"),
+            safety=float(options.get("safety", 0.9)),
+            ifactor=float(options.get("ifactor", 10.0)),
+            dfactor=float(options.get("dfactor", 0.2)))
+    except FusionError as e:
+        warnings.warn(f"odeint(options={{'fuse': True}}): falling back to "
+                      f"the generic engine — {e}", stacklevel=3)
+        return None
+
+
 def solve(
     func: Callable,
     y0: Any,
@@ -108,7 +148,20 @@ def solve(
         allowed = ADAPTIVE_OPTIONS
     else:
         allowed = _CUSTOM_ALLOWED.get(method)  # None -> global set
+    if (options or {}).get("fuse") and kind != "adaptive":
+        raise ValueError("options={'fuse': True} requires an adaptive "
+                         "tableau method (dopri5/bosh3/adaptive_heun/"
+                         "tsit5/dopri8)")
     options = check_options(options, allowed)
+
+    # jaxpr -> Pallas auto-fusion (options={'fuse': True}): compile the
+    # user dynamics into the whole-solve kernel when they fall inside the
+    # fusable primitive subset; anything else falls back to the generic
+    # engine below with a warning (fusion never changes semantics).
+    if options.pop("fuse", False):
+        res = _try_fused(func, y0, t, rtol, atol, method, options)
+        if res is not None:
+            return res
 
     prob = canonicalize(func, y0, t)
     rtol = _resolve_tolerance(rtol, y0)

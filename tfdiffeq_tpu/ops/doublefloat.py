@@ -1,0 +1,348 @@
+"""Double-float (two-float, Dekker/Knuth) adaptive RK: ~f64 accuracy on
+f32-only TPU hardware.
+
+Round-2 verdict item 2: the north star "within 1e-6 of the reference
+trajectory" (BASELINE.json) was met only on CPU f64 — on the chip, plain
+f32 floors at ~2e-6 over the benchmark span even with Kahan accumulation,
+because three error sources are f32-bound: (a) the carried state/time
+accumulate roundoff, (b) the embedded error ESTIMATE drowns in stage
+cancellation noise below ~rtol 1e-7, (c) dense-output differences cancel.
+
+This engine removes (a) and (c) and pushes (b) down to the irreducible
+RHS-evaluation noise:
+
+- The carried state y and time t are **double-floats** ``(hi, lo)`` — two
+  f32 words giving ~49 effective mantissa bits. Sums/products use
+  error-free transforms (``two_sum``; ``two_prod`` via Dekker splitting —
+  TPU exposes no FMA in jnp).
+- Each RK stage evaluates the user RHS **once in f32 plus one jvp**: for
+  state ŷ = hi + lo, f(ŷ) ≈ f(hi) + J·lo (+ ∂f/∂t·t_lo), so the O(eps·|y|)
+  input-rounding error of a plain f32 evaluation cancels; what remains is
+  only the f32 arithmetic noise *inside* f (irreducible without rewriting
+  the user function).
+- Stage/solution combines and the embedded error sum run in double-float;
+  the controller consequently resolves tolerances down to
+  rtol ~ 1e-8–1e-9 instead of ~1e-7 (the remaining floor is
+  dt·eps·|f| / (rtol·|y|) from the in-f noise, which the controller
+  handles by shrinking dt — more steps, still convergent).
+
+Everything runs on-device in one `lax.while_loop` (same architecture as
+solvers/adaptive.py); cost per step is ~3-4x a plain f32 step (the jvp
+doubles the RHS; the df arithmetic is a handful of extra VPU ops).
+
+Reference parity note: upstream tfdiffeq reaches 1e-6 by running float64
+on CPU/GPU (`cast_double`, SURVEY.md §2 "Device/dtype helpers"); TPU v5e
+has no f64 ALU, so this is the TPU-native equivalent of `cast_double`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.controller import StepController, next_step_size
+from ..ops.norms import select_initial_step
+from ..ops.rk import interp_evaluate
+from ..solvers.base import (CanonicalProblem, SolveResult, SolverStats,
+                            Status, canonicalize)
+
+Array = jax.Array
+
+_stop = jax.lax.stop_gradient
+
+# ---------------------------------------------------------------------------
+# Error-free transforms (all elementwise; work on scalars and [N] arrays)
+# ---------------------------------------------------------------------------
+
+
+def two_sum(a, b):
+    """Knuth: s + e == a + b exactly (6 flops, branch-free)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """Dekker: requires |a| >= |b| (or b ~ correction term); 3 flops."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split_const(dtype):
+    # f32: 2^12 + 1 (24-bit mantissa -> 12/12 split); f64: 2^27 + 1.
+    return 134217729.0 if jnp.finfo(dtype).nmant > 24 else 4097.0
+
+
+def two_prod(a, b):
+    """p + e == a * b exactly (Dekker splitting; no FMA on TPU VPU)."""
+    p = a * b
+    c = _split_const(jnp.result_type(a, b))
+    aa = c * a
+    a_hi = aa - (aa - a)
+    a_lo = a - a_hi
+    bb = c * b
+    b_hi = bb - (bb - b)
+    b_lo = b - b_hi
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def df_add(x: Tuple, y: Tuple) -> Tuple:
+    """(xh,xl) + (yh,yl), normalized."""
+    s, e = two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    return quick_two_sum(s, e)
+
+
+def df_add_f(x: Tuple, b) -> Tuple:
+    s, e = two_sum(x[0], b)
+    e = e + x[1]
+    return quick_two_sum(s, e)
+
+
+def df_neg(x: Tuple) -> Tuple:
+    return (-x[0], -x[1])
+
+
+def df_sub(x: Tuple, y: Tuple) -> Tuple:
+    return df_add(x, df_neg(y))
+
+
+def df_mul_f(x: Tuple, b) -> Tuple:
+    """(xh,xl) * b for an f32 scalar/array b."""
+    p, e = two_prod(x[0], b)
+    e = e + x[1] * b
+    return quick_two_sum(p, e)
+
+
+def df_to_f(x: Tuple):
+    return x[0] + x[1]
+
+
+# ---------------------------------------------------------------------------
+# Double-float adaptive solver
+# ---------------------------------------------------------------------------
+
+
+class _DFState(NamedTuple):
+    th: Array
+    tl: Array
+    yh: Array
+    yl: Array
+    fh: Array          # FSAL derivative cache (df)
+    fl: Array
+    dt: Array          # f32 proposed step
+    prev_ratio: Array
+    out: Array         # [T, N] f32 outputs
+    n_acc: Array
+    n_rej: Array
+    nfe: Array
+    status: Array
+
+
+def _df_eval(g: Callable, th, tl, yh, yl):
+    """RHS as a double-float: f32 primal + jvp of the lo parts."""
+    kh, kt = jax.jvp(g, (th, yh), (tl, yl))
+    return quick_two_sum(kh, kt)
+
+
+def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
+             method: str = "dopri5", max_num_steps: Optional[int] = None,
+             first_step=None, safety: float = 0.9, ifactor: float = 10.0,
+             dfactor: float = 0.2) -> SolveResult:
+    """Integrate dy/dt = func(t, y) with double-float carried precision.
+
+    Same contract as `solve` (pytree state, reverse time, on-device stats)
+    restricted to adaptive tableau methods; tolerances may go well below
+    the plain-f32 floor (default rtol 1e-8). Forward-only (while loop).
+    """
+    from ..ops import tableaus as _tabs
+    from ..ops.pytree import unravel_trajectory
+    from ..ops.rk import interp_fit_quartic
+
+    if method not in _tabs.TABLEAUS_BY_NAME:
+        raise ValueError(
+            f"solve_df supports adaptive tableau methods "
+            f"{sorted(_tabs.TABLEAUS_BY_NAME)}, got {method!r}")
+    tab = _tabs.TABLEAUS_BY_NAME[method]
+    prob: CanonicalProblem = canonicalize(func, y0, t)
+    g, yf, tau = prob.func, prob.y0, prob.tau
+    dtype = prob.dtype
+    T = tau.shape[0]
+    N = yf.shape[0]
+    rtol = jnp.asarray(rtol, dtype)
+    atol = jnp.asarray(atol, dtype)
+    max_steps = jnp.asarray(max_num_steps if max_num_steps is not None
+                            else 2 ** 31 - 1, jnp.int32)
+    ctrl = StepController(safety=float(safety), ifactor=float(ifactor),
+                         dfactor=float(dfactor))
+
+    if T == 1:
+        z = jnp.asarray(0, jnp.int32)
+        ys = unravel_trajectory(prob.unravel, yf[None])
+        return SolveResult(ys, SolverStats(z, z, z,
+                                           jnp.asarray(0, jnp.int32)))
+
+    t_end = tau[-1]
+    f0h = g(tau[0], yf)
+    nfe0 = 1
+    if first_step is None:
+        dt0 = select_initial_step(g, tau[0], yf, f0h, tab.order - 1,
+                                  rtol, atol)
+        nfe0 += 1
+    else:
+        dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+    span = jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])), 1.0)
+    dt_min = 4.0 * jnp.finfo(dtype).eps * span
+
+    zeros = jnp.zeros_like(yf)
+    out0 = jnp.zeros((T, N), dtype).at[0].set(yf)
+    init = _DFState(
+        th=tau[0], tl=jnp.zeros((), dtype), yh=yf, yl=zeros,
+        fh=f0h, fl=zeros, dt=_stop(dt0),
+        prev_ratio=jnp.asarray(1.0, dtype), out=out0,
+        n_acc=jnp.asarray(0, jnp.int32), n_rej=jnp.asarray(0, jnp.int32),
+        nfe=jnp.asarray(nfe0, jnp.int32),
+        status=jnp.asarray(int(Status.OK), jnp.int32))
+
+    def cond(s: _DFState):
+        return (s.th < t_end) & (s.status == Status.OK)
+
+    def body(s: _DFState):
+        rem = df_add_f((-s.th, -s.tl), t_end)      # t_end - t, df
+        rem_h = rem[0]
+        dt_eff = jnp.minimum(s.dt, rem_h)
+        is_last = s.dt >= rem_h
+        # Attempted step: exactly t_end - t on the last step so the final
+        # time is hit with zero residual.
+        dth, dtl = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(is_last, a, b),
+            rem, (dt_eff, jnp.zeros((), dtype)))
+
+        # ---- stages (df combines; coefficient products in f32*dt_df) ----
+        ks = [(s.fh, s.fl)]
+        for i in range(1, tab.stages):
+            yi = (s.yh, s.yl)
+            for aij, kj in zip(tab.a[i - 1], ks):
+                if aij != 0.0:
+                    yi = df_add(yi, df_mul_f(kj, dth * aij + dtl * aij))
+            ti = df_add_f((s.th, s.tl), tab.c[i] * dth)
+            ks.append(_df_eval(g, ti[0], ti[1], yi[0], yi[1]))
+
+        delta = None
+        for b, kj in zip(tab.b_sol, ks):
+            if b != 0.0:
+                term = df_mul_f(kj, dth * b + dtl * b)
+                delta = term if delta is None else df_add(delta, term)
+        y1 = df_add((s.yh, s.yl), delta)
+
+        err = None
+        for e, kj in zip(tab.b_err, ks):
+            if e != 0.0:
+                term = df_mul_f(kj, dth * e + dtl * e)
+                err = term if err is None else df_add(err, term)
+        err_f = df_to_f(err)
+
+        scale = atol + rtol * jnp.maximum(jnp.abs(s.yh), jnp.abs(y1[0]))
+        esc = err_f / scale
+        ratio = jnp.sqrt(jnp.mean(esc * esc))
+        finite = jnp.isfinite(ratio) & jnp.all(jnp.isfinite(y1[0]))
+        accept = (ratio <= 1.0) & finite
+
+        big = jnp.asarray(2.0, dtype) ** 20
+        dt_next, prev_next = next_step_size(
+            _stop(dth), _stop(jnp.where(finite, ratio, big)),
+            _stop(s.prev_ratio), accept, tab.order, ctrl)
+
+        t1 = df_add((s.th, s.tl), (dth, dtl))
+        t1 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(is_last, a, b),
+            (t_end, jnp.zeros((), dtype)), t1)
+
+        # Derivative at the step end (FSAL for free; else one extra eval).
+        f1 = ks[-1] if tab.fsal else _df_eval(g, t1[0], t1[1], y1[0], y1[1])
+
+        # Dense output: nodes rounded from df (differences formed in df
+        # first, so the quartic's cancellation-heavy residuals keep their
+        # low words); evaluation itself is f32 — a one-time eps·|y| ~ 1e-7
+        # output rounding, not an accumulated term.
+        y_mid = None
+        if tab.c_mid is not None:
+            y_mid = (s.yh, s.yl)
+            for cm, kj in zip(tab.c_mid, ks):
+                if cm != 0.0:
+                    y_mid = df_add(y_mid, df_mul_f(kj, dth * cm + dtl * cm))
+            y_mid = df_to_f(y_mid)
+        y1_f = df_to_f(y1)
+        if y_mid is not None:
+            coeffs = interp_fit_quartic(s.yh, y1_f, y_mid,
+                                        df_to_f(ks[0]), df_to_f(f1), dth)
+        else:
+            from ..ops.rk import interp_fit_cubic_hermite
+            coeffs = interp_fit_cubic_hermite(s.yh, y1_f, df_to_f(ks[0]),
+                                              df_to_f(f1), dth)
+
+        mask = accept & (tau > s.th) & (tau <= t1[0])
+        vals = interp_evaluate(coeffs, s.th, dth, tau)
+        vals = jnp.where((tau == t1[0])[:, None], df_to_f(y1)[None], vals)
+        out = jnp.where(mask[:, None], vals, s.out)
+
+        n_att = s.n_acc + s.n_rej + 1
+        status = s.status
+        status = jnp.where(
+            (dt_next < dt_min) & (s.th + dt_next < t_end)
+            & (status == Status.OK) & ~accept,
+            jnp.asarray(int(Status.DT_UNDERFLOW), jnp.int32), status)
+        status = jnp.where(
+            (n_att >= max_steps) & (status == Status.OK)
+            & ~((s.th >= t_end) | (accept & is_last)),
+            jnp.asarray(int(Status.MAX_STEPS_REACHED), jnp.int32), status)
+
+        evals = tab.evals_per_step
+        pick = lambda a, b: jax.tree_util.tree_map(
+            lambda u, v: jnp.where(accept, u, v), a, b)
+        th_n, tl_n = pick(t1, (s.th, s.tl))
+        yh_n, yl_n = pick(y1, (s.yh, s.yl))
+        fh_n, fl_n = pick(f1, (s.fh, s.fl))
+        return _DFState(
+            th=th_n, tl=tl_n, yh=yh_n, yl=yl_n, fh=fh_n, fl=fl_n,
+            dt=jnp.maximum(_stop(dt_next), jnp.asarray(0.0, dtype)),
+            prev_ratio=_stop(prev_next), out=out,
+            n_acc=s.n_acc + accept.astype(jnp.int32),
+            n_rej=s.n_rej + (1 - accept.astype(jnp.int32)),
+            nfe=s.nfe + evals, status=status)
+
+    fin = jax.lax.while_loop(cond, body, init)
+    stats = SolverStats(fin.nfe, fin.n_acc, fin.n_rej, fin.status)
+    ys_flat = fin.out
+    if prob.valid is not None:
+        stats = stats._replace(status=jnp.where(
+            prob.valid, stats.status,
+            jnp.asarray(int(Status.INVALID_TIMES), jnp.int32)))
+        keep = prob.valid | (jnp.arange(T) == 0)[:, None]
+        ys_flat = jnp.where(keep, ys_flat, jnp.zeros_like(ys_flat))
+    ys = unravel_trajectory(prob.unravel, ys_flat)
+    return SolveResult(ys, stats)
+
+
+def odeint_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
+              method: str = "dopri5", options: Optional[dict] = None) -> Any:
+    """`odeint`-style front-end for the double-float engine (the TPU-native
+    `cast_double`): trajectory pytree, raising on concrete failure."""
+    options = dict(options or {})
+    res = solve_df(func, y0, t, rtol=rtol, atol=atol, method=method,
+                   max_num_steps=options.pop("max_num_steps", None),
+                   first_step=options.pop("first_step", None))
+    if options:
+        raise TypeError(f"Unknown solve_df options: {sorted(options)}")
+    status = res.stats.status
+    if not isinstance(status, jax.core.Tracer):
+        code = int(status)
+        if code != 0:
+            raise RuntimeError(
+                f"odeint_df failed with status {Status(code).name}")
+    return res.ys

@@ -42,24 +42,34 @@ Array = jax.Array
 
 
 def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
-                   input_power: int, matmul: str = "vpu"):
-    """Build F(y, a_y) -> (f, v_y, [(dW, db), ...]).
+                   input_power: int, matmul: str = "vpu",
+                   time_input: bool = False):
+    """Build F(t, y, a_y) -> (f, v_y, [(dW, db), ...], v_t).
 
-    f = MLP(y) with y [D, B] feature-major; v_y = (df/dy)^T a_y [D, B];
-    dW [doutP, dinP] (wT layout), db [doutP, 1] are batch-summed parameter
-    cotangents. Per layer (`_layer_uses_mxu`), contractions run either
-    unrolled over TRUE feature dims on the VPU, or as systolic-array dots
-    (forward, the dW outer-product reduction, and the dh back-contraction
-    each map to one `dot_general`).
+    f = MLP([y; t]) with y [D, B] feature-major; v_y = (df/dy)^T a_y
+    [D, B]; dW [doutP, dinP] (wT layout), db [doutP, 1] are batch-summed
+    parameter cotangents; v_t [1, B] = a_y . df/dt per sample (zeros when
+    autonomous). With `time_input`, the first layer's din = D + 1 with the
+    scalar time as the LAST input feature (the `_make_net` convention), so
+    the t-row of the layer-0 input cotangent IS a_y . df/dt — no extra
+    forward-mode pass. Per layer (`_layer_uses_mxu`), contractions run
+    either unrolled over TRUE feature dims on the VPU, or as
+    systolic-array dots (forward, the dW outer-product reduction, and the
+    dh back-contraction each map to one `dot_general`).
     """
     L = len(dims)
     acts = [activation] * (L - 1) + [final_activation]
 
-    def aug_eval(y, a_y):
+    def aug_eval(t, y, a_y):
         B = y.shape[1]
         dtype = y.dtype
         # ---- forward, keeping layer inputs and pre-activations ----
         h = _input_transform(y, input_power)
+        if time_input:
+            # Full layer-0 input including the t row: the VJP then yields
+            # dW's t-column and v_t with no special cases.
+            h = jnp.concatenate(
+                [h[:dims[0][0] - 1, :], h[:1, :] * 0.0 + t], axis=0)
         hs = [h]          # layer INPUTS (h_0 ... h_{L-1})
         zs = []           # pre-activations
         for l, (din, dout) in enumerate(dims):
@@ -132,13 +142,19 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
                 dz = dh * _ACTIVATION_GRADS[acts[l - 1]](
                     zs[l - 1][:dout_prev, :], hs[l][:dout_prev, :])
             else:
+                if time_input:
+                    n_state = dims[0][0] - 1
+                    v_t = dh[n_state:n_state + 1, :]      # a_y . df/dt
+                    dh = dh[:n_state, :]
+                else:
+                    v_t = dh[:1, :] * 0.0
                 if input_power == 1:
                     v_y = dh
                 else:
                     # d(y**p)/dy = p * y**(p-1)
                     yp = _input_transform(y, input_power - 1)
                     v_y = dh * (float(input_power) * yp)
-        return f, v_y, dparams
+        return f, v_y, dparams, v_t
 
     return aug_eval
 
@@ -147,14 +163,16 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                          dfactor: float, max_steps: int, denom: float,
                          B_true: int, dims, activation: str,
                          final_activation: str, input_power: int,
-                         seminorm: bool, matmul: str):
+                         seminorm: bool, matmul: str,
+                         time_input: bool = False):
     """Kernel: the full backward sweep. Ref layout (inputs then outputs then
     scratch):
 
       SMEM in : sigma [1,T], dt0, rtol, atol, dtmin, sign_f
       VMEM in : ys [T,D,B], g [T,D,B], weights (2L refs)
       out     : ay0 [D,B], per-layer (aw [doutP,dinP], ab [doutP,1]),
-                stats [1,4] (SMEM)
+                stats [1,4] (SMEM), at [1,1] (SMEM; integrated a_t
+                quadrature — 0 for autonomous dynamics)
       scratch : y, ay, comp_y, comp_ay (all [D,B])
     """
     L = len(dims)
@@ -167,7 +185,8 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         ay0_ref = refs[8 + 2 * L]
         awrefs = refs[9 + 2 * L: 9 + 4 * L]
         stats_ref = refs[9 + 4 * L]
-        y_s, ay_s, cy_s, cay_s = refs[10 + 4 * L:]
+        at_ref = refs[10 + 4 * L]
+        y_s, ay_s, cy_s, cay_s = refs[11 + 4 * L:]
 
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
@@ -175,21 +194,27 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         sf = sf_ref[0, 0]
 
         aug_eval = _make_aug_eval(wrefs, dims, activation, final_activation,
-                                  input_power, matmul)
+                                  input_power, matmul, time_input)
 
-        def rhs(y, ay):
-            f, v_y, dparams = aug_eval(y, ay)
+        def rhs(s, y, ay):
+            # user time t = sign * tau = -sign * sigma
+            f, v_y, dparams, v_t = aug_eval(-sf * s, y, ay)
             ky = -sf * f
             kay = sf * v_y
             kws = [(sf * dW, sf * db) for dW, db in dparams]
-            return ky, kay, kws
+            if time_input:
+                lane = jax.lax.broadcasted_iota(jnp.int32, v_t.shape, 1)
+                kat = sf * jnp.sum(jnp.where(lane < B_true, v_t, 0.0))
+            else:
+                kat = jnp.zeros((), y.dtype)
+            return ky, kay, kws, kat
 
         for r in awrefs:
             r[:] = jnp.zeros_like(r)
         ay_s[:] = jnp.zeros_like(ay_s)
 
         def interval_body(ii, carry):
-            dt, nfe, nacc, nrej, status = carry
+            dt, at, nfe, nacc, nrej, status = carry
             i = T - 1 - ii
             # Reset y to the stored forward state; inject the cotangent.
             y_s[:] = ys_ref[pl.ds(i, 1)][0]
@@ -200,11 +225,11 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
             s_end = sigma_ref[0, i - 1]
 
             def cond(c):
-                s, dt, nfe, nacc, nrej, status = c
+                s, dt, at, nfe, nacc, nrej, status = c
                 return (s < s_end) & (status == 0)
 
             def body(c):
-                s, dt, nfe, nacc, nrej, status = c
+                s, dt, at, nfe, nacc, nrej, status = c
                 rem = s_end - s
                 dt_eff = jnp.minimum(dt, rem)
                 is_last = dt >= rem
@@ -215,7 +240,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                 ay0 = ay_s[:]
 
                 # ---- RK stages on the augmented state ----
-                ky, kay, kws = [], [], []
+                ky, kay, kws, kat = [], [], [], []
                 for st in range(stages):
                     if st == 0:
                         yi, ayi = y0, ay0
@@ -226,10 +251,11 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                             if aij != 0.0:
                                 yi = yi + (dth * aij) * kyj
                                 ayi = ayi + (dth * aij) * kayj
-                    k1, k2, k3 = rhs(yi, ayi)
+                    k1, k2, k3, k4 = rhs(s + tab.c[st] * dth, yi, ayi)
                     ky.append(k1)
                     kay.append(k2)
                     kws.append(k3)
+                    kat.append(k4)
 
                 def comb(coeffs, ks):
                     acc = None
@@ -243,6 +269,9 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                 d_ay = comb(tab.b_sol, kay)
                 e_y = comb(tab.b_err, ky)
                 e_ay = comb(tab.b_err, kay)
+                d_at = comb(tab.b_sol, kat)
+                e_at = comb(tab.b_err, kat)
+                at1 = at + d_at
 
                 d_ws, e_ws = [], []
                 for l in range(L):
@@ -279,6 +308,10 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                                          aw0 + d_ws[l][0])
                         ss = ss + esc_sq(e_ws[l][1], ab0,
                                          ab0 + d_ws[l][1])
+                    if time_input:
+                        sc_at = atol + rtol * jnp.maximum(jnp.abs(at),
+                                                          jnp.abs(at1))
+                        ss = ss + (e_at / sc_at) ** 2
                 ratio = jnp.sqrt(ss / denom)
                 finite = jnp.isfinite(ss) & fin_chk
                 accept = (ratio <= 1.0) & finite
@@ -315,22 +348,24 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                 status = jnp.where(
                     (n_att >= max_steps) & (s1 < s_end), jnp.int32(1),
                     status)
-                return (jnp.where(accept, s1, s), dt_next, nfe + stages,
+                return (jnp.where(accept, s1, s), dt_next,
+                        jnp.where(accept, at1, at), nfe + stages,
                         nacc + accept.astype(jnp.int32),
                         nrej + (~accept).astype(jnp.int32), status)
 
-            init = (s_start, dt, nfe, nacc, nrej, status)
-            s, dt, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body,
-                                                                init)
-            return dt, nfe, nacc, nrej, status
+            init = (s_start, dt, at, nfe, nacc, nrej, status)
+            s, dt, at, nfe, nacc, nrej, status = jax.lax.while_loop(
+                cond, body, init)
+            return dt, at, nfe, nacc, nrej, status
 
         status0 = jnp.int32(0)
-        carry0 = (dt0_ref[0, 0], jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                  status0)
-        dt, nfe, nacc, nrej, status = jax.lax.fori_loop(
+        carry0 = (dt0_ref[0, 0], jnp.zeros((), ys_ref.dtype), jnp.int32(0),
+                  jnp.int32(0), jnp.int32(0), status0)
+        dt, at, nfe, nacc, nrej, status = jax.lax.fori_loop(
             0, T - 1, interval_body, carry0)
 
         ay0_ref[:] = ay_s[:] + g_ref[pl.ds(0, 1)][0]
+        at_ref[0, 0] = at
         stats_ref[0, 0] = nfe
         stats_ref[0, 1] = nacc
         stats_ref[0, 2] = nrej
@@ -343,7 +378,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "method", "safety", "ifactor", "dfactor", "max_steps",
-                     "seminorm", "matmul", "interpret"))
+                     "seminorm", "matmul", "time_input", "interpret"))
 def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       dt0: Array, rtol, atol, sign, *,
                       activation: str = "tanh",
@@ -352,18 +387,22 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       safety: float = 0.9, ifactor: float = 10.0,
                       dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                       seminorm: bool = False, matmul: str = "vpu",
-                      interpret: bool = False):
+                      time_input: bool = False, interpret: bool = False):
     """Fused adjoint backward sweep, one kernel launch.
 
     warrays/dims: padded weights (`pad_mlp_weights`). ys, g: [T, D, B]
     feature-major forward trajectory and output cotangents at the
     observation times tau ([T], increasing canonical; sign as in
     `mlp_solve`). dt0: initial backward step (in sigma = -tau space).
-    seminorm: exclude the parameter quadratures from step-size control
-    (Kidger et al. 2020).
+    seminorm: exclude the parameter/time quadratures from step-size
+    control (Kidger et al. 2020). time_input: concat-t dynamics — the
+    first layer's din = D + 1 with the scalar time LAST; the sweep then
+    also integrates the a_t quadrature (da_t/dsigma = sign * a_y . df/dt,
+    batch-summed).
 
     Returns (ay0 [D, B] = dL/dy0 in canonical layout, aw_list of padded
-    (dW [doutP, dinP], db [doutP, 1]) cotangents, stats [4] int32).
+    (dW [doutP, dinP], db [doutP, 1]) cotangents, at scalar (the
+    integrated time quadrature; 0 for autonomous), stats [4] int32).
     """
     from . import tableaus as _tabs
     tab = _tabs.TABLEAUS_BY_NAME[method]
@@ -389,12 +428,13 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     # (matches the generic adjoint's rms_norm(x_flat[:2N])).
     n_params = sum(din * dout + dout for din, dout in dims)
     denom = (float(2 * D * B_true) if seminorm
-             else float(2 * D * B_true + n_params))
+             else float(2 * D * B_true + n_params
+                        + (1 if time_input else 0)))
 
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), denom, B_true, dims,
                                   activation, final_activation, input_power,
-                                  seminorm, matmul)
+                                  seminorm, matmul, time_input)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -406,11 +446,12 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
         out_shape.append(
             jax.ShapeDtypeStruct(warrays[2 * l + 1].shape, dtype))
     out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), dtype))
 
     res = pl.pallas_call(
         kernel,
         in_specs=[smem_t] * 6 + [vmem] * (2 + 2 * L),
-        out_specs=[vmem] * (1 + 2 * L) + [smem_t],
+        out_specs=[vmem] * (1 + 2 * L) + [smem_t, smem_t],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((D, B), dtype)] * 4,
         interpret=interpret,
@@ -425,6 +466,7 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     ay0 = res[0]
     aws = [(res[1 + 2 * l], res[2 + 2 * l]) for l in range(L)]
     stats = res[1 + 2 * L][0]
+    at = res[2 + 2 * L][0, 0]
     if B != B_true:
         ay0 = ay0[:, :B_true]
-    return ay0, aws, stats
+    return ay0, aws, at, stats

@@ -720,13 +720,6 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
         f0 = jnp.pad(f0, ((0, 0), (0, BP - B)))
         B = BP
 
-    # Span-scaled minimum step (matches the generic _default_dt_min): an
-    # absolute 4*eps would never trigger when |t| is large, leaving the
-    # in-kernel loop spinning without progress.
-    dt_min = (4.0 * jnp.finfo(dtype).eps
-              * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
-                            1.0)).astype(dtype)
-
     if rhs == "mlp":
         def make_f(wrefs):
             return _make_net(wrefs, dims, activation, final_activation,
@@ -738,9 +731,37 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     else:
         raise ValueError(f"unknown rhs {rhs!r} (expected 'mlp' or 'cnf')")
 
+    out, stats = whole_solve_call(
+        make_f, warrays, y0, tau, dt0, rtol, atol, sign, f0, tab=tab,
+        safety=safety, ifactor=ifactor, dfactor=dfactor,
+        max_steps=int(max_steps), B_true=B_true, interpret=interpret)
+    if B != B_true:
+        out = out[:, :, :B_true]
+    return out, stats
+
+
+def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
+                     atol, sign, f0, *, tab, safety: float, ifactor: float,
+                     dfactor: float, max_steps: int, B_true: int,
+                     interpret: bool):
+    """Shared pallas_call plumbing for whole-solve kernels.
+
+    y0/f0: [D, B] feature-major with B already lane-padded; aux_arrays:
+    VMEM operand arrays handed to `make_f` as refs (weights / plan consts).
+    Returns (out [T, D, B], stats [4] int32).
+    """
+    D, B = y0.shape
+    T = int(tau.shape[0])
+    dtype = y0.dtype
+
+    # Span-scaled minimum step (matches the generic _default_dt_min).
+    dt_min = (4.0 * jnp.finfo(dtype).eps
+              * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
+                            1.0)).astype(dtype)
+
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
                                 int(max_steps), float(D * B_true), B_true,
-                                make_f, len(warrays))
+                                make_f, len(aux_arrays))
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -750,7 +771,7 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
              else jnp.asarray(True)).astype(jnp.int32)
     out, stats = pl.pallas_call(
         kernel,
-        in_specs=[smem_t] * 7 + [vmem] * (2 + len(warrays)),
+        in_specs=[smem_t] * 7 + [vmem] * (2 + len(aux_arrays)),
         out_specs=[vmem, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((1, 4), jnp.int32)],
@@ -759,15 +780,13 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
                         pltpu.VMEM((D, B), dtype)],
         interpret=interpret,
     )(tau.reshape(1, T),
-      jnp.reshape(dt0.astype(dtype), (1, 1)),
+      jnp.reshape(jnp.asarray(dt0, dtype), (1, 1)),
       jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
       jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
       jnp.reshape(dt_min, (1, 1)),
-      jnp.reshape(sign, (1, 1)),
+      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
       jnp.reshape(valid, (1, 1)),
-      y0, f0, *warrays)
-    if B != B_true:
-        out = out[:, :, :B_true]
+      y0, f0, *aux_arrays)
     return out, stats[0]
 
 

@@ -148,7 +148,7 @@ FIXED_GRID_OPTIONS = frozenset({"grid_constructor", "step_size",
 ADAPTIVE_OPTIONS = frozenset({
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "norm",
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "telemetry", "unroll", "dense_output",
+    "telemetry", "unroll", "dense_output", "fuse",
 })
 
 _KNOWN_OPTIONS = frozenset({
@@ -159,7 +159,7 @@ _KNOWN_OPTIONS = frozenset({
     "max_iters", "norm",
     # TPU-native extensions
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "implicit", "hypernet", "telemetry", "unroll", "dense_output",
+    "implicit", "hypernet", "telemetry", "unroll", "dense_output", "fuse",
 })
 
 
