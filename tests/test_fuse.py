@@ -208,3 +208,48 @@ def test_plan_cache_hit_across_calls():
     p2, c2 = build_plan(lambda tt, yy: (yy ** 3) @ A2, T[0], Y0)
     assert p1 == p2 and hash(p1) == hash(p2)
     assert len(c1) == len(c2) == 1
+
+
+def test_fused_dense_output():
+    """dense_output=True persists the in-kernel per-step interpolants;
+    post-hoc evaluation matches direct solves (round-2 verdict item 10)."""
+    r = solve_fused(mlp, Y0, T, rtol=1e-6, atol=1e-8, dense_output=True,
+                    max_num_steps=256)
+    assert r.dense is not None
+    for tq in (0.37, 2.11, 4.93):
+        got = r.dense.eval_flat(jnp.asarray(tq, jnp.float32)).reshape(
+            Y0.shape)
+        want = solve(mlp, Y0, jnp.asarray([0.0, tq], jnp.float32),
+                     rtol=1e-8, atol=1e-10,
+                     options={"loop": "while"}).ys[-1]
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-5
+
+
+def test_interpolated_adjoint_with_fused_forward():
+    """adjoint_mode='interpolated' driven by the FUSED forward's dense
+    output matches the generic interpolated adjoint (the fastest forward
+    now feeds the cheapest backward)."""
+    t5 = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    g_out = jnp.asarray(np.random.RandomState(4).randn(5, 8, 2),
+                        jnp.float32)
+
+    def fp(tt, yy, p):
+        return jnp.tanh(yy @ p[0] + p[1]) @ p[2]
+
+    params = (W1, B1, W2)
+
+    def loss(p, fuse):
+        ys = odeint_adjoint(
+            fp, Y0, t5, params=p, rtol=1e-6, atol=1e-8,
+            adjoint_mode="interpolated",
+            options={"fuse": True, "max_num_steps": 256} if fuse
+            else {"max_steps": 2048})
+        return jnp.sum(ys * g_out)
+
+    gf = jax.grad(loss)(params, True)
+    gg = jax.grad(loss)(params, False)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert d / m < 1e-4, (d, m)

@@ -171,11 +171,14 @@ def odeint_adjoint(
     if adjoint_mode not in ("resets", "interpolated"):
         raise ValueError(f"adjoint_mode must be 'resets' or 'interpolated',"
                          f" got {adjoint_mode!r}")
-    if forward_solver is not None and adjoint_mode == "interpolated":
+    if (forward_solver is not None and adjoint_mode == "interpolated"
+            and not getattr(forward_solver, "emits_dense", False)):
         raise ValueError(
             "forward_solver cannot be combined with "
-            "adjoint_mode='interpolated' (the interpolated backward needs "
-            "the internal forward's per-step dense output)")
+            "adjoint_mode='interpolated' unless it returns per-step "
+            "interpolants — (ys, stats, DenseOutput) with an "
+            "`emits_dense = True` attribute (fast.solve_fused with "
+            "dense_output=True provides this via options={'fuse': True})")
     if forward_solver is not None and options:
         raise ValueError(
             "options are ignored when forward_solver replaces the internal "
@@ -286,16 +289,19 @@ def odeint_adjoint(
     # the generic O(1)-memory adjoint backward — arbitrary-dynamics
     # training with a fused forward. Validated eagerly so unfusable
     # dynamics fall back (warning) instead of failing inside custom_vjp.
-    if (use_fuse and forward_solver is None and adjoint_mode == "resets"
-            and _is_adaptive(method)):
+    if (use_fuse and forward_solver is None and _is_adaptive(method)):
         forward_solver = _build_fused_forward(
-            user_func, y0, t, params_in, rtol, atol, method, fwd_options)
+            user_func, y0, t, params_in, rtol, atol, method, fwd_options,
+            emit_dense=adjoint_mode == "interpolated")
 
     def _impl(y0_, t_, params_):
         if forward_solver is not None:
-            ys_f, stats_f = forward_solver(y0_, t_, params_)
+            fs_out = forward_solver(y0_, t_, params_)
             from .solvers.base import SolveResult
-            res = SolveResult(ys_f, stats_f)
+            if len(fs_out) == 3:
+                res = SolveResult(fs_out[0], fs_out[1], dense=fs_out[2])
+            else:
+                res = SolveResult(*fs_out)
         else:
             res = solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
                         rtol=rtol, atol=atol, method=method,
@@ -472,10 +478,12 @@ def odeint_adjoint(
 
 
 def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
-                         fwd_options):
+                         fwd_options, emit_dense: bool = False):
     """Build a fused-forward `forward_solver` for odeint_adjoint's
     options={'fuse': True}, or None (with a warning) when the dynamics /
-    state fall outside the fusable subset."""
+    state fall outside the fusable subset. With `emit_dense` the solver
+    also returns the in-kernel per-step interpolants as a DenseOutput
+    (drives adjoint_mode='interpolated')."""
     import warnings
 
     from .ops.jaxpr_bridge import FusionError, build_plan
@@ -503,9 +511,13 @@ def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
         res = solve_fused(lambda tt, yy: user_func(tt, yy, params_), y0_,
                           t_, rtol=rtol, atol=atol, method=method,
                           first_step=first_step,
-                          max_num_steps=max_num_steps)
+                          max_num_steps=max_num_steps,
+                          dense_output=emit_dense)
+        if emit_dense:
+            return res.ys, res.stats, res.dense
         return res.ys, res.stats
 
+    forward_solver.emits_dense = emit_dense
     return forward_solver
 
 

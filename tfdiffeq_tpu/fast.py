@@ -353,7 +353,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                 method: str = "dopri5", interpret: Optional[bool] = None,
                 max_num_steps=None, first_step=None, matmul: str = "auto",
                 safety: float = 0.9, ifactor: float = 10.0,
-                dfactor: float = 0.2) -> SolveResult:
+                dfactor: float = 0.2,
+                dense_output: bool = False) -> SolveResult:
     """Whole-solve fused adaptive RK for ARBITRARY plain-jnp dynamics via
     the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py).
 
@@ -433,19 +434,42 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         f0p = jnp.pad(f0, ((0, 0), (0, BP - B)))
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
 
-    out, stats = jb.plan_solve(
-        plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p, method=method,
-        safety=safety, ifactor=ifactor, dfactor=dfactor,
-        max_steps=(int(max_num_steps) if max_num_steps is not None
-                   else 2 ** 31 - 1),
-        interpret=interpret)
+    dense = None
+    if dense_output:
+        # Per-step interpolants persist in-kernel (round-2 verdict item
+        # 10): like the bounded loop, a static step budget bounds the
+        # buffer; exceeding it surfaces as MAX_STEPS_REACHED.
+        S = int(max_num_steps) if max_num_steps is not None else 1024
+        if (not interpret
+                and 4 * 5 * S * D * BP > _VMEM_BUDGET):
+            raise jb.FusionError(
+                "dense-output interpolant buffer exceeds the fused "
+                "kernel's VMEM budget (max_num_steps x D x B too large)")
+        out, stats, meta, dcoef = jb.plan_solve(
+            plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p,
+            method=method, safety=safety, ifactor=ifactor,
+            dfactor=dfactor, max_steps=S, emit_dense=S,
+            interpret=interpret)
+        from .solvers.base import DenseOutput
+        coeffs = dcoef[:, :, :B].reshape(S, 5, D, B)
+        coeffs = jnp.transpose(coeffs, (0, 1, 3, 2)).reshape(S, 5, B * D)
+        dense = DenseOutput(meta[:, 0], meta[:, 1], meta[:, 2], coeffs,
+                            sign)
+    else:
+        out, stats = jb.plan_solve(
+            plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p,
+            method=method,
+            safety=safety, ifactor=ifactor, dfactor=dfactor,
+            max_steps=(int(max_num_steps) if max_num_steps is not None
+                       else 2 ** 31 - 1),
+            interpret=interpret)
     if BP != B:
         out = out[:, :, :B]
     ys = jnp.transpose(out, (0, 2, 1))           # [T, B, D]
     if squeeze:
         ys = ys[:, 0]
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
-    return SolveResult(ys, st)
+    return SolveResult(ys, st, None, dense)
 
 
 def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
@@ -918,62 +942,71 @@ def solve_conv_ode(variables, x: Array, t, *, groups: int = 32,
                                   if max_num_steps is not None else {}),
                                **({"first_step": first_step}
                                   if first_step is not None else {})})
-    if b_chunk < B:
-        n_blocks = -(-B // b_chunk)
-        pad_b = n_blocks * b_chunk - B
-        xp = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
-        xb = xp.reshape(n_blocks, b_chunk, H, W, C)
-
-        def one(xi):
-            r = solve_conv_ode(params, xi, t, groups=groups, rtol=rtol,
-                               atol=atol, method=method,
-                               interpret=interpret,
-                               max_num_steps=max_num_steps,
-                               first_step=first_step)
-            return r.ys, jnp.stack([r.stats.nfe, r.stats.n_accepted,
-                                    r.stats.n_rejected, r.stats.status])
-
-        ys_b, st_b = jax.lax.map(one, xb)      # [nb, T, b, H, W, C]
-        ys = jnp.moveaxis(ys_b, 0, 1).reshape(
-            T_out, n_blocks * b_chunk, H, W, C)[:, :B]
-        st = SolverStats(jnp.sum(st_b[:, 0]), jnp.sum(st_b[:, 1]),
-                         jnp.sum(st_b[:, 2]), jnp.max(st_b[:, 3]))
-        return SolveResult(ys, st)
-    N = B * spec.positions        # lane padding is pack_conv_ode_inputs'
+    # Batches beyond the per-block budget run as n_blocks sequential GRID
+    # programs inside ONE kernel launch (per-block state/controller, shared
+    # weights) — `conv_solve(n_blocks=...)`; replaces the round-2 lax.map
+    # over separate launches whose per-dispatch overhead made `--fused`
+    # training lose at B=128.
+    n_blocks = -(-B // b_chunk)
+    b_blk = b_chunk
+    pad_b = n_blocks * b_blk - B
+    xp = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
     order = tableaus.TABLEAUS_BY_NAME[method].order
 
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
     tau = sign * t
-    xf = co.to_feature_major(x, spec)                      # [C, N]
-    ref_f = co.make_conv_ode_f(params, B, spec, dtype)
+    ref_f = co.make_conv_ode_f(params, b_blk, spec, dtype)
+    N_blk = b_blk * spec.positions
+    xb = xp.reshape(n_blocks, b_blk, H, W, C)
+    xf_b = jax.vmap(lambda xi: co.to_feature_major(xi, spec))(xb)
+    f0_b = jax.vmap(lambda xi: (sign * ref_f(t[0], xi)).astype(dtype))(xf_b)
 
-    f0_true = (sign * ref_f(t[0], xf)).astype(dtype)
     if first_step is None:
-        def flat_g(s, yflat):
-            y = yflat.reshape(C, N)
-            return (sign * ref_f(sign * s, y)).ravel()
+        # Per-block HNW initial step (each grid program keeps independent
+        # step control, matching the former per-launch behavior).
+        def blk_dt0(xfi, f0i):
+            def flat_g(s, yflat):
+                y = yflat.reshape(C, N_blk)
+                return (sign * ref_f(sign * s, y)).ravel().astype(dtype)
 
-        dt0 = select_initial_step(flat_g, tau[0], xf.ravel(),
-                                  f0_true.ravel(), order - 1,
-                                  jnp.asarray(rtol, dtype),
-                                  jnp.asarray(atol, dtype))
+            return select_initial_step(flat_g, tau[0], xfi.ravel(),
+                                       f0i.ravel(), order - 1,
+                                       jnp.asarray(rtol, dtype),
+                                       jnp.asarray(atol, dtype))
+
+        dt0 = jax.vmap(blk_dt0)(xf_b, f0_b)             # [n_blocks]
         extra_nfe = 2
     else:
         dt0 = jnp.abs(jnp.asarray(first_step, dtype))
         extra_nfe = 1
 
-    warrays, NP = pack_conv_ode_inputs(params, B, spec, dtype)
-    y0p = jnp.pad(xf, ((0, 0), (0, NP - N)))
-    f0p = jnp.pad(f0_true, ((0, 0), (0, NP - N)))
+    warrays, NP = pack_conv_ode_inputs(params, b_blk, spec, dtype)
+    padded = jnp.pad(xf_b, ((0, 0), (0, 0), (0, NP - N_blk)))
+    y0p = jnp.concatenate(list(padded), axis=1)        # [C, nb*NP]
+    f0p = jnp.concatenate(
+        list(jnp.pad(f0_b, ((0, 0), (0, 0), (0, NP - N_blk)))), axis=1)
 
     out, stats = conv_solve(
         warrays, spec, y0p, tau, dt0, rtol, atol, sign, f0p,
         method=method,
         max_steps=(int(max_num_steps) if max_num_steps is not None
                    else 2 ** 31 - 1),
-        interpret=interp_flag)
-    ys = jax.vmap(lambda o: co.from_feature_major(o[:, :N], B, spec))(out)
-    st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
+        n_blocks=n_blocks, interpret=interp_flag)
+    if n_blocks > 1:
+        out_b = out.reshape(T_out, C, n_blocks, NP).transpose(2, 0, 1, 3)
+        ys_b = jax.vmap(jax.vmap(
+            lambda o: co.from_feature_major(o[:, :N_blk], b_blk, spec)))(
+                out_b)                                  # [nb, T, b, H, W, C]
+        ys = jnp.moveaxis(ys_b, 0, 1).reshape(
+            T_out, n_blocks * b_blk, H, W, C)[:, :B]
+        st = SolverStats(jnp.sum(stats[:, 0]) + extra_nfe,
+                         jnp.sum(stats[:, 1]), jnp.sum(stats[:, 2]),
+                         jnp.max(stats[:, 3]))
+    else:
+        ys = jax.vmap(
+            lambda o: co.from_feature_major(o[:, :N_blk], b_blk, spec))(out)
+        st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2],
+                         stats[3])
     return SolveResult(ys, st)
 
 

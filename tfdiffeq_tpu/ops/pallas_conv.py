@@ -104,21 +104,36 @@ def pack_conv_ode_inputs(params: dict, B: int, spec: co.ConvODESpec,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "method", "safety", "ifactor", "dfactor",
-                     "max_steps", "interpret"))
+                     "max_steps", "n_blocks", "interpret"))
 def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
                dt0: Array, rtol, atol, sign, f0: Array, *,
                method: str = "dopri5", safety: float = 0.9,
                ifactor: float = 10.0, dfactor: float = 0.2,
-               max_steps: int = 2 ** 31 - 1, interpret: bool = False):
-    """y0/f0: [C, NP] feature-major (lane-padded); tau [T] increasing
-    canonical times, sign as in solvers/base.py. Returns
-    (out [T, C, NP], stats [4] int32)."""
+               max_steps: int = 2 ** 31 - 1, n_blocks: int = 1,
+               interpret: bool = False):
+    """y0/f0: [C, n_blocks * NPb] feature-major (lane-padded per block);
+    tau [T] increasing canonical times, sign as in solvers/base.py.
+
+    n_blocks > 1 runs one whole-solve per batch block as SEQUENTIAL GRID
+    PROGRAMS sharing a single kernel launch (weights replicated per
+    program via index maps; each program owns its own [C, NPb] state
+    slice, scratch, and step controller) — replacing the former
+    `lax.map` over separate launches, whose per-dispatch overhead
+    dominated training-batch wall-clock (round-2 verdict item 5).
+
+    Returns (out [T, C, n_blocks * NPb], stats [n_blocks, 4] int32 —
+    per-block nfe/accepted/rejected/status).
+    """
     from . import tableaus as _tabs
     tab = _tabs.TABLEAUS_BY_NAME[method]
-    C, NP = y0.shape
+    C, NP_total = y0.shape
+    if NP_total % n_blocks:
+        raise ValueError(f"lane count {NP_total} not divisible by "
+                         f"n_blocks {n_blocks}")
+    NP = NP_total // n_blocks
     T = int(tau.shape[0])
     dtype = y0.dtype
-    # True lane count, statically: R is [NP, B].
+    # True lane count per block, statically: R is [NP, B].
     B = warrays[37].shape[1]
     N_true = B * spec.positions
 
@@ -133,30 +148,65 @@ def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
 
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
                                 int(max_steps), float(C * N_true), N_true,
-                                make_f, len(warrays))
+                                make_f, len(warrays),
+                                per_block_io=n_blocks > 1)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    # dt0: per-block row [1, n_blocks] (each grid program reads its own
+    # initial step at program_id) or a scalar broadcast.
+    dt0 = jnp.broadcast_to(jnp.asarray(dt0, dtype).reshape(-1),
+                           (n_blocks,)).reshape(1, n_blocks)
+
     tau = tau.astype(dtype)
     valid = (jnp.all(jnp.diff(tau) > 0) if T > 1
              else jnp.asarray(True)).astype(jnp.int32)
+    scalar_ins = (tau.reshape(1, T), dt0,
+                  jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+                  jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+                  jnp.reshape(dt_min, (1, 1)),
+                  jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+                  jnp.reshape(valid, (1, 1)))
+    scratch = [pltpu.VMEM((C, NP), dtype)] * 3
+
+    if n_blocks == 1:
+        # No grid: whole-array refs, zero pipelining machinery (the grid
+        # variant measured 5x slower + 5x compile at a single block).
+        out, stats = pl.pallas_call(
+            kernel,
+            in_specs=[smem_t] * 7 + [vmem] * (2 + len(warrays)),
+            out_specs=[vmem, smem_t],
+            out_shape=[jax.ShapeDtypeStruct((T, C, NP), dtype),
+                       jax.ShapeDtypeStruct((1, 4), jnp.int32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*scalar_ins, y0, f0, *warrays)
+        return out, stats[0]
+
+    # Sequential grid over blocks, one launch: block-sliced state/output,
+    # replicated weights; per-block dt0/stats ride FULL SMEM arrays with
+    # program_id indexing (Mosaic requires SMEM blocks to equal the array
+    # dims). Scratch is reused program-to-program (TPU grids run
+    # sequentially).
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    state_spec = pl.BlockSpec((C, NP), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((T, C, NP), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
     out, stats = pl.pallas_call(
         kernel,
-        in_specs=[smem_t] * 7 + [vmem] * (2 + len(warrays)),
-        out_specs=[vmem, smem_t],
-        out_shape=[jax.ShapeDtypeStruct((T, C, NP), dtype),
-                   jax.ShapeDtypeStruct((1, 4), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((C, NP), dtype),
-                        pltpu.VMEM((C, NP), dtype),
-                        pltpu.VMEM((C, NP), dtype)],
+        grid=(n_blocks,),
+        in_specs=([smem_t] * 7
+                  + [state_spec, state_spec]
+                  + [rep(w.shape) for w in warrays]),
+        out_specs=[out_spec, smem_t],
+        out_shape=[jax.ShapeDtypeStruct((T, C, NP_total), dtype),
+                   jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(tau.reshape(1, T),
-      jnp.reshape(dt0.astype(dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
-      jnp.reshape(dt_min, (1, 1)),
-      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
-      jnp.reshape(valid, (1, 1)),
-      y0, f0, *warrays)
-    return out, stats[0]
+    )(*scalar_ins, y0, f0, *warrays)
+    return out, stats

@@ -504,18 +504,33 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
 
 def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                        dfactor: float, max_steps: int, denom: float,
-                       B_true: int, make_f, n_wrefs: int):
+                       B_true: int, make_f, n_wrefs: int,
+                       per_block_io: bool = False, emit_dense: int = 0):
     """Whole-solve kernel, dynamics-generic: `make_f(wrefs)` builds the
     in-kernel RHS from `n_wrefs` VMEM weight refs. A runtime sign scalar
     (SMEM) multiplies the RHS so one compiled kernel serves both time
-    directions (tau = sign * t, as in solvers/base.py canonicalize)."""
+    directions (tau = sign * t, as in solvers/base.py canonicalize).
+
+    per_block_io: multi-block sequential-grid mode (pallas_conv) — dt0 is
+    a [1, n_blocks] SMEM row read at program_id, and stats write to row
+    program_id of an [n_blocks, 4] SMEM output (Mosaic rejects sub-(8,128)
+    SMEM *blocks*, so per-block scalars ride full arrays + explicit
+    indexing instead of index maps)."""
     evals = tab.evals_per_step
 
     def kernel(*refs):
         (tau_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref,
          sign_ref, valid_ref, y0_ref, f0_ref) = refs[:9]
         wrefs = refs[9:9 + n_wrefs]
-        out_ref, stats_ref, y_s, f_s, comp_s = refs[9 + n_wrefs:]
+        if emit_dense:
+            (out_ref, stats_ref, meta_ref, dcoef_ref,
+             y_s, f_s, comp_s) = refs[9 + n_wrefs:]
+            # t1s initialized to +inf: unused tail rows then never win a
+            # searchsorted query within [t0, t_end] (DenseOutput.eval).
+            meta_ref[:] = jnp.full_like(meta_ref, jnp.inf)
+        else:
+            out_ref, stats_ref, y_s, f_s, comp_s = refs[9 + n_wrefs:]
+        pid = pl.program_id(0) if per_block_io else 0
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
         dt_min = dtmin_ref[0, 0]
@@ -537,11 +552,11 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
             return sign * raw_f(sign * s, y)
 
         def cond(c):
-            t, dt, oi, nfe, nacc, nrej, status = c
+            t, dt, oi, si, nfe, nacc, nrej, status = c
             return (t < t_end) & (status == 0)
 
         def body(c):
-            t, dt, oi, nfe, nacc, nrej, status = c
+            t, dt, oi, si, nfe, nacc, nrej, status = c
             rem = t_end - t
             dt_eff = jnp.minimum(dt, rem)
             is_last = dt >= rem
@@ -596,6 +611,21 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                 y_s[:] = y_new
                 f_s[:] = f1
 
+            if emit_dense:
+                # Persist this step's interpolant (cursor si): metadata row
+                # [t0, t1, dt] and the 5 coefficient planes (the generic
+                # interp_evaluate convention (((a x + b) x + c) x + df0) x
+                # + y0), for post-hoc DenseOutput / interpolated adjoint.
+                @pl.when(accept & (si < emit_dense))
+                def _():
+                    z = jnp.zeros((1, 1), out_ref.dtype)
+                    meta_ref[pl.ds(si, 1), :] = jnp.concatenate(
+                        [z + t, z + t1, z + dth], axis=1)
+                    ca_ = ca if ca is not None else jnp.zeros_like(y0)
+                    dcoef_ref[pl.ds(5 * si, 5)] = jnp.concatenate(
+                        [ca_[None], cb[None], cc[None], df0[None],
+                         y0[None]], axis=0)
+
             # Drain every requested time inside (t, t1] via an output
             # cursor: O(outputs) dynamic row writes total, instead of T
             # predicated writes per attempt (which would scale kernel size
@@ -621,8 +651,10 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                 (n_att >= max_steps) & (t1 < t_end), jnp.int32(1), status)
             # evals_per_step counts the unconditional f1 for non-FSAL
             # tableaus (same convention as the generic runge_kutta_step).
-            return (jnp.where(accept, t1, t), dt_next, oi_new, nfe + evals,
-                    nacc + accept.astype(jnp.int32),
+            si_new = jnp.where(accept & (si < jnp.int32(max(emit_dense, 1))),
+                               si + 1, si) if emit_dense else si
+            return (jnp.where(accept, t1, t), dt_next, oi_new, si_new,
+                    nfe + evals, nacc + accept.astype(jnp.int32),
                     nrej + (~accept).astype(jnp.int32), status)
 
         # Invalid (non-monotonic) times: report status 3, leave out
@@ -631,14 +663,14 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
         # carries the caller's full tau-monotonicity check.
         status0 = jnp.where((t_end > t_start) & (valid_ref[0, 0] != 0),
                             jnp.int32(0), jnp.int32(3))
-        init = (t_start, dt0_ref[0, 0], jnp.int32(1), jnp.int32(0),
-                jnp.int32(0), jnp.int32(0), status0)
-        t, dt, oi, nfe, nacc, nrej, status = jax.lax.while_loop(cond, body,
-                                                                init)
-        stats_ref[0, 0] = nfe
-        stats_ref[0, 1] = nacc
-        stats_ref[0, 2] = nrej
-        stats_ref[0, 3] = status
+        init = (t_start, dt0_ref[0, pid], jnp.int32(1), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), status0)
+        t, dt, oi, si, nfe, nacc, nrej, status = jax.lax.while_loop(
+            cond, body, init)
+        stats_ref[pid, 0] = nfe
+        stats_ref[pid, 1] = nacc
+        stats_ref[pid, 2] = nrej
+        stats_ref[pid, 3] = status
 
     return kernel
 
@@ -743,12 +775,15 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
 def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                      atol, sign, f0, *, tab, safety: float, ifactor: float,
                      dfactor: float, max_steps: int, B_true: int,
-                     interpret: bool):
+                     interpret: bool, emit_dense: int = 0):
     """Shared pallas_call plumbing for whole-solve kernels.
 
     y0/f0: [D, B] feature-major with B already lane-padded; aux_arrays:
     VMEM operand arrays handed to `make_f` as refs (weights / plan consts).
-    Returns (out [T, D, B], stats [4] int32).
+    Returns (out [T, D, B], stats [4] int32); with `emit_dense=S` (> 0,
+    and max_steps <= S so the cursor cannot overflow) additionally the
+    per-accepted-step interpolants (meta [S, 3] = (t0, t1, dt) rows with
+    +inf t1 tail, coeffs [5*S, D, B]).
     """
     D, B = y0.shape
     T = int(tau.shape[0])
@@ -759,22 +794,34 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
               * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
                             1.0)).astype(dtype)
 
+    if emit_dense and int(max_steps) > int(emit_dense):
+        raise ValueError("emit_dense buffer smaller than max_steps "
+                         "(accepted steps could overflow it)")
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
                                 int(max_steps), float(D * B_true), B_true,
-                                make_f, len(aux_arrays))
+                                make_f, len(aux_arrays),
+                                emit_dense=int(emit_dense))
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    out_shape = [jax.ShapeDtypeStruct((T, D, B), dtype),
+                 jax.ShapeDtypeStruct((1, 4), jnp.int32)]
+    out_specs = [vmem, smem_t]
+    if emit_dense:
+        S = int(emit_dense)
+        out_shape += [jax.ShapeDtypeStruct((S, 3), dtype),
+                      jax.ShapeDtypeStruct((5 * S, D, B), dtype)]
+        out_specs += [vmem, vmem]
+
     tau = tau.astype(dtype)
     valid = (jnp.all(jnp.diff(tau) > 0) if T > 1
              else jnp.asarray(True)).astype(jnp.int32)
-    out, stats = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         in_specs=[smem_t] * 7 + [vmem] * (2 + len(aux_arrays)),
-        out_specs=[vmem, smem_t],
-        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
-                   jax.ShapeDtypeStruct((1, 4), jnp.int32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((D, B), dtype),
                         pltpu.VMEM((D, B), dtype),
                         pltpu.VMEM((D, B), dtype)],
@@ -787,6 +834,10 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
       jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
       jnp.reshape(valid, (1, 1)),
       y0, f0, *aux_arrays)
+    if emit_dense:
+        out, stats, meta, dcoef = res
+        return out, stats[0], meta, dcoef
+    out, stats = res
     return out, stats[0]
 
 
