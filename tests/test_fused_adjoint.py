@@ -326,10 +326,14 @@ def test_time_input_spec_forward_matches_generic():
     np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
                                atol=5e-4, rtol=1e-3)
 
-    # the fused adjoint is autonomous-only: reject time-input specs loudly
+    # round 3: the fused adjoint handles time-input specs (t-column VJP +
+    # a_t quadrature in-kernel); the smoke here just runs a grad — full
+    # parity is test_fused_adjoint_time_input_matches_generic.
     from tfdiffeq_tpu.fast import odeint_adjoint_mlp as _adj
-    with pytest.raises(ValueError, match="autonomous"):
-        _adj(spec, weights, y0, t, interpret=True)
+    g = jax.grad(lambda w: jnp.sum(
+        _adj(spec, w, y0, t, interpret=True)))(tuple(weights))
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
 
 
 @pytest.mark.slow
@@ -566,3 +570,50 @@ def test_fused_adjoint_time_input_matches_generic():
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b))) + 1e-12
         assert d / m < 1e-4, (d, m)
+
+
+@pytest.mark.slow
+def test_cnf_two_kernel_training_matches_direct():
+    """cnf_log_prob_train is now TWO kernels (fused augmented forward +
+    fused augmented adjoint backward with the divergence's second-order
+    VJP in-kernel): weight and input gradients match the generic
+    differentiable bounded loop (round-2 verdict item 4, CNF leg)."""
+    from tfdiffeq_tpu.fast import cnf_log_prob_train
+    from tfdiffeq_tpu.models.cnf import log_prob
+
+    rng = np.random.RandomState(0)
+    D, H = 2, 16
+    cweights = tuple(
+        (jnp.asarray(rng.randn(i, o) * 0.4, jnp.float32),
+         jnp.asarray(rng.randn(o) * 0.1, jnp.float32))
+        for i, o in ((D + 1, H), (H, H), (H, D)))
+    xs = jnp.asarray(rng.randn(32, D) * 0.8, jnp.float32)
+    cspec = MLPSpec(activation="tanh", time_input=True)
+
+    def loss_fused(w):
+        return -jnp.mean(cnf_log_prob_train(w, xs, rtol=1e-5, atol=1e-7))
+
+    def loss_gen(w):
+        lp = log_prob(lambda tt, zz: mlp_apply(cspec, w, zz, tt), xs,
+                      rtol=1e-5, atol=1e-7, trace="exact",
+                      options={"max_steps": 2048})
+        return -jnp.mean(lp)
+
+    vf, gf = jax.value_and_grad(loss_fused)(cweights)
+    vg, gg = jax.value_and_grad(loss_gen)(cweights)
+    assert abs(float(vf) - float(vg)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert d / m < 1e-3, (d, m)
+
+    gx_f = jax.grad(lambda xx: -jnp.mean(
+        cnf_log_prob_train(cweights, xx, rtol=1e-5, atol=1e-7)))(xs)
+    gx_g = jax.grad(lambda xx: -jnp.mean(log_prob(
+        lambda tt, zz: mlp_apply(cspec, cweights, zz, tt), xx,
+        rtol=1e-5, atol=1e-7, trace="exact",
+        options={"max_steps": 2048})))(xs)
+    d = float(jnp.max(jnp.abs(gx_f - gx_g)))
+    m = float(jnp.max(jnp.abs(gx_g))) + 1e-12
+    assert d / m < 1e-3, (d, m)

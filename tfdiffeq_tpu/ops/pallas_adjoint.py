@@ -34,9 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_ACTIVATION_GRADS, _ACTIVATIONS, _LANE,
-                             _controller_factor, _input_transform,
-                             _layer_uses_mxu, _pad_rows, _round_up)
+from .pallas_kernels import (_ACTIVATION_GRAD2, _ACTIVATION_GRADS,
+                             _ACTIVATIONS, _LANE, _controller_factor,
+                             _input_transform, _layer_uses_mxu, _pad_rows,
+                             _round_up)
 
 Array = jax.Array
 
@@ -159,12 +160,200 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
     return aug_eval
 
 
+def _make_cnf_aug_eval(wrefs, dims, activation: str):
+    """Augmented-CNF eval for the fused adjoint: F(t, y, a) with
+    y = [z (D rows); logp] and a = [a_z; a_logp].
+
+    Returns (F = [f; -div], v_y = (dF/dy)^T a (logp row zero),
+    [(dW, db), ...], v_t = a . dF/dt) for the concat-t flow MLP
+    f(t, z) whose EXACT divergence is part of the dynamics
+    (pallas_kernels._make_cnf_net is the forward counterpart). The
+    divergence VJP is second-order: forward-over-reverse through the D
+    in-kernel JVP passes, with act'' from _ACTIVATION_GRAD2 — everything
+    unrolled over TRUE feature dims on the VPU (CNF state dims are small).
+
+    Parity contract: matches jax.vjp of models.cnf.augmented_dynamics
+    (trace='exact') to f32 roundoff (tests/test_fused_adjoint.py).
+    """
+    L = len(dims)
+    D = dims[-1][1]
+    act = _ACTIVATIONS[activation]
+    actg = _ACTIVATION_GRADS[activation]
+    actg2 = _ACTIVATION_GRAD2[activation]
+
+    def matvec(wT, x, din):
+        """W x: unrolled VPU contraction; x [din, B] -> [doutP, B]."""
+        acc = None
+        for i in range(din):
+            term = wT[:, i:i + 1] * x[i:i + 1, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def matvec_T(wT, x, din, dout):
+        """W^T x: sublane reductions; x [>=dout, B] -> [din, B]."""
+        rows = [jnp.sum(wT[:dout, i:i + 1] * x[:dout, :], axis=0,
+                        keepdims=True) for i in range(din)]
+        return jnp.concatenate(rows, axis=0)
+
+    def outer_acc(v, h, din, dout, doutP, dinP, dtype):
+        """dW[o, i] += sum_b v[o, b] h[i, b] in padded [doutP, dinP]."""
+        cols = [jnp.sum(h[i:i + 1, :] * v, axis=1, keepdims=True)
+                for i in range(din)]
+        if dinP != din:
+            cols.append(jnp.zeros((doutP, dinP - din), dtype))
+        return jnp.concatenate(cols, axis=1)
+
+    def aug_eval(t, y, a_y):
+        dtype = y.dtype
+        B = y.shape[1]
+        z = y[:D, :]
+        a_z = a_y[:D, :]
+        a_l = a_y[D:D + 1, :]                      # [1, B]
+        one = (y[:1, :] * 0.0) + 1.0
+
+        # ---- primal forward, storing layer inputs / pre-activations ----
+        h = jnp.concatenate([z, one * t], axis=0)  # [D+1, B]
+        hs = [h]
+        zs, gs, g2s = [], [], []
+        for l, (din, dout) in enumerate(dims):
+            zpre = matvec(wrefs[2 * l], h, din) + wrefs[2 * l + 1][:]
+            zs.append(zpre)
+            if l < L - 1:
+                a_full = act(zpre)
+                gs.append(actg(zpre, a_full))
+                g2s.append(actg2(zpre, a_full, gs[-1]))
+                h = a_full
+            else:
+                gs.append(None)
+                g2s.append(None)
+                h = zpre
+            hs.append(h)
+        f = h[:D, :]
+
+        # ---- divergence via D JVP passes (store u, v per layer) ----
+        us, vs = [], []                            # us[i][l], vs[i][l]
+        div = None
+        for i0 in range(D):
+            u_l, v_l = [], []
+            u = None
+            for l, (din, dout) in enumerate(dims):
+                if l == 0:
+                    v = wrefs[0][:, i0:i0 + 1] * one
+                else:
+                    v = matvec(wrefs[2 * l], u, din)
+                u = gs[l] * v if l < L - 1 else v
+                v_l.append(v)
+                u_l.append(u)
+            us.append(u_l)
+            vs.append(v_l)
+            d_i = u[i0:i0 + 1, :]
+            div = d_i if div is None else div + d_i
+        F = jnp.concatenate([f, -div], axis=0)
+
+        # ---- part A: plain f-VJP with cotangent a_z ----
+        dW_A, db_A = [None] * L, [None] * L
+        dz = a_z                                    # final layer linear
+        v_z_A = v_t_A = None
+        for l in range(L - 1, -1, -1):
+            din, dout = dims[l]
+            wT = wrefs[2 * l]
+            doutP, dinP = wT.shape
+            dz_p = (dz if dz.shape[0] == doutP else jnp.concatenate(
+                [dz, jnp.zeros((doutP - dz.shape[0], B), dtype)], axis=0))
+            dW_A[l] = outer_acc(dz_p, hs[l], din, dout, doutP, dinP, dtype)
+            db_A[l] = jnp.sum(dz_p, axis=1, keepdims=True)
+            dh = matvec_T(wT, dz_p, din, dout)
+            if l > 0:
+                dz = gs[l - 1][:dims[l - 1][1], :] * dh
+            else:
+                v_z_A = dh[:D, :]
+                v_t_A = dh[D:D + 1, :]
+
+        # ---- part B: divergence VJP with cotangent a_l (scalar/sample).
+        # Direct path: reverse through each JVP chain, accumulating
+        # per-layer pre-activation cotangents (the z-dependence of actg
+        # factors) and direct dW terms; then inject the accumulated
+        # zbar through the primal net.
+        dW_B = [jnp.zeros_like(wrefs[2 * l][:]) for l in range(L)]
+        zbar = [None] * L                          # cotangent on zs[l]
+        for i0 in range(D):
+            # ubar at the last layer: a_l on component i0 only.
+            ub = None
+            for l in range(L - 1, -1, -1):
+                din, dout = dims[l]
+                wT = wrefs[2 * l]
+                doutP, dinP = wT.shape
+                if l == L - 1:
+                    # a_l injected on row i0 only (iota mask: Mosaic
+                    # rejects zero-sized concat pieces at i0 = 0/top).
+                    rmask = jax.lax.broadcasted_iota(
+                        jnp.int32, (doutP, B), 0) == i0
+                    vb = jnp.where(rmask, a_l, 0.0)
+                else:
+                    ub_p = (ub if ub.shape[0] == doutP
+                            else jnp.concatenate(
+                                [ub, jnp.zeros((doutP - ub.shape[0], B),
+                                               dtype)], axis=0))
+                    vb = gs[l] * ub_p
+                    zb = (g2s[l] * vs[i0][l] * ub_p)[:dout, :]
+                    zbar[l] = zb if zbar[l] is None else zbar[l] + zb
+                # direct dW: vb x u_{l-1} (u_{-1} = e_{i0}).
+                if l == 0:
+                    col = jnp.sum(vb, axis=1, keepdims=True)   # [doutP, 1]
+                    cmask = jax.lax.broadcasted_iota(
+                        jnp.int32, dW_B[0].shape, 1) == i0
+                    dW_B[0] = dW_B[0] + jnp.where(cmask, col, 0.0)
+                else:
+                    dW_B[l] = dW_B[l] + outer_acc(
+                        vb, us[i0][l - 1], din, dout, doutP, dinP, dtype)
+                    ub = matvec_T(wT, vb, din, dout)
+
+        # Inject accumulated zbar through the primal backward.
+        db_B = [jnp.zeros_like(wrefs[2 * l + 1][:]) for l in range(L)]
+        v_z_B = jnp.zeros((D, B), dtype)
+        v_t_B = jnp.zeros((1, B), dtype)
+        delta = None
+        for l in range(L - 1, -1, -1):
+            din, dout = dims[l]
+            wT = wrefs[2 * l]
+            doutP, dinP = wT.shape
+            inj = zbar[l]
+            if delta is None:
+                delta = inj
+            elif inj is not None:
+                delta = delta + inj
+            if delta is None:
+                continue
+            d_p = (delta if delta.shape[0] == doutP else jnp.concatenate(
+                [delta, jnp.zeros((doutP - delta.shape[0], B), dtype)],
+                axis=0))
+            dW_B[l] = dW_B[l] + outer_acc(d_p, hs[l], din, dout, doutP,
+                                          dinP, dtype)
+            db_B[l] = db_B[l] + jnp.sum(d_p, axis=1, keepdims=True)
+            dh = matvec_T(wT, d_p, din, dout)
+            if l > 0:
+                delta = gs[l - 1][:dims[l - 1][1], :] * dh
+            else:
+                v_z_B = v_z_B + dh[:D, :]
+                v_t_B = v_t_B + dh[D:D + 1, :]
+
+        # Combine: dynamics carry -div, so part B enters negated.
+        v_y = jnp.concatenate(
+            [v_z_A - v_z_B, jnp.zeros((1, B), dtype)], axis=0)
+        v_t = v_t_A - v_t_B
+        dparams = [(dW_A[l] - dW_B[l], db_A[l] - db_B[l])
+                   for l in range(L)]
+        return F, v_y, dparams, v_t
+
+    return aug_eval
+
+
 def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                          dfactor: float, max_steps: int, denom: float,
                          B_true: int, dims, activation: str,
                          final_activation: str, input_power: int,
                          seminorm: bool, matmul: str,
-                         time_input: bool = False):
+                         time_input: bool = False, rhs: str = "mlp"):
     """Kernel: the full backward sweep. Ref layout (inputs then outputs then
     scratch):
 
@@ -193,10 +382,14 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         dt_min = dtmin_ref[0, 0]
         sf = sf_ref[0, 0]
 
-        aug_eval = _make_aug_eval(wrefs, dims, activation, final_activation,
-                                  input_power, matmul, time_input)
+        if rhs == "cnf":
+            aug_eval = _make_cnf_aug_eval(wrefs, dims, activation)
+        else:
+            aug_eval = _make_aug_eval(wrefs, dims, activation,
+                                      final_activation, input_power,
+                                      matmul, time_input)
 
-        def rhs(s, y, ay):
+        def rhs_fn(s, y, ay):
             # user time t = sign * tau = -sign * sigma
             f, v_y, dparams, v_t = aug_eval(-sf * s, y, ay)
             ky = -sf * f
@@ -251,7 +444,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                             if aij != 0.0:
                                 yi = yi + (dth * aij) * kyj
                                 ayi = ayi + (dth * aij) * kayj
-                    k1, k2, k3, k4 = rhs(s + tab.c[st] * dth, yi, ayi)
+                    k1, k2, k3, k4 = rhs_fn(s + tab.c[st] * dth, yi, ayi)
                     ky.append(k1)
                     kay.append(k2)
                     kws.append(k3)
@@ -378,7 +571,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "method", "safety", "ifactor", "dfactor", "max_steps",
-                     "seminorm", "matmul", "time_input", "interpret"))
+                     "seminorm", "matmul", "time_input", "rhs", "interpret"))
 def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       dt0: Array, rtol, atol, sign, *,
                       activation: str = "tanh",
@@ -387,7 +580,8 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       safety: float = 0.9, ifactor: float = 10.0,
                       dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                       seminorm: bool = False, matmul: str = "vpu",
-                      time_input: bool = False, interpret: bool = False):
+                      time_input: bool = False, rhs: str = "mlp",
+                      interpret: bool = False):
     """Fused adjoint backward sweep, one kernel launch.
 
     warrays/dims: padded weights (`pad_mlp_weights`). ys, g: [T, D, B]
@@ -400,6 +594,11 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     also integrates the a_t quadrature (da_t/dsigma = sign * a_y . df/dt,
     batch-summed).
 
+    rhs='cnf': the backward sweep of the AUGMENTED FFJORD system — ys/g
+    rows are [z (D-1); logp], dims describe the concat-t flow MLP, and
+    the divergence's second-order VJP runs in-kernel
+    (`_make_cnf_aug_eval`).
+
     Returns (ay0 [D, B] = dL/dy0 in canonical layout, aw_list of padded
     (dW [doutP, dinP], db [doutP, 1]) cotangents, at scalar (the
     integrated time quadrature; 0 for autonomous), stats [4] int32).
@@ -410,6 +609,8 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     dtype = ys.dtype
     warrays = [jnp.asarray(w, dtype) for w in warrays]
     L = len(dims)
+    if rhs == "cnf":
+        time_input = True          # concat-t flow; a_t quadrature applies
 
     B_true = B
     BP = _round_up(max(B, _LANE), _LANE)
@@ -434,7 +635,7 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), denom, B_true, dims,
                                   activation, final_activation, input_power,
-                                  seminorm, matmul, time_input)
+                                  seminorm, matmul, time_input, rhs)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

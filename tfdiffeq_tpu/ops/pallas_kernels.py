@@ -80,6 +80,25 @@ _ACTIVATIONS = {
     "swish": lambda x: x / (1.0 + jnp.exp(-x)),
 }
 
+# Second derivatives act''(z) via (z, a = act(z), g = act'(z)) — needed by
+# the CNF adjoint's divergence VJP (d/dz of act'(z) factors).
+_ACTIVATION_GRAD2 = {
+    "identity": lambda z, a, g: jnp.zeros_like(z),
+    "linear": lambda z, a, g: jnp.zeros_like(z),
+    "tanh": lambda z, a, g: -2.0 * a * g,              # -2 tanh sech^2
+    "relu": lambda z, a, g: jnp.zeros_like(z),
+    "elu": lambda z, a, g: jnp.where(z > 0.0, 0.0, a + 1.0),
+    "sigmoid": lambda z, a, g: g * (1.0 - 2.0 * a),
+    "softplus": lambda z, a, g: (lambda s: s * (1.0 - s))(
+        1.0 / (1.0 + jnp.exp(-z))),
+    "silu": lambda z, a, g: (lambda s: s * (1.0 - s) * (2.0 + z
+                                                        * (1.0 - 2.0 * s)))(
+        1.0 / (1.0 + jnp.exp(-z))),
+    "swish": lambda z, a, g: (lambda s: s * (1.0 - s) * (2.0 + z
+                                                         * (1.0 - 2.0 * s)))(
+        1.0 / (1.0 + jnp.exp(-z))),
+}
+
 # Derivatives act'(z) expressed via z (and act(z) where cheaper).
 _ACTIVATION_GRADS = {
     "identity": lambda z, a: jnp.ones_like(z),
