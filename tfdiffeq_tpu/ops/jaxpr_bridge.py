@@ -578,127 +578,159 @@ def pack_consts(plan: FusedPlan, consts: Sequence, dtype, BP: int) -> list:
 
 
 # ---------------------------------------------------------------------------
-# In-kernel plan evaluator
+# Plan evaluator (shared by the in-kernel forward, the in-kernel adjoint's
+# forward re-walk -- ops/plan_adjoint.py -- and host/XLA-side evaluation)
 # ---------------------------------------------------------------------------
+
+
+def read_const_refs(plan: FusedPlan, refs) -> list:
+    """Read packed const VALUES out of VMEM refs (or plain arrays, which
+    support the same indexing): scalar layouts read [0, 0], everything
+    else the whole block."""
+    vals = []
+    for layout, ref in zip(plan.const_layouts, refs):
+        vals.append(ref[0, 0] if layout[0] == "scalar" else ref[:])
+    return vals
+
+
+def _materialize(v, rows, cols, dtype):
+    """Broadcast a value (scalar or block) to [rows, cols]."""
+    if jnp.ndim(v) == 0:
+        return jnp.zeros((rows, cols), dtype) + v
+    r, c = v.shape
+    if (r, c) == (rows, cols):
+        return v
+    return jnp.broadcast_to(v, (rows, cols))
+
+
+def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
+    """Interpret the plan's instructions; returns the fully-populated env
+    (val id -> scalar | [rows, lanes] block). `cvals` are const VALUES in
+    plan order (from `read_const_refs`); y is [D, B] feature-major with B
+    possibly lane-padded past plan.batch."""
+    from .pallas_kernels import _pad_rows
+
+    B = y.shape[1]
+    dtype = y.dtype
+    env: List[Any] = [None] * plan.n_vals
+    env[plan.t_id] = t
+    env[plan.y_id] = y
+    # Bind non-wT consts into env by their val ids (wT consts are
+    # consumed only by dot instrs, via const index).
+    for cidx, vid in enumerate(plan.const_val_ids):
+        layout = plan.const_layouts[cidx]
+        if layout[0] not in ("wT", "unused"):
+            env[vid] = cvals[cidx]
+
+    def get(a):
+        if a[0] == "l":
+            return a[1]
+        return env[a[1]]
+
+    for ins in plan.instrs:
+        op = ins[0]
+        if op == "litv":
+            env[ins[1]] = ins[2]
+        elif op == "un":
+            env[ins[1]] = _UN_OPS[ins[3]](get(ins[2]))
+        elif op == "bin":
+            env[ins[1]] = _BIN_OPS[ins[4]](get(ins[2]), get(ins[3]))
+        elif op == "ipow":
+            x = get(ins[2])
+            n = ins[3]
+            m = abs(n)
+            if m == 0:
+                env[ins[1]] = jnp.ones_like(x) if jnp.ndim(x) else 1.0
+                continue
+            acc = x
+            for _ in range(m - 1):
+                acc = acc * x
+            env[ins[1]] = (1.0 / acc) if n < 0 else acc
+        elif op == "clamp":
+            lo, x, hi = get(ins[2]), get(ins[3]), get(ins[4])
+            env[ins[1]] = jnp.minimum(jnp.maximum(x, lo), hi)
+        elif op == "select":
+            pred, c0, c1 = get(ins[2]), get(ins[3]), get(ins[4])
+            env[ins[1]] = jnp.where(pred, c1, c0)
+        elif op == "cast":
+            v = get(ins[2])
+            env[ins[1]] = (v.astype(dtype) if ins[3]
+                           and jnp.ndim(v) else v)
+        elif op == "bcast":
+            to_k = ins[3]
+            v = get(ins[2])
+            if to_k == "scalar":
+                env[ins[1]] = v
+            else:
+                rows, cols = to_k
+                cols = B if cols == plan.batch and plan.batch != 1 \
+                    else cols
+                env[ins[1]] = _materialize(v, rows, cols, dtype)
+        elif op == "reshape":
+            env[ins[1]] = get(ins[2])
+        elif op == "concat":
+            blocks = []
+            for a in ins[2]:
+                v = get(a)
+                blocks.append(v)
+            # lane-dims must agree: broadcast [r,1] pieces to the
+            # widest lane count present
+            cols = max(b.shape[1] for b in blocks)
+            blocks = [_materialize(b, b.shape[0], cols, dtype)
+                      for b in blocks]
+            env[ins[1]] = jnp.concatenate(blocks, axis=0)
+        elif op == "reduce":
+            v = get(ins[2])
+            fn = {"sum": jnp.sum, "max": jnp.max,
+                  "min": jnp.min}[ins[3]]
+            if ins[4]:                       # -> scalar
+                env[ins[1]] = fn(v)
+            else:                            # feature-axis reduce
+                env[ins[1]] = fn(v, axis=0, keepdims=True)
+        elif op == "dot":
+            _, out, a_id, cidx, din, dout, mxu = ins
+            h = env[a_id]                    # [din, B-ish]
+            wT = cvals[cidx]                 # [doutP, dinP]
+            h = _materialize(h, din, h.shape[1] if jnp.ndim(h) else B,
+                             dtype)
+            if mxu:
+                hp = _pad_rows(h, wT.shape[1])
+                acc = jnp.dot(wT, hp,
+                              preferred_element_type=dtype,
+                              precision=jax.lax.Precision.HIGHEST)
+            else:
+                acc = None
+                for i in range(din):
+                    term = wT[:, i:i + 1] * h[i:i + 1, :]
+                    acc = term if acc is None else acc + term
+            env[out] = acc[:dout, :]
+        else:                                 # pragma: no cover
+            raise AssertionError(f"bad instr {op}")
+    return env
+
 
 def make_plan_f(plan: FusedPlan, wrefs):
     """Build f(t, y[D, B]) -> [D, B] evaluating the plan against VMEM
     const refs (the `make_f` contract of _make_solve_kernel)."""
-    from .pallas_kernels import _pad_rows
 
     def f(t, y):
-        B = y.shape[1]            # lane-padded batch inside the kernel
-        env: List[Any] = [None] * plan.n_vals
-        env[plan.t_id] = t
-        env[plan.y_id] = y
-        consts = {}
-        for i, (layout, ref) in enumerate(zip(plan.const_layouts, wrefs)):
-            if layout[0] == "scalar":
-                consts[i] = ref[0, 0]
-            else:
-                consts[i] = ref[:]
-        # Bind non-wT consts into env by their val ids (wT consts are
-        # consumed only by dot instrs, via const index).
-        for cidx, vid in enumerate(plan.const_val_ids):
-            layout = plan.const_layouts[cidx]
-            if layout[0] not in ("wT", "unused"):
-                env[vid] = consts[cidx]
-
-        def get(a):
-            if a[0] == "l":
-                return a[1]
-            return env[a[1]]
-
-        def materialize(v, rows, cols):
-            """Broadcast a value (scalar or block) to [rows, cols]."""
-            if jnp.ndim(v) == 0:
-                return jnp.zeros((rows, cols), y.dtype) + v
-            r, c = v.shape
-            if (r, c) == (rows, cols):
-                return v
-            return jnp.broadcast_to(v, (rows, cols))
-
-        for ins in plan.instrs:
-            op = ins[0]
-            if op == "litv":
-                env[ins[1]] = ins[2]
-            elif op == "un":
-                env[ins[1]] = _UN_OPS[ins[3]](get(ins[2]))
-            elif op == "bin":
-                env[ins[1]] = _BIN_OPS[ins[4]](get(ins[2]), get(ins[3]))
-            elif op == "ipow":
-                x = get(ins[2])
-                n = ins[3]
-                m = abs(n)
-                if m == 0:
-                    env[ins[1]] = jnp.ones_like(x) if jnp.ndim(x) else 1.0
-                    continue
-                acc = x
-                for _ in range(m - 1):
-                    acc = acc * x
-                env[ins[1]] = (1.0 / acc) if n < 0 else acc
-            elif op == "clamp":
-                lo, x, hi = get(ins[2]), get(ins[3]), get(ins[4])
-                env[ins[1]] = jnp.minimum(jnp.maximum(x, lo), hi)
-            elif op == "select":
-                pred, c0, c1 = get(ins[2]), get(ins[3]), get(ins[4])
-                env[ins[1]] = jnp.where(pred, c1, c0)
-            elif op == "cast":
-                v = get(ins[2])
-                env[ins[1]] = (v.astype(y.dtype) if ins[3]
-                               and jnp.ndim(v) else v)
-            elif op == "bcast":
-                to_k = ins[3]
-                v = get(ins[2])
-                if to_k == "scalar":
-                    env[ins[1]] = v
-                else:
-                    rows, cols = to_k
-                    cols = B if cols == plan.batch and plan.batch != 1 \
-                        else cols
-                    env[ins[1]] = materialize(v, rows, cols)
-            elif op == "reshape":
-                env[ins[1]] = get(ins[2])
-            elif op == "concat":
-                blocks = []
-                for a in ins[2]:
-                    v = get(a)
-                    blocks.append(v)
-                # lane-dims must agree: broadcast [r,1] pieces to the
-                # widest lane count present
-                cols = max(b.shape[1] for b in blocks)
-                blocks = [materialize(b, b.shape[0], cols) for b in blocks]
-                env[ins[1]] = jnp.concatenate(blocks, axis=0)
-            elif op == "reduce":
-                v = get(ins[2])
-                fn = {"sum": jnp.sum, "max": jnp.max,
-                      "min": jnp.min}[ins[3]]
-                if ins[4]:                       # -> scalar
-                    env[ins[1]] = fn(v)
-                else:                            # feature-axis reduce
-                    env[ins[1]] = fn(v, axis=0, keepdims=True)
-            elif op == "dot":
-                _, out, a_id, cidx, din, dout, mxu = ins
-                h = env[a_id]                    # [din, B-ish]
-                wT = consts[cidx]                # [doutP, dinP]
-                h = materialize(h, din, h.shape[1] if jnp.ndim(h) else B)
-                if mxu:
-                    hp = _pad_rows(h, wT.shape[1])
-                    acc = jnp.dot(wT, hp,
-                                  preferred_element_type=y.dtype,
-                                  precision=jax.lax.Precision.HIGHEST)
-                else:
-                    acc = None
-                    for i in range(din):
-                        term = wT[:, i:i + 1] * h[i:i + 1, :]
-                        acc = term if acc is None else acc + term
-                env[out] = acc[:dout, :]
-            else:                                 # pragma: no cover
-                raise AssertionError(f"bad instr {op}")
-        out = env[plan.out_id]
-        return materialize(out, plan.dim, B)
+        cvals = read_const_refs(plan, wrefs)
+        env = eval_plan(plan, cvals, t, y)
+        return _materialize(env[plan.out_id], plan.dim, y.shape[1],
+                            y.dtype)
 
     return f
+
+
+def eval_plan_xla(plan: FusedPlan, consts_packed: Sequence, t, yT):
+    """Evaluate the plan OUTSIDE the kernel (plain XLA) on feature-major
+    yT [D, B]: f(t, yT) -> [D, B]. Used by the fused-adjoint front-end for
+    observation-time RHS values (dL/dt_i terms) and the initial-step
+    heuristic, so the custom_vjp residuals need only the packed consts --
+    not the original user closure."""
+    cvals = read_const_refs(plan, list(consts_packed))
+    env = eval_plan(plan, cvals, t, yT)
+    return _materialize(env[plan.out_id], plan.dim, yT.shape[1], yT.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,7 @@ Array = jax.Array
 def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
                    input_power: int, matmul: str = "vpu",
                    time_input: bool = False):
-    """Build F(t, y, a_y) -> (f, v_y, [(dW, db), ...], v_t).
+    """Build F(t, y, a_y) -> (f, v_y, [dW0, db0, dW1, db1, ...], v_t).
 
     f = MLP([y; t]) with y [D, B] feature-major; v_y = (df/dy)^T a_y
     [D, B]; dW [doutP, dinP] (wT layout), db [doutP, 1] are batch-summed
@@ -155,7 +155,8 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
                     # d(y**p)/dy = p * y**(p-1)
                     yp = _input_transform(y, input_power - 1)
                     v_y = dh * (float(input_power) * yp)
-        return f, v_y, dparams, v_t
+        flat = [blk for pair in dparams for blk in pair]
+        return f, v_y, flat, v_t
 
     return aug_eval
 
@@ -341,60 +342,60 @@ def _make_cnf_aug_eval(wrefs, dims, activation: str):
         v_y = jnp.concatenate(
             [v_z_A - v_z_B, jnp.zeros((1, B), dtype)], axis=0)
         v_t = v_t_A - v_t_B
-        dparams = [(dW_A[l] - dW_B[l], db_A[l] - db_B[l])
-                   for l in range(L)]
-        return F, v_y, dparams, v_t
+        flat = []
+        for l in range(L):
+            flat.append(dW_A[l] - dW_B[l])
+            flat.append(db_A[l] - db_B[l])
+        return F, v_y, flat, v_t
 
     return aug_eval
 
 
 def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                          dfactor: float, max_steps: int, denom: float,
-                         B_true: int, dims, activation: str,
-                         final_activation: str, input_power: int,
-                         seminorm: bool, matmul: str,
-                         time_input: bool = False, rhs: str = "mlp"):
+                         B_true: int, aug_factory, n_in: int, n_acc: int,
+                         seminorm: bool, time_input: bool = False):
     """Kernel: the full backward sweep. Ref layout (inputs then outputs then
     scratch):
 
       SMEM in : sigma [1,T], dt0, rtol, atol, dtmin, sign_f
-      VMEM in : ys [T,D,B], g [T,D,B], weights (2L refs)
-      out     : ay0 [D,B], per-layer (aw [doutP,dinP], ab [doutP,1]),
-                stats [1,4] (SMEM), at [1,1] (SMEM; integrated a_t
-                quadrature — 0 for autonomous dynamics)
+      VMEM in : ys [T,D,B], g [T,D,B], const refs (n_in of them)
+      out     : ay0 [D,B], n_acc parameter-cotangent accumulators (shapes
+                chosen by the caller; e.g. per-layer (aw [doutP,dinP],
+                ab [doutP,1]) for MLPs, one block per packed const for
+                plan dynamics), stats [1,4] (SMEM), at [1,1] (SMEM;
+                integrated a_t quadrature — 0 for autonomous dynamics)
       scratch : y, ay, comp_y, comp_ay (all [D,B])
+
+    `aug_factory(wrefs)` builds aug_eval(t, y, a_y) ->
+    (f, v_y, flat_dparams[n_acc], v_t) — the augmented-dynamics evaluator
+    (MLP VJP, CNF second-order VJP, or a jaxpr-bridge plan VJP).
     """
-    L = len(dims)
     stages = tab.stages
 
     def kernel(*refs):
         (sigma_ref, dt0_ref, rtol_ref, atol_ref, dtmin_ref, sf_ref) = refs[:6]
         ys_ref, g_ref = refs[6:8]
-        wrefs = refs[8:8 + 2 * L]
-        ay0_ref = refs[8 + 2 * L]
-        awrefs = refs[9 + 2 * L: 9 + 4 * L]
-        stats_ref = refs[9 + 4 * L]
-        at_ref = refs[10 + 4 * L]
-        y_s, ay_s, cy_s, cay_s = refs[11 + 4 * L:]
+        wrefs = refs[8:8 + n_in]
+        ay0_ref = refs[8 + n_in]
+        awrefs = refs[9 + n_in: 9 + n_in + n_acc]
+        stats_ref = refs[9 + n_in + n_acc]
+        at_ref = refs[10 + n_in + n_acc]
+        y_s, ay_s, cy_s, cay_s = refs[11 + n_in + n_acc:]
 
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
         dt_min = dtmin_ref[0, 0]
         sf = sf_ref[0, 0]
 
-        if rhs == "cnf":
-            aug_eval = _make_cnf_aug_eval(wrefs, dims, activation)
-        else:
-            aug_eval = _make_aug_eval(wrefs, dims, activation,
-                                      final_activation, input_power,
-                                      matmul, time_input)
+        aug_eval = aug_factory(wrefs)
 
         def rhs_fn(s, y, ay):
             # user time t = sign * tau = -sign * sigma
             f, v_y, dparams, v_t = aug_eval(-sf * s, y, ay)
             ky = -sf * f
             kay = sf * v_y
-            kws = [(sf * dW, sf * db) for dW, db in dparams]
+            kws = [sf * blk for blk in dparams]
             if time_input:
                 lane = jax.lax.broadcasted_iota(jnp.int32, v_t.shape, 1)
                 kat = sf * jnp.sum(jnp.where(lane < B_true, v_t, 0.0))
@@ -467,11 +468,9 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                 at1 = at + d_at
 
                 d_ws, e_ws = [], []
-                for l in range(L):
-                    d_ws.append((comb(tab.b_sol, [k[l][0] for k in kws]),
-                                 comb(tab.b_sol, [k[l][1] for k in kws])))
-                    e_ws.append((comb(tab.b_err, [k[l][0] for k in kws]),
-                                 comb(tab.b_err, [k[l][1] for k in kws])))
+                for j in range(n_acc):
+                    d_ws.append(comb(tab.b_sol, [k[j] for k in kws]))
+                    e_ws.append(comb(tab.b_err, [k[j] for k in kws]))
 
                 y1 = y0 + d_y
                 ay1 = ay0 + d_ay
@@ -494,13 +493,9 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                            & jnp.all(jnp.isfinite(jnp.where(valid, ay1,
                                                             0.0))))
                 if not seminorm:
-                    for l in range(L):
-                        aw0 = awrefs[2 * l][:]
-                        ab0 = awrefs[2 * l + 1][:]
-                        ss = ss + esc_sq(e_ws[l][0], aw0,
-                                         aw0 + d_ws[l][0])
-                        ss = ss + esc_sq(e_ws[l][1], ab0,
-                                         ab0 + d_ws[l][1])
+                    for j in range(n_acc):
+                        aw0 = awrefs[j][:]
+                        ss = ss + esc_sq(e_ws[j], aw0, aw0 + d_ws[j])
                     if time_input:
                         sc_at = atol + rtol * jnp.maximum(jnp.abs(at),
                                                           jnp.abs(at1))
@@ -530,10 +525,8 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                     y_s[:] = y_new
                     cay_s[:] = jnp.where(valid, (ay_new - ay0) - adj_ay, 0.0)
                     ay_s[:] = ay_new
-                    for l in range(L):
-                        awrefs[2 * l][:] = awrefs[2 * l][:] + d_ws[l][0]
-                        awrefs[2 * l + 1][:] = (awrefs[2 * l + 1][:]
-                                                + d_ws[l][1])
+                    for j in range(n_acc):
+                        awrefs[j][:] = awrefs[j][:] + d_ws[j]
 
                 n_att = nacc + nrej + 1
                 status = jnp.where(
@@ -632,10 +625,19 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
              else float(2 * D * B_true + n_params
                         + (1 if time_input else 0)))
 
+    if rhs == "cnf":
+        def aug_factory(wrefs):
+            return _make_cnf_aug_eval(wrefs, dims, activation)
+    else:
+        def aug_factory(wrefs):
+            return _make_aug_eval(wrefs, dims, activation,
+                                  final_activation, input_power,
+                                  matmul, time_input)
+
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
-                                  int(max_steps), denom, B_true, dims,
-                                  activation, final_activation, input_power,
-                                  seminorm, matmul, time_input, rhs)
+                                  int(max_steps), denom, B_true,
+                                  aug_factory, 2 * L, 2 * L,
+                                  seminorm, time_input)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
