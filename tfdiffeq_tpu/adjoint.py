@@ -164,8 +164,10 @@ def odeint_adjoint(
     # forward-only rewrites below).
     bwd_options = dict(adjoint_options if adjoint_options is not None
                        else fwd_options)
-    # 'fuse' is a forward-solve concern: the backward augmented dynamics
-    # (vjp-bearing) are outside the fusable subset by construction.
+    # 'fuse' engages the Pallas tier, best-effort: FULL two-kernel fusion
+    # (plan-driven forward + in-kernel adjoint sweep, ops/plan_adjoint.py)
+    # when the dynamics and options allow it, else fused forward + generic
+    # backward, else all-generic.
     use_fuse = bool(fwd_options.pop("fuse", False))
     bwd_options.pop("fuse", None)
     if adjoint_mode not in ("resets", "interpolated"):
@@ -284,11 +286,43 @@ def odeint_adjoint(
         bwd_options = {k: v for k, v in bwd_options.items()
                        if k in _allowed}
 
-    # options={'fuse': True}: run the forward as ONE whole-solve Pallas
-    # kernel via the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py), keeping
-    # the generic O(1)-memory adjoint backward — arbitrary-dynamics
-    # training with a fused forward. Validated eagerly so unfusable
-    # dynamics fall back (warning) instead of failing inside custom_vjp.
+    # options={'fuse': True}, tier 1: FULLY-fused training — forward is one
+    # whole-solve kernel AND the backward is one in-kernel adjoint sweep
+    # with the plan's reverse-mode VJP (fast.odeint_adjoint_fused). Only
+    # when the option surface maps onto the kernels; FusionError falls
+    # through to tier 2 (fused forward + generic backward).
+    _FULL_FUSE_OPTS = {"first_step", "max_num_steps", "loop"}
+    if (use_fuse and forward_solver is None and adjoint_mode == "resets"
+            and _is_adaptive(method) and _is_adaptive(adjoint_method)
+            and hasattr(y0, "ndim") and jnp.ndim(y0) in (1, 2)
+            and not (set(fwd_options) - _FULL_FUSE_OPTS)
+            and not (set(bwd_options) - _FULL_FUSE_OPTS)
+            and all(isinstance(tol, (int, float)) or jnp.ndim(tol) == 0
+                    for tol in (rtol, atol, adjoint_rtol, adjoint_atol))):
+        from .ops.jaxpr_bridge import FusionError
+        try:
+            from .fast import odeint_adjoint_fused
+            return odeint_adjoint_fused(
+                user_func, y0, t, params=params_in, rtol=rtol, atol=atol,
+                adjoint_rtol=adjoint_rtol, adjoint_atol=adjoint_atol,
+                method=method or "dopri5", adjoint_method=adjoint_method,
+                adjoint_seminorm=adjoint_seminorm,
+                max_num_steps=fwd_options.get("max_num_steps"),
+                first_step=fwd_options.get("first_step"),
+                adjoint_first_step=bwd_options.get("first_step"),
+                nfe_meter=nfe_meter, return_stats=return_stats)
+        except FusionError as e:
+            import warnings
+            warnings.warn(
+                "odeint_adjoint(options={'fuse': True}): full two-kernel "
+                f"fusion unavailable — {e}; using a fused forward with "
+                "the generic backward", stacklevel=2)
+
+    # tier 2: run the forward as ONE whole-solve Pallas kernel via the
+    # jaxpr -> Pallas bridge (ops/jaxpr_bridge.py), keeping the generic
+    # O(1)-memory adjoint backward — arbitrary-dynamics training with a
+    # fused forward. Validated eagerly so unfusable dynamics fall back
+    # (warning) instead of failing inside custom_vjp.
     if (use_fuse and forward_solver is None and _is_adaptive(method)):
         forward_solver = _build_fused_forward(
             user_func, y0, t, params_in, rtol, atol, method, fwd_options,

@@ -628,6 +628,217 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     return ys
 
 
+def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
+                         atol=1e-8, adjoint_rtol=None, adjoint_atol=None,
+                         method: str = "dopri5",
+                         adjoint_method: Optional[str] = None,
+                         adjoint_seminorm: bool = False,
+                         interpret: Optional[bool] = None,
+                         max_num_steps=None, first_step=None,
+                         adjoint_first_step=None, matmul: str = "auto",
+                         nfe_meter=None, return_stats: bool = False):
+    """Fully-fused O(1)-memory training path for ARBITRARY fusable
+    dynamics: the plan-driven counterpart of `odeint_adjoint_mlp`.
+
+    func(t, y, params) (or func(t, y) when params is None): any plain-jnp
+    dynamics in the jaxpr-bridge subset (ops/jaxpr_bridge.py). Forward =
+    ONE whole-solve Pallas kernel (`plan_solve`); backward = ONE kernel
+    running the entire continuous-adjoint sweep with the plan's
+    reverse-mode VJP evaluated in-kernel (`ops/plan_adjoint.py`).
+    Parameter gradients flow to the user's `params` PYTREE: the
+    custom_vjp boundary sits at the PACKED const arrays, and JAX's own
+    transpose of the host-side trace (closure arithmetic, `pack_consts`
+    padding/transposes) carries the packed cotangents back to every leaf
+    — weight tying, computed biases, and data constants all differentiate
+    correctly.
+
+    Dynamics outside the fusable/differentiable subset raise
+    `ops.jaxpr_bridge.FusionError`; `odeint_adjoint(...,
+    options={'fuse': True})` catches it and falls back (fused forward +
+    generic backward, then all-generic). Differentiable wrt params, y0,
+    and t. Returns the trajectory [T, B, D] ([T, D] for unbatched y0);
+    with return_stats=True, (trajectory, forward SolverStats) — backward
+    stats stream to `nfe_meter`.
+    """
+    from .ops import jaxpr_bridge as jb
+    from .ops.pallas_kernels import _LANE, _round_up
+    from .ops.plan_adjoint import check_plan_adjoint, plan_adjoint_solve
+    from .solvers.base import SolverStats as _Stats
+    from .utils.nfe import emit_bwd, emit_fwd
+
+    if params is None:
+        user_func = lambda tt, yy, pp: func(tt, yy)
+        params_in = ()
+    else:
+        user_func = func
+        params_in = params
+
+    adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
+    adjoint_atol = atol if adjoint_atol is None else adjoint_atol
+    adjoint_method = method if adjoint_method is None else adjoint_method
+    interp_flag = _auto_interpret(interpret)
+    max_steps = (int(max_num_steps) if max_num_steps is not None
+                 else 2 ** 31 - 1)
+
+    for m in (method, adjoint_method):
+        if m not in tableaus.TABLEAUS_BY_NAME:
+            raise jb.FusionError(
+                f"method {m!r} has no whole-solve tableau (available: "
+                f"{sorted(tableaus.TABLEAUS_BY_NAME)})")
+
+    y0 = jnp.asarray(y0)
+    squeeze = False
+    if y0.ndim == 1:
+        inner = user_func
+        user_func = lambda tt, yy, pp: jax.vmap(
+            lambda y_: inner(tt, y_, pp))(yy)
+        y0 = y0[None]
+        squeeze = True
+    y0c, t_arr = _check_spec_inputs(y0, t)
+    dtype = y0c.dtype
+    t_arr = t_arr.astype(dtype)
+    T_out, (B, D) = int(t_arr.shape[0]), y0c.shape
+    if T_out < 2:
+        raise jb.FusionError("fused adjoint needs >= 2 observation times")
+
+    # Backward kernel holds ys + g ([T, D, B] each) in VMEM; past the
+    # budget, delegate to the generic adjoint (identical semantics).
+    if (not interp_flag
+            and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET):
+        import warnings
+        warnings.warn(
+            "odeint_adjoint_fused: T x D x B exceeds the adjoint kernel's "
+            "VMEM budget; falling back to the generic odeint_adjoint",
+            stacklevel=2)
+        from .adjoint import odeint_adjoint as _generic_adjoint
+        fb_options = {}
+        if max_num_steps is not None:
+            fb_options["max_num_steps"] = int(max_num_steps)
+        if first_step is not None:
+            fb_options["first_step"] = first_step
+        fb_adj = dict(fb_options)
+        fb_adj.pop("first_step", None)
+        if adjoint_first_step is not None:
+            fb_adj["first_step"] = adjoint_first_step
+        out = _generic_adjoint(
+            lambda tt, yy, pp: user_func(tt, yy, pp), y0c, t_arr,
+            params=params_in, rtol=rtol, atol=atol, method=method,
+            options=fb_options or None, adjoint_rtol=adjoint_rtol,
+            adjoint_atol=adjoint_atol, adjoint_method=adjoint_method,
+            adjoint_options=fb_adj or None,
+            adjoint_seminorm=adjoint_seminorm, nfe_meter=nfe_meter,
+            return_stats=return_stats)
+        if squeeze:
+            if return_stats:
+                return out[0][:, 0], out[1]
+            return out[:, 0]
+        return out
+
+    # Build the plan with params live: under jax.grad, consts are tracers
+    # of the params leaves (or functions of them), so the packed-const
+    # cotangents returned below chain back through this very trace.
+    plan, consts = jb.build_plan(
+        lambda tt, yy: user_func(tt, yy, params_in), t_arr[0], y0c,
+        matmul=matmul)
+    check_plan_adjoint(plan)
+    BP = _round_up(max(B, _LANE), _LANE)
+    packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
+
+    def _f_eval(packed_, tt, yT):
+        """Plan RHS at TRUE batch lanes (pads to BP for bvec/batch consts,
+        slices back)."""
+        yp = jnp.pad(yT, ((0, 0), (0, BP - B))) if BP != B else yT
+        return jb.eval_plan_xla(plan, packed_, tt, yp)[:, :B]
+
+    def _fwd_solve(packed_, y0_, t_):
+        sign = jnp.where(t_[-1] >= t_[0], 1.0, -1.0).astype(dtype)
+        tau = sign * t_
+        yT = y0_.T
+        f0 = (sign * _f_eval(packed_, t_[0], yT)).astype(dtype)
+        if first_step is None:
+            def flat_g(s, yf):
+                yb = yf.reshape(D, B)
+                return (sign * _f_eval(packed_, sign * s, yb)).ravel()
+
+            dt0 = select_initial_step(
+                flat_g, tau[0], yT.ravel(), f0.ravel(),
+                tableaus.TABLEAUS_BY_NAME[method].order - 1,
+                jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype))
+            extra_nfe = 2
+        else:
+            dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+            extra_nfe = 1
+        y0p = jnp.pad(yT, ((0, 0), (0, BP - B))) if BP != B else yT
+        f0p = jnp.pad(f0, ((0, 0), (0, BP - B))) if BP != B else f0
+        out, stats = jb.plan_solve(
+            plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,
+            method=method, max_steps=max_steps, interpret=interp_flag)
+        ys = jnp.transpose(out[:, :, :B], (0, 2, 1))        # [T, B, D]
+        st = (stats[0] + extra_nfe, stats[1], stats[2], stats[3])
+        emit_fwd(nfe_meter, st[0], st[1])
+        return ys, st
+
+    @jax.custom_vjp
+    def _run(packed_, y0_, t_):
+        return _fwd_solve(packed_, y0_, t_)
+
+    def _vjp_fwd(packed_, y0_, t_):
+        ys, stats = _fwd_solve(packed_, y0_, t_)
+        return (ys, stats), (ys, packed_, t_)
+
+    def _vjp_bwd(res, cot):
+        ys, packed_, t_ = res
+        g, _ = cot                      # stats cotangents: symbolic zeros
+        t_ = jnp.asarray(t_)
+        T = t_.shape[0]
+
+        # d loss / d t_i = dot(f(t_i, y_i), g_i); ts_bar[0] additionally
+        # carries the integrated a_t quadrature (zero for autonomous
+        # plans), matching adjoint.py's scan recipe.
+        f_obs = jax.vmap(
+            lambda ti, yi: _f_eval(packed_, ti, yi.T).T)(t_, ys)
+        t_bars = jnp.sum(f_obs * g, axis=(1, 2)).astype(t_.dtype)
+
+        sign = jnp.where(t_[-1] >= t_[0], 1.0, -1.0).astype(dtype)
+        tau = (sign * t_).astype(dtype)
+        ysT = jnp.transpose(ys, (0, 2, 1)).astype(dtype)    # [T, D, B]
+        gT = jnp.transpose(g, (0, 2, 1)).astype(dtype)
+
+        if adjoint_first_step is not None:
+            dt0 = jnp.abs(jnp.asarray(adjoint_first_step, dtype))
+        else:
+            dt0 = 0.1 * jnp.abs(tau[-1] - tau[-2]).astype(dtype)
+
+        ay0, dconsts, at_q, bstats = plan_adjoint_solve(
+            plan, packed_, ysT, gT, tau, dt0, adjoint_rtol, adjoint_atol,
+            sign, method=adjoint_method, max_steps=max_steps,
+            seminorm=adjoint_seminorm, interpret=interp_flag)
+        emit_bwd(nfe_meter, bstats[0], bstats[1])
+        ts_bar = jnp.concatenate(
+            [(at_q.astype(t_.dtype) - jnp.sum(t_bars[1:]))[None],
+             t_bars[1:]])
+
+        # Backward-sweep failure (dt underflow / max_num_steps): NaN-poison
+        # every gradient — a truncated sweep would otherwise return a
+        # partial adjoint plus raw unintegrated cotangents.
+        bad = bstats[3] != 0
+
+        def _loud(x):
+            return jnp.where(bad, jnp.asarray(jnp.nan, x.dtype), x)
+
+        return (tuple(_loud(dc) for dc in dconsts),
+                _loud(ay0.T.astype(ys.dtype)),
+                _loud(ts_bar.astype(t_.dtype)))
+
+    _run.defvjp(_vjp_fwd, _vjp_bwd)
+    ys, stats = _run(packed, y0c, t_arr)
+    if squeeze:
+        ys = ys[:, 0]
+    if return_stats:
+        return ys, _Stats(*stats)
+    return ys
+
+
 def solve_mlp_global_sharded(params: dict, y0: Array, t, mesh, *,
                              axis: str = "data", rtol=1e-6, atol=1e-8,
                              tile_b: int = 512,
