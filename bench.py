@@ -415,6 +415,65 @@ def bench_fused_train_nfe_per_sec(iters: int = 20):
     return nfe_iter * iters / elapsed, nfe_iter, elapsed / iters
 
 
+def bench_auto_train_nfe_per_sec(iters: int = 20):
+    """Training-step NFE/s through the PLAN-DRIVEN two-kernel adjoint
+    (`fast.odeint_adjoint_fused`): the same spiral neural-ODE training as
+    `bench_fused_train_nfe_per_sec`, but the dynamics are plain jnp code
+    the library has never seen — no MLPSpec, no hand-written kernel.
+    Measures what an arbitrary user's training step costs on the fused
+    tier."""
+    from tfdiffeq_tpu.fast import odeint_adjoint_fused
+    from tfdiffeq_tpu.ops import jaxpr_bridge as jb
+    from tfdiffeq_tpu.ops.pallas_kernels import _LANE, _round_up
+    from tfdiffeq_tpu.ops.plan_adjoint import plan_adjoint_solve
+
+    p = _params()
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+    target = jnp.asarray(
+        np.random.RandomState(2).randn(T_OUT, BATCH, 2) * 0.5, jnp.float32)
+    lr = 1e-3
+
+    def dyn(tt, yy, w):
+        return jnp.tanh((yy ** 3) @ w["w1"] + w["b1"]) @ w["w2"] + w["b2"]
+
+    @jax.jit
+    def train_step(w):
+        def loss(w_):
+            ys = odeint_adjoint_fused(dyn, y0, t, params=w_, rtol=RTOL,
+                                      atol=ATOL)
+            return jnp.mean((ys - target) ** 2)
+
+        g = jax.grad(loss)(w)
+        return jax.tree_util.tree_map(lambda a, b: a - lr * b, w, g)
+
+    # Exact NFE/iter from on-device stats: one eager forward
+    # (return_stats) + one direct adjoint-sweep kernel call; the timed
+    # loop runs the identical kernels.
+    ys, fstats = odeint_adjoint_fused(dyn, y0, t, params=p, rtol=RTOL,
+                                      atol=ATOL, return_stats=True)
+    g_cot = 2.0 * (ys - target) / target.size
+    plan, consts = jb.build_plan(lambda tt, yy: dyn(tt, yy, p), t[0], y0,
+                                 matmul="auto")
+    BP = _round_up(max(BATCH, _LANE), _LANE)
+    packed = tuple(jb.pack_consts(plan, consts, jnp.float32, BP))
+    _, _, _, bstats = plan_adjoint_solve(
+        plan, packed, jnp.transpose(ys, (0, 2, 1)),
+        jnp.transpose(g_cot, (0, 2, 1)), t,
+        0.1 * jnp.abs(t[-1] - t[-2]), RTOL, ATOL, 1.0)
+    nfe_iter = int(fstats.nfe) + int(bstats[0])
+
+    w = train_step(p)
+    jax.block_until_ready(w)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        w = train_step(w)
+    jax.block_until_ready(w)
+    elapsed = time.perf_counter() - t0
+    return nfe_iter * iters / elapsed, nfe_iter, elapsed / iters
+
+
 def batch_sweep():
     """BASELINE.md protocol: sustained fused NFE/s swept over batch sizes.
 
@@ -470,6 +529,11 @@ def main():
     except Exception:
         train_nfe_s = train_nfe_iter = train_iter_s = None
     try:
+        auto_train_nfe_s, auto_train_nfe_iter, auto_train_iter_s = \
+            bench_auto_train_nfe_per_sec()
+    except Exception:
+        auto_train_nfe_s = auto_train_nfe_iter = auto_train_iter_s = None
+    try:
         conv_fused_us, conv_gen_us = (
             (None, None) if "--no-conv" in sys.argv
             else bench_conv_ode_us_per_sample())
@@ -516,6 +580,13 @@ def main():
                 train_nfe_iter,
             "train_step_iter_ms":
                 round(train_iter_s * 1000, 2) if train_iter_s else None,
+            "auto_train_step_nfe_per_sec_two_kernel":
+                round(auto_train_nfe_s, 1) if auto_train_nfe_s else None,
+            "auto_train_step_nfe_per_iter":
+                auto_train_nfe_iter,
+            "auto_train_step_iter_ms":
+                round(auto_train_iter_s * 1000, 2) if auto_train_iter_s
+                else None,
             "conv_ode_us_per_sample_fused":
                 round(conv_fused_us, 1) if conv_fused_us else None,
             "conv_ode_us_per_sample_generic":

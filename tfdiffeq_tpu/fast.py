@@ -947,6 +947,102 @@ def solve_mlp_sharded(params: dict, y0: Array, t, mesh, *, axis: str = "data",
     return SolveResult(ys, stats)
 
 
+def _shard_call(fn, mesh, in_specs, out_specs):
+    """`jax.shard_map` with the pre-0.8 experimental fallback; replication
+    checking off (pallas_call carries no replication-rule annotations)."""
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def solve_fused_sharded(func, y0: Array, t, mesh, *, axis: str = "data",
+                        rtol=1e-6, atol=1e-8, method: str = "dopri5",
+                        interpret: Optional[bool] = None,
+                        max_num_steps=None, first_step=None,
+                        matmul: str = "auto") -> SolveResult:
+    """Data-parallel PLAN-DRIVEN whole-solve kernel over a device mesh:
+    the sharded counterpart of `solve_fused` — arbitrary plain-jnp
+    dynamics in the jaxpr-bridge subset, one kernel per shard, per-shard
+    step-size control (the multi-chip analogue of per-sample vmap
+    stepping; no per-step collectives ride ICI).
+
+    Closed-over weights are replicated by closure; per-sample ('batch' /
+    'bvec' layout) constants must be pre-sharded by the caller or the
+    plan's batch check fails. Stats aggregate as in `solve_mlp_sharded`:
+    nfe/accepted/rejected summed, status maxed.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    y0 = jnp.asarray(y0)
+    n_shards = mesh.shape[axis]
+    if y0.ndim != 2:
+        raise ValueError("solve_fused_sharded needs a batched [B, D] y0")
+    if y0.shape[0] % n_shards:
+        raise ValueError(f"batch {y0.shape[0]} not divisible by mesh axis "
+                         f"'{axis}' size {n_shards}")
+
+    def local_solve(y_shard):
+        r = solve_fused(func, y_shard, t, rtol=rtol, atol=atol,
+                        method=method, interpret=interpret,
+                        max_num_steps=max_num_steps,
+                        first_step=first_step, matmul=matmul)
+        return r.ys, jnp.stack([r.stats.nfe, r.stats.n_accepted,
+                                r.stats.n_rejected, r.stats.status])
+
+    ys, st = _shard_call(local_solve, mesh, P(axis),
+                         (P(None, axis), P(axis)))(y0)
+    st = st.reshape(n_shards, 4)
+    stats = SolverStats(st[:, 0].sum(), st[:, 1].sum(), st[:, 2].sum(),
+                        st[:, 3].max())
+    return SolveResult(ys, stats)
+
+
+def odeint_adjoint_fused_sharded(func, y0: Array, t, mesh, *,
+                                 axis: str = "data", params=None, **kw):
+    """Data-parallel two-kernel TRAINING over a device mesh: shards the
+    batch, replicates `params`, and runs `odeint_adjoint_fused` (plan
+    forward kernel + in-kernel adjoint sweep) independently per shard.
+
+    Differentiable wrt params, y0, and t: `jax.shard_map`'s transpose
+    turns the replicated-params broadcast into a `psum` over ICI, so
+    jax.grad of a global loss yields exact summed weight cotangents — the
+    standard DP gradient all-reduce, generated by the sharding transform
+    rather than hand-written collectives. Per-shard backward step control
+    (each shard's adjoint solve is independent).
+
+    `return_stats` / `nfe_meter` are not supported here (host streaming
+    from inside shard_map is shard-local); use the unsharded front-end to
+    observe NFE.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if kw.get("return_stats") or kw.get("nfe_meter") is not None:
+        raise ValueError("return_stats/nfe_meter are unsupported in the "
+                         "sharded fused adjoint; use odeint_adjoint_fused")
+    kw.pop("return_stats", None)
+    kw.pop("nfe_meter", None)
+
+    y0 = jnp.asarray(y0)
+    n_shards = mesh.shape[axis]
+    if y0.ndim != 2:
+        raise ValueError("odeint_adjoint_fused_sharded needs a batched "
+                         "[B, D] y0")
+    if y0.shape[0] % n_shards:
+        raise ValueError(f"batch {y0.shape[0]} not divisible by mesh axis "
+                         f"'{axis}' size {n_shards}")
+    t_arr = jnp.asarray(t)
+
+    def local(y_shard, t_, p):
+        return odeint_adjoint_fused(func, y_shard, t_, params=p, **kw)
+
+    return _shard_call(local, mesh, (P(axis), P(), P()),
+                       P(None, axis))(y0, t_arr, params)
+
+
 # ---------------------------------------------------------------------------
 # Fused continuous normalizing flows (FFJORD inference tier)
 # ---------------------------------------------------------------------------
