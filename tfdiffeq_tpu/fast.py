@@ -1517,3 +1517,89 @@ def cnf_log_prob_train(weights, x: Array, *, t0: float = 0.0,
     logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=-1)
                  - 0.5 * D * jnp.log(2.0 * jnp.pi).astype(dtype))
     return logp_base - dlog
+
+
+def cnf_log_prob_auto(flow, params, x: Array, *, t0: float = 0.0,
+                      t1: float = 1.0, rtol: float = 1e-5,
+                      atol: float = 1e-7, method: str = "dopri5",
+                      adjoint_rtol=None, adjoint_atol=None,
+                      adjoint_seminorm: bool = False,
+                      interpret: Optional[bool] = None,
+                      max_num_steps=None, first_step=None,
+                      matmul: str = "auto", nfe_meter=None) -> Array:
+    """FFJORD log-density for an ARBITRARY plain-jnp flow, two kernels.
+
+    flow(t, z [B, D], params) -> dz [B, D]: any dynamics in the
+    jaxpr->Pallas bridge subset (ops/jaxpr_bridge.py) — NOT restricted to
+    the concat-t MLP family of `cnf_log_prob_fused`. The augmented system
+    (flow field + EXACT divergence via D forward-mode basis probes,
+    `models.cnf.augmented_dynamics_fusable`) traces into ONE plan;
+    density evaluation runs as one whole-solve kernel and the backward
+    pass as one plan-adjoint sweep (`odeint_adjoint_fused`) whose
+    reverse-mode walk over the traced jvp instructions provides the
+    divergence's second-order VJP automatically. Differentiable wrt
+    `params` (any pytree the flow closes over explicitly) and `x`.
+
+    Flows outside the fusable subset fall back to
+    `models.cnf.log_prob(trace='exact')` (generic differentiable bounded
+    loop) with a warning — identical semantics, slower. Matches
+    `models.cnf.log_prob` to solve tolerance.
+    """
+    from .models.cnf import augmented_dynamics_fusable
+    from .ops import jaxpr_bridge as jb
+
+    x = jnp.asarray(x)
+    B, D = x.shape
+    dtype = x.dtype
+    aug = augmented_dynamics_fusable(flow, D)
+    s0 = jnp.concatenate([x, jnp.zeros((B, 1), dtype)], axis=1)
+    t = jnp.asarray([t1, t0], dtype)               # backward: data -> base
+
+    try:
+        traj = odeint_adjoint_fused(
+            aug, s0, t, params=params, rtol=rtol, atol=atol,
+            adjoint_rtol=adjoint_rtol, adjoint_atol=adjoint_atol,
+            method=method, adjoint_seminorm=adjoint_seminorm,
+            interpret=interpret, max_num_steps=max_num_steps,
+            first_step=first_step, matmul=matmul, nfe_meter=nfe_meter)
+        final = traj[-1]                           # [B, D+1]
+        z_base, dlog = final[:, :D], final[:, D]
+    except jb.FusionError as e:
+        import warnings
+        warnings.warn(
+            f"cnf_log_prob_auto: flow not fusable ({e}); falling back to "
+            "the generic models.cnf.log_prob", stacklevel=2)
+        from .models.cnf import log_prob as _generic_log_prob
+        return _generic_log_prob(
+            lambda tt, zz: flow(tt, zz, params), x, t0=t0, t1=t1,
+            rtol=rtol, atol=atol, trace="exact", method=method)
+
+    logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=-1)
+                 - 0.5 * D * jnp.log(2.0 * jnp.pi).astype(dtype))
+    return logp_base - dlog
+
+
+def cnf_sample_auto(flow, params, key, n: int, dim: int, *,
+                    t0: float = 0.0, t1: float = 1.0, rtol: float = 1e-5,
+                    atol: float = 1e-7, method: str = "dopri5",
+                    interpret: Optional[bool] = None,
+                    max_num_steps=None, matmul: str = "auto") -> Array:
+    """Draw samples from an ARBITRARY plain-jnp flow with the forward
+    solve as one auto-fused kernel (plan-driven counterpart of
+    `cnf_sample_fused`); flows outside the fusable subset fall back to
+    the generic `models.cnf.sample`."""
+    from .ops import jaxpr_bridge as jb
+
+    z = jax.random.normal(key, (n, dim))
+    t = jnp.asarray([t0, t1], z.dtype)
+    try:
+        res = solve_fused(lambda tt, zz: flow(tt, zz, params), z, t,
+                          rtol=rtol, atol=atol, method=method,
+                          interpret=interpret,
+                          max_num_steps=max_num_steps, matmul=matmul)
+        return res.ys[-1]
+    except jb.FusionError:
+        from .models.cnf import sample as _generic_sample
+        return _generic_sample(lambda tt, zz: flow(tt, zz, params), key,
+                               n, dim, t0=t0, t1=t1, rtol=rtol, atol=atol,
+                               method=method)

@@ -82,6 +82,43 @@ def augmented_dynamics(f: Callable, *, trace: str = "exact",
     return aug
 
 
+def augmented_dynamics_fusable(f: Callable, dim: int) -> Callable:
+    """Lift f(t, z[B, D], params) -> dz into a FUSABLE augmented system
+    aug(t, s[B, D+1], params) -> [dz; -tr df/dz].
+
+    The exact divergence is built from D forward-mode basis probes
+    (`jax.jvp`), with the basis rows hoisted to Python-time numpy
+    constants and the state split done with contiguous slices — every
+    primitive this emits is in the jaxpr->Pallas bridge subset
+    (ops/jaxpr_bridge.py), so the WHOLE augmented dynamics (flow field +
+    exact divergence) traces into one plan. `fast.cnf_log_prob_auto`
+    then runs density evaluation as ONE whole-solve kernel and training
+    as TWO kernels (the plan's reverse-mode walk differentiates the
+    traced jvp instructions, giving the second-order VJP automatically).
+
+    Unlike `augmented_dynamics` this takes/returns flat [B, D+1] arrays
+    (kernel state layout) rather than a (z, logp) tuple, and f takes an
+    explicit params pytree.
+    """
+    import numpy as np
+
+    basis = [np.eye(dim, dtype=np.float32)[i] for i in range(dim)]
+
+    def aug(t, s, params):
+        z = s[:, :dim]
+        dz = f(t, z, params)
+        div = None
+        for i in range(dim):
+            e = jnp.broadcast_to(
+                jnp.asarray(basis[i], z.dtype)[None, :], z.shape)
+            _, jv = jax.jvp(lambda zz: f(t, zz, params), (z,), (e,))
+            col = jv[:, i:i + 1]
+            div = col if div is None else div + col
+        return jnp.concatenate([dz, -div], axis=1)
+
+    return aug
+
+
 def log_prob(f: Callable, x: Array, *, t0: float = 0.0, t1: float = 1.0,
              rtol: float = 1e-5, atol: float = 1e-7,
              trace: str = "exact", n_probes: int = 1,

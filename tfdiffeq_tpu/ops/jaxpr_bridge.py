@@ -289,6 +289,8 @@ def _subjaxpr(params):
 
 def _trace_eqn(builder: _PlanBuilder, env, eqn):
     prim = eqn.primitive.name
+    if prim == "add_any":        # linearization's tangent-sum == add
+        prim = "add"
     B = builder.B
 
     if prim in _CALL_PRIMS:
@@ -413,6 +415,40 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
         fn = {"reduce_sum": "sum", "reduce_max": "max",
               "reduce_min": "min"}[prim]
         builder.instrs.append(("reduce", out_id(), a, fn, to_scalar))
+        return
+    if prim == "slice":
+        # Contiguous feature-axis slices (z = s[:, :D], component picks
+        # like jvp_out[:, i:i+1]); in the feature-major block layout these
+        # are ROW slices. Batch-axis slicing is rejected (cross-sample).
+        shape = tuple(eqn.invars[0].aval.shape)
+        start = tuple(int(s) for s in eqn.params["start_indices"])
+        limit = tuple(int(s) for s in eqn.params["limit_indices"])
+        strides = eqn.params.get("strides")
+        if strides is not None and any(int(s) != 1 for s in strides):
+            raise FusionError("strided slice unsupported")
+        k = _kind(shape, B)
+        if k == "scalar" or k == "mat":
+            raise FusionError(f"slice of {shape} unsupported")
+        if len(shape) == 1:
+            if shape[0] == B and B != 1:
+                raise FusionError("slice along the batch axis")
+            r0, r1 = start[0], limit[0]
+        elif shape[0] == B and B != 1:            # batched [B, d]
+            if (start[0], limit[0]) != (0, B):
+                raise FusionError("slice along the batch axis")
+            r0, r1 = start[1], limit[1]
+        elif shape[0] == 1:                       # [1, d] row vector
+            if (start[0], limit[0]) != (0, 1):
+                raise FusionError(f"slice {start}:{limit} of {shape}")
+            r0, r1 = start[1], limit[1]
+        else:                                     # [d, 1] column
+            if (start[1], limit[1]) != (0, 1):
+                raise FusionError(f"slice {start}:{limit} of {shape}")
+            r0, r1 = start[0], limit[0]
+        a = _atom(builder, env, eqn.invars[0])
+        if a[0] == "l":
+            raise FusionError("slice of a literal")
+        builder.instrs.append(("slice", out_id(), a, r0, r1))
         return
     if prim == "dot_general":
         _trace_dot(builder, env, eqn, out_id)
@@ -679,6 +715,9 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
             blocks = [_materialize(b, b.shape[0], cols, dtype)
                       for b in blocks]
             env[ins[1]] = jnp.concatenate(blocks, axis=0)
+        elif op == "slice":
+            v = get(ins[2])
+            env[ins[1]] = v[ins[3]:ins[4], :]
         elif op == "reduce":
             v = get(ins[2])
             fn = {"sum": jnp.sum, "max": jnp.max,

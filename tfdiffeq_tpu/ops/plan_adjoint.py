@@ -267,6 +267,19 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
                     r = _rows_of(getp(a))
                     addct(a, c[off:off + r, :])
                     off += r
+            elif op == "slice":
+                x = getp(ins[2])
+                r = _rows_of(x)
+                r0, r1 = ins[3], ins[4]
+                cols = c.shape[1]
+                pieces = []
+                if r0 > 0:
+                    pieces.append(jnp.zeros((r0, cols), dtype))
+                pieces.append(c)
+                if r - r1 > 0:
+                    pieces.append(jnp.zeros((r - r1, cols), dtype))
+                addct(ins[2], pieces[0] if len(pieces) == 1
+                      else jnp.concatenate(pieces, axis=0))
             elif op == "reduce":
                 # max/min rejected by check_plan_adjoint
                 x = getp(ins[2])
