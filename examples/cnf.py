@@ -41,6 +41,12 @@ def parse_args():
                         "divergence + log-det), generic O(1)-memory "
                         "adjoint backward (measured 23x the bounded-loop "
                         "direct grad at B=4096 on TPU v5e)")
+    p.add_argument("--auto", action="store_true",
+                   help="train through fast.cnf_log_prob_auto: the flow is "
+                        "traced by the jaxpr->Pallas bridge (NO hand-written "
+                        "kernel family), augmented with its exact divergence "
+                        "at trace level, and trained as TWO kernels — "
+                        "forward whole-solve + one plan-adjoint sweep")
     return p.parse_args()
 
 
@@ -66,7 +72,17 @@ def main():
 
     @jax.jit
     def train_step(params, opt_state, xb):
-        if args.fused:
+        if args.auto:
+            from tfdiffeq_tpu.fast import cnf_log_prob_auto
+
+            def flow(t, z, p):
+                return model.apply(p, t, z)
+
+            def nll(p):
+                return -jnp.mean(cnf_log_prob_auto(
+                    flow, p, xb, rtol=args.rtol, atol=args.atol,
+                    max_num_steps=256))
+        elif args.fused:
             from tfdiffeq_tpu.fast import (cnf_log_prob_train,
                                            weights_from_flax_dense)
 

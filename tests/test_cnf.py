@@ -167,6 +167,46 @@ def test_cnf_auto_fallback_on_unfusable_flow():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_cnf_auto_hutchinson_matches_generic():
+    """trace='hutchinson' draws the SAME probes as the generic path
+    (fold_in(key, i) Rademacher), so auto-vs-generic parity is tight —
+    the two paths compute the same estimator through different
+    integrator implementations."""
+    import warnings
+
+    from tfdiffeq_tpu.fast import cnf_log_prob_auto
+
+    flow, params, D = _AUTO_FLOWS["concat_t_mlp"]
+    x = jnp.asarray(np.random.RandomState(11).randn(8, D) * 0.7, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")         # no silent fallback
+        lp = cnf_log_prob_auto(flow, params, x, rtol=1e-5, atol=1e-7,
+                               trace="hutchinson", n_probes=4, key=key,
+                               interpret=True)
+    lp_ref = log_prob(lambda tt, zz: flow(tt, zz, params), x,
+                      rtol=1e-5, atol=1e-7, trace="hutchinson",
+                      n_probes=4, key=key)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # Gradient parity through the plan-adjoint sweep (second-order VJP of
+    # the e^T(Je) probes) vs direct backprop through the generic loop.
+    ga = jax.grad(
+        lambda p: jnp.sum(cnf_log_prob_auto(
+            flow, p, x, rtol=1e-7, atol=1e-9, trace="hutchinson",
+            n_probes=4, key=key, interpret=True)))(params)
+    gg = jax.grad(
+        lambda p: jnp.sum(log_prob(
+            lambda tt, zz: flow(tt, zz, p), x, rtol=1e-7, atol=1e-9,
+            trace="hutchinson", n_probes=4, key=key)))(params)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(la - lb.astype(la.dtype))))
+        m = float(jnp.max(jnp.abs(lb))) + 1e-12
+        assert d / m < 1e-3, (d, m)
+
+
 def test_cnf_sample_auto_runs():
     from tfdiffeq_tpu.fast import cnf_sample_auto
 

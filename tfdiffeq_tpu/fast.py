@@ -1522,6 +1522,8 @@ def cnf_log_prob_train(weights, x: Array, *, t0: float = 0.0,
 def cnf_log_prob_auto(flow, params, x: Array, *, t0: float = 0.0,
                       t1: float = 1.0, rtol: float = 1e-5,
                       atol: float = 1e-7, method: str = "dopri5",
+                      trace: str = "exact", n_probes: int = 1,
+                      key=None,
                       adjoint_rtol=None, adjoint_atol=None,
                       adjoint_seminorm: bool = False,
                       interpret: Optional[bool] = None,
@@ -1540,6 +1542,13 @@ def cnf_log_prob_auto(flow, params, x: Array, *, t0: float = 0.0,
     divergence's second-order VJP automatically. Differentiable wrt
     `params` (any pytree the flow closes over explicitly) and `x`.
 
+    trace='hutchinson' (requires key=) swaps the exact divergence for
+    the Rademacher estimator e^T (J e) over `n_probes` in-plan probes —
+    n_probes jvp passes instead of D, the FFJORD recipe for
+    high-dimensional flows; probes are fixed per call (fresh noise per
+    training batch comes from passing a fresh key — the plan structure
+    stays cached).
+
     Flows outside the fusable subset fall back to
     `models.cnf.log_prob(trace='exact')` (generic differentiable bounded
     loop) with a warning — identical semantics, slower. Matches
@@ -1551,7 +1560,8 @@ def cnf_log_prob_auto(flow, params, x: Array, *, t0: float = 0.0,
     x = jnp.asarray(x)
     B, D = x.shape
     dtype = x.dtype
-    aug = augmented_dynamics_fusable(flow, D)
+    aug = augmented_dynamics_fusable(flow, D, trace=trace,
+                                     n_probes=n_probes, key=key, batch=B)
     s0 = jnp.concatenate([x, jnp.zeros((B, 1), dtype)], axis=1)
     t = jnp.asarray([t1, t0], dtype)               # backward: data -> base
 
@@ -1572,7 +1582,8 @@ def cnf_log_prob_auto(flow, params, x: Array, *, t0: float = 0.0,
         from .models.cnf import log_prob as _generic_log_prob
         return _generic_log_prob(
             lambda tt, zz: flow(tt, zz, params), x, t0=t0, t1=t1,
-            rtol=rtol, atol=atol, trace="exact", method=method)
+            rtol=rtol, atol=atol, trace=trace, n_probes=n_probes,
+            key=key, method=method)
 
     logp_base = (-0.5 * jnp.sum(z_base ** 2, axis=-1)
                  - 0.5 * D * jnp.log(2.0 * jnp.pi).astype(dtype))

@@ -82,12 +82,15 @@ def augmented_dynamics(f: Callable, *, trace: str = "exact",
     return aug
 
 
-def augmented_dynamics_fusable(f: Callable, dim: int) -> Callable:
+def augmented_dynamics_fusable(f: Callable, dim: int, *,
+                               trace: str = "exact", n_probes: int = 1,
+                               key: Optional[Array] = None,
+                               batch: Optional[int] = None) -> Callable:
     """Lift f(t, z[B, D], params) -> dz into a FUSABLE augmented system
-    aug(t, s[B, D+1], params) -> [dz; -tr df/dz].
+    aug(t, s[B, D+1], params) -> [dz; -div].
 
-    The exact divergence is built from D forward-mode basis probes
-    (`jax.jvp`), with the basis rows hoisted to Python-time numpy
+    trace='exact': the divergence is built from D forward-mode basis
+    probes (`jax.jvp`), with the basis rows hoisted to Python-time numpy
     constants and the state split done with contiguous slices — every
     primitive this emits is in the jaxpr->Pallas bridge subset
     (ops/jaxpr_bridge.py), so the WHOLE augmented dynamics (flow field +
@@ -96,27 +99,60 @@ def augmented_dynamics_fusable(f: Callable, dim: int) -> Callable:
     as TWO kernels (the plan's reverse-mode walk differentiates the
     traced jvp instructions, giving the second-order VJP automatically).
 
+    trace='hutchinson': the Rademacher estimator e^T (J e) averaged over
+    `n_probes` probes (requires `key` and `batch`) — n_probes jvp passes
+    instead of D, the FFJORD recipe for high-dimensional flows. Probes
+    are drawn HERE, once per aug-builder call, and held fixed for the
+    whole solve (the FFJORD convention: resampling inside the integrand
+    would make the ODE non-smooth). They enter the plan as per-sample
+    batch constants, so a fresh builder per training batch gives fresh
+    noise with the SAME cached plan structure. Matches
+    `augmented_dynamics(trace='hutchinson')`'s draw (`fold_in(key, i)`)
+    probe-for-probe.
+
     Unlike `augmented_dynamics` this takes/returns flat [B, D+1] arrays
     (kernel state layout) rather than a (z, logp) tuple, and f takes an
     explicit params pytree.
     """
     import numpy as np
 
-    basis = [np.eye(dim, dtype=np.float32)[i] for i in range(dim)]
+    if trace == "exact":
+        basis = [np.eye(dim, dtype=np.float32)[i] for i in range(dim)]
 
-    def aug(t, s, params):
+        def aug(t, s, params):
+            z = s[:, :dim]
+            dz = f(t, z, params)
+            div = None
+            for i in range(dim):
+                e = jnp.broadcast_to(
+                    jnp.asarray(basis[i], z.dtype)[None, :], z.shape)
+                _, jv = jax.jvp(lambda zz: f(t, zz, params), (z,), (e,))
+                col = jv[:, i:i + 1]
+                div = col if div is None else div + col
+            return jnp.concatenate([dz, -div], axis=1)
+
+        return aug
+
+    if trace != "hutchinson":  # pragma: no cover
+        raise ValueError(trace)
+    if key is None or batch is None:
+        raise ValueError("trace='hutchinson' requires key= and batch=")
+    probes = [jax.random.rademacher(jax.random.fold_in(key, i),
+                                    (batch, dim), dtype=jnp.float32)
+              for i in range(n_probes)]
+
+    def aug_h(t, s, params):
         z = s[:, :dim]
         dz = f(t, z, params)
         div = None
-        for i in range(dim):
-            e = jnp.broadcast_to(
-                jnp.asarray(basis[i], z.dtype)[None, :], z.shape)
+        for e in probes:
+            e = e.astype(z.dtype)
             _, jv = jax.jvp(lambda zz: f(t, zz, params), (z,), (e,))
-            col = jv[:, i:i + 1]
-            div = col if div is None else div + col
-        return jnp.concatenate([dz, -div], axis=1)
+            term = jnp.sum(jv * e, axis=1, keepdims=True)   # e^T J e
+            div = term if div is None else div + term
+        return jnp.concatenate([dz, div * (-1.0 / n_probes)], axis=1)
 
-    return aug
+    return aug_h
 
 
 def log_prob(f: Callable, x: Array, *, t0: float = 0.0, t1: float = 1.0,
