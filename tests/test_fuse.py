@@ -97,6 +97,62 @@ def test_fused_reverse_time_and_methods():
                                    atol=5e-6)
 
 
+def test_fused_sublane_packed_batch():
+    """B=512 engages sublane packing (pick_pack(2, 512) == 4): the state
+    runs as [8, 128] blocks, cutting elementwise solver passes ~4x. The
+    error norm sees the same element multiset, so only reduction-order
+    ulps can perturb the step sequence — parity vs the generic engine
+    stays within the usual roundoff envelope."""
+    from tfdiffeq_tpu.ops.pallas_kernels import (pack_state, pick_pack,
+                                                 unpack_state)
+
+    assert pick_pack(2, 512) == 4
+    assert pick_pack(2, 8) == 1          # small batches stay unpacked
+    x = jnp.arange(2 * 512, dtype=jnp.float32).reshape(2, 512)
+    assert jnp.array_equal(unpack_state(pack_state(x, 4), 4, 2), x)
+
+    y0 = jnp.asarray(np.random.RandomState(3).randn(512, 2) * 1.5,
+                     jnp.float32)
+    r = solve_fused(spiral, y0, T, rtol=1e-6, atol=1e-8, first_step=0.05)
+    ref = solve(spiral, y0, T, rtol=1e-6, atol=1e-8, method="dopri5",
+                options={"loop": "while", "first_step": 0.05})
+    assert int(r.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(r.ys), np.asarray(ref.ys),
+                               atol=2e-4)
+
+    # Odd batch inside a group: 384/4 = 96 lanes -> lane-padded to 128;
+    # pad lanes must stay masked out of the error norm.
+    y0b = y0[:384]
+    rb = solve_fused(spiral, y0b, T, rtol=1e-6, atol=1e-8,
+                     first_step=0.05)
+    refb = solve(spiral, y0b, T, rtol=1e-6, atol=1e-8, method="dopri5",
+                 options={"loop": "while", "first_step": 0.05})
+    assert int(rb.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(rb.ys), np.asarray(refb.ys),
+                               atol=2e-4)
+
+
+def test_mlp_solve_pack_matches_unpacked():
+    """mlp_solve(pack=4) vs pack=1 on identical inputs: same dynamics,
+    same controller — trajectories agree to roundoff-sequence noise."""
+    from tfdiffeq_tpu.ops.pallas_kernels import mlp_solve, pad_mlp_weights
+
+    w = [(W1, B1), (W2, jnp.zeros(2, jnp.float32))]
+    warr, dims = pad_mlp_weights(w, jnp.float32)
+    y0 = jnp.asarray(np.random.RandomState(4).randn(512, 2) * 1.2,
+                     jnp.float32).T
+    tt = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    kw = dict(activation="tanh", final_activation="identity",
+              input_power=1, interpret=True)
+    o1, s1 = mlp_solve(warr, dims, y0, tt, jnp.float32(0.05), 1e-6, 1e-8,
+                       1.0, pack=1, **kw)
+    o4, s4 = mlp_solve(warr, dims, y0, tt, jnp.float32(0.05), 1e-6, 1e-8,
+                       1.0, pack=4, **kw)
+    assert int(s1[3]) == 0 and int(s4[3]) == 0
+    assert o1.shape == o4.shape
+    np.testing.assert_allclose(np.asarray(o4), np.asarray(o1), atol=5e-5)
+
+
 def test_fused_unbatched_y0():
     r = solve_fused(spiral, Y0[0], T)
     ref = solve(spiral, Y0[0], T, rtol=1e-6, atol=1e-8,

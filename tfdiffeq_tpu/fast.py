@@ -55,6 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.pallas_adjoint import mlp_adjoint_solve
+from .ops import pallas_kernels as _pk
 from .ops.pallas_kernels import (_ACTIVATIONS, dopri5_mlp_solve,
                                  dopri5_mlp_step, mlp_f, mlp_solve,
                                  pad_mlp_weights)
@@ -427,11 +428,23 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         dt0 = jnp.abs(jnp.asarray(first_step, dtype))
         extra_nfe = 1
 
-    BP = _round_up(max(B, _LANE), _LANE)
-    y0p, f0p = yT, f0
-    if BP != B:
-        y0p = jnp.pad(yT, ((0, 0), (0, BP - B)))
-        f0p = jnp.pad(f0, ((0, 0), (0, BP - B)))
+    # Sublane packing for narrow states (see pallas_kernels.pick_pack):
+    # skipped when the dense-output buffers would need unpacking too, and
+    # when the plan carries per-sample ('batch'/'bvec') consts, whose
+    # packed layout the per-group RHS walk doesn't slice.
+    kpack = 1
+    if not dense_output and not any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        kpack = _pk.pick_pack(D, B)
+    Bk = B // kpack
+    yT_k = _pk.pack_state(yT, kpack) if kpack > 1 else yT
+    f0_k = _pk.pack_state(f0, kpack) if kpack > 1 else f0
+
+    BP = _round_up(max(Bk, _LANE), _LANE)
+    y0p, f0p = yT_k, f0_k
+    if BP != Bk:
+        y0p = jnp.pad(yT_k, ((0, 0), (0, BP - Bk)))
+        f0p = jnp.pad(f0_k, ((0, 0), (0, BP - Bk)))
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
 
     dense = None
@@ -462,9 +475,11 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
             safety=safety, ifactor=ifactor, dfactor=dfactor,
             max_steps=(int(max_num_steps) if max_num_steps is not None
                        else 2 ** 31 - 1),
-            interpret=interpret)
-    if BP != B:
-        out = out[:, :, :B]
+            interpret=interpret, pack=kpack)
+    if BP != Bk:
+        out = out[:, :, :Bk]
+    if kpack > 1:
+        out = _pk.unpack_state(out, kpack, D)
     ys = jnp.transpose(out, (0, 2, 1))           # [T, B, D]
     if squeeze:
         ys = ys[:, 0]
@@ -743,6 +758,15 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
     check_plan_adjoint(plan)
     BP = _round_up(max(B, _LANE), _LANE)
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
+    # Sublane-pack the FORWARD solve for narrow states (the backward
+    # adjoint kernel runs unpacked). Safe only without per-sample consts:
+    # their packed layout is lane-width-dependent, and the per-group RHS
+    # walk doesn't slice them.
+    kpack = 1
+    if not any(l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        kpack = _pk.pick_pack(D, B)
+    Bk = B // kpack
+    BPk = _round_up(max(Bk, _LANE), _LANE)
 
     def _f_eval(packed_, tt, yT):
         """Plan RHS at TRUE batch lanes (pads to BP for bvec/batch consts,
@@ -768,12 +792,18 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         else:
             dt0 = jnp.abs(jnp.asarray(first_step, dtype))
             extra_nfe = 1
-        y0p = jnp.pad(yT, ((0, 0), (0, BP - B))) if BP != B else yT
-        f0p = jnp.pad(f0, ((0, 0), (0, BP - B))) if BP != B else f0
+        yTk = _pk.pack_state(yT, kpack) if kpack > 1 else yT
+        f0k = _pk.pack_state(f0, kpack) if kpack > 1 else f0
+        y0p = jnp.pad(yTk, ((0, 0), (0, BPk - Bk))) if BPk != Bk else yTk
+        f0p = jnp.pad(f0k, ((0, 0), (0, BPk - Bk))) if BPk != Bk else f0k
         out, stats = jb.plan_solve(
             plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,
-            method=method, max_steps=max_steps, interpret=interp_flag)
-        ys = jnp.transpose(out[:, :, :B], (0, 2, 1))        # [T, B, D]
+            method=method, max_steps=max_steps, interpret=interp_flag,
+            pack=kpack)
+        out = out[:, :, :Bk]
+        if kpack > 1:
+            out = _pk.unpack_state(out, kpack, D)
+        ys = jnp.transpose(out, (0, 2, 1))                  # [T, B, D]
         st = (stats[0] + extra_nfe, stats[1], stats[2], stats[3])
         emit_fwd(nfe_meter, st[0], st[1])
         return ys, st

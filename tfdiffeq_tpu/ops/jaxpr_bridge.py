@@ -782,29 +782,35 @@ import functools                                           # noqa: E402
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
-                     "max_steps", "emit_dense", "interpret"))
+                     "max_steps", "emit_dense", "interpret", "pack"))
 def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
                rtol, atol, sign, f0: Array, *, method: str = "dopri5",
                safety: float = 0.9, ifactor: float = 10.0,
                dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
-               emit_dense: int = 0, interpret: bool = False):
+               emit_dense: int = 0, interpret: bool = False,
+               pack: int = 1):
     """Whole-solve fused adaptive RK over a FusedPlan RHS: the plan is
     interpreted inside ONE Pallas kernel launch (same engine as
     pallas_kernels.mlp_solve; plan is a static arg, so equal-structure
     dynamics share one compile).
 
     y0/f0: [D, B] feature-major, B lane-padded; consts_packed: tuple from
-    `pack_consts`. Returns (out [T, D, B], stats [4] int32), plus
-    (meta [S, 3], coeffs [5*S, D, B]) when emit_dense=S (see
-    whole_solve_call).
+    `pack_consts`. With pack=k > 1 the caller has sublane-packed y0/f0 to
+    [k*D, B/k] (pallas_kernels.pack_state) and the plan RHS runs
+    per-group; outputs stay in the packed layout for the caller to
+    unpack. Returns (out [T, D, B], stats [4] int32), plus (meta [S, 3],
+    coeffs [5*S, D, B]) when emit_dense=S (see whole_solve_call).
     """
     from . import tableaus as _tabs
-    from .pallas_kernels import whole_solve_call
+    from .pallas_kernels import packed_make_f, whole_solve_call
 
     tab = _tabs.TABLEAUS_BY_NAME[method]
+    make_f = lambda wrefs: make_plan_f(plan, wrefs)      # noqa: E731
+    if pack > 1:
+        make_f = packed_make_f(make_f, int(pack), plan.dim)
     return whole_solve_call(
-        lambda wrefs: make_plan_f(plan, wrefs), list(consts_packed),
+        make_f, list(consts_packed),
         y0, tau, dt0, rtol, atol, sign, f0, tab=tab, safety=safety,
         ifactor=ifactor, dfactor=dfactor, max_steps=int(max_steps),
-        B_true=plan.batch, interpret=interpret,
+        B_true=plan.batch // int(pack), interpret=interpret,
         emit_dense=int(emit_dense))

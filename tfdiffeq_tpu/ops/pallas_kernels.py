@@ -173,6 +173,64 @@ def _pad_rows(h, rows_p: int):
         [h, jnp.zeros((rows_p - rows, h.shape[1]), h.dtype)], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Sublane packing: narrow-state whole-solve kernels waste the VPU.
+#
+# A [D, B] feature-major block with D < 8 occupies D of the 8 sublanes of
+# every 8x128 VPU tile, so each of the (many) elementwise solver passes
+# (stage combines, error scale, interpolation fit, Kahan updates, output
+# drain) runs at D/8 utilization. Because samples are independent, k groups
+# of B/k samples can be stacked along the FEATURE axis instead: state
+# becomes [k*D, B/k] (one sublane tile when k*D <= 8), cutting the tile
+# count of every elementwise pass by ~k. The error norm is unchanged (same
+# element multiset, denom = (kD)*(B/k) = D*B) and the RHS evaluates
+# per-group on row slices, so the dynamics see ordinary [D, B/k] blocks.
+# Accept/reject sequences can differ from the unpacked kernel only by the
+# f32 reduction order of the error sum (last-ulp noise).
+# ---------------------------------------------------------------------------
+
+def pick_pack(D: int, B: int) -> int:
+    """Largest k in {8, 4, 2} with k*D <= 8 sublanes, B divisible by k and
+    groups still spanning a full lane tile (B/k >= 128); 1 = no packing."""
+    for k in (8, 4, 2):
+        if k * D <= _SUBLANE and B % k == 0 and B // k >= _LANE:
+            return k
+    return 1
+
+
+def pack_state(x, k: int):
+    """[D, B] -> [k*D, B/k]: group g's rows g*D:(g+1)*D hold the samples
+    in lanes g*(B/k):(g+1)*(B/k) of the original block."""
+    D, B = x.shape
+    return x.reshape(D, k, B // k).swapaxes(0, 1).reshape(k * D, B // k)
+
+
+def unpack_state(x, k: int, D: int):
+    """Inverse of pack_state over the last two axes ([..., k*D, B/k] ->
+    [..., D, B]); call only after slicing off any lane padding."""
+    lead = x.shape[:-2]
+    Bk = x.shape[-1]
+    x = x.reshape(*lead, k, D, Bk)
+    x = jnp.moveaxis(x, -3, -2)
+    return x.reshape(*lead, D, k * Bk)
+
+
+def packed_make_f(make_f, k: int, D: int):
+    """Lift a [D, B]-block RHS builder to the packed [k*D, B/k] layout:
+    the built f maps each group's row slice through the base dynamics."""
+    def make(wrefs):
+        base = make_f(wrefs)
+
+        def f(t, y):
+            return jnp.concatenate(
+                [base(t, y[g * D:(g + 1) * D, :]) for g in range(k)],
+                axis=0)
+
+        return f
+
+    return make
+
+
 def _make_net(wrefs, dims, activation: str, final_activation: str,
               input_power: int, time_input: bool = False,
               matmul: str = "vpu"):
@@ -719,7 +777,7 @@ def padded_mlp_f(warrays, dims, y: Array, activation: str,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "time_input", "rhs", "method", "safety", "ifactor",
-                     "dfactor", "max_steps", "matmul", "interpret"))
+                     "dfactor", "max_steps", "matmul", "interpret", "pack"))
 def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               sign, *, f0: Array = None, activation: str = "tanh",
               final_activation: str = "identity", input_power: int = 1,
@@ -727,7 +785,7 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               method: str = "dopri5", safety: float = 0.9,
               ifactor: float = 10.0, dfactor: float = 0.2,
               max_steps: int = 2 ** 31 - 1, matmul: str = "vpu",
-              interpret: bool = False):
+              interpret: bool = False, pack: str | int = "auto"):
     """Whole-solve fused adaptive RK for a GENERAL autonomous MLP ODE, one
     kernel launch: every stage evaluation, combine, error norm, controller
     decision and dense-output write runs in-kernel.
@@ -742,7 +800,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     y0: [D, B] feature-major; tau: [T] INCREASING canonical times; sign:
     runtime scalar, +1/-1 with tau = sign * t (reverse time = sign -1, as
     in solvers/base.py); f0: optional precomputed signed derivative at
-    (tau[0], y0).
+    (tau[0], y0). pack: 'auto' (default) engages sublane packing for
+    narrow states (see pick_pack); an int pins the group count (1 = off).
     Returns (out [T, D, B], stats [4] int32: nfe/accepted/rejected/status).
     Status: 0 OK, 1 MAX_STEPS_REACHED, 2 DT_UNDERFLOW, 3 INVALID_TIMES.
     """
@@ -761,10 +820,16 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
                                  final_activation, input_power,
                                  t=sign * tau[0], time_input=time_input)
 
+    k = pick_pack(D, B) if pack == "auto" else int(pack)
+    if k > 1:
+        y0 = pack_state(y0, k)
+        f0 = pack_state(f0, k)
+        B = B // k
+    B_true = B
+
     # Pad ANY batch up to a full VPU lane multiple (Mosaic needs lane-aligned
     # vectors; e.g. B=200 would reach the kernel unaligned otherwise); padded
     # lanes are masked out of the error norm in-kernel.
-    B_true = B
     BP = _round_up(max(B, _LANE), _LANE)
     if BP != B:
         y0 = jnp.pad(y0, ((0, 0), (0, BP - B)))
@@ -781,6 +846,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
             return _make_cnf_net(wrefs, dims, activation, time_input)
     else:
         raise ValueError(f"unknown rhs {rhs!r} (expected 'mlp' or 'cnf')")
+    if k > 1:
+        make_f = packed_make_f(make_f, k, D)
 
     out, stats = whole_solve_call(
         make_f, warrays, y0, tau, dt0, rtol, atol, sign, f0, tab=tab,
@@ -788,6 +855,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
         max_steps=int(max_steps), B_true=B_true, interpret=interpret)
     if B != B_true:
         out = out[:, :, :B_true]
+    if k > 1:
+        out = unpack_state(out, k, D)
     return out, stats
 
 
