@@ -54,6 +54,13 @@ def gated(t, y):
     return jnp.where(y > 0, -0.5 * y, -0.1 * y)
 
 
+def gelu_exact(t, y):
+    # erf lowers via the in-plan A&S approximation (1.5e-7 abs, below f32
+    # resolution) — NFE equality vs the generic engine is not asserted for
+    # this one (same carve-out as sigmoid_mxu's reduction-order ulps).
+    return jax.nn.gelu(y @ W1 + B1, approximate=False) @ W2
+
+
 def sigmoid_mxu(t, y):
     # 2->64 layer crosses the auto-MXU threshold; sigmoid exercises
     # custom_jvp inlining.
@@ -62,7 +69,7 @@ def sigmoid_mxu(t, y):
 
 DYNAMICS = {"spiral": spiral, "mlp": mlp, "timedep": timedep,
             "concat_t": concat_t, "gated": gated,
-            "sigmoid_mxu": sigmoid_mxu}
+            "sigmoid_mxu": sigmoid_mxu, "gelu_exact": gelu_exact}
 
 
 @pytest.mark.parametrize("name", sorted(DYNAMICS))
@@ -75,7 +82,7 @@ def test_fused_matches_generic(name):
     ref = solve(f, Y0, T, rtol=1e-6, atol=1e-8, method="dopri5",
                 options={"loop": "while", "first_step": 0.05})
     assert int(r.stats.status) == 0
-    if name != "sigmoid_mxu":
+    if name not in ("sigmoid_mxu", "gelu_exact"):
         # identical accept/reject sequence => identical NFE (the MXU case
         # reduces its dots in a different order than XLA, so its error
         # ratios differ in the last ulp and the sequence may diverge)

@@ -104,6 +104,37 @@ def test_fused_adjoint_matches_generic_gradients():
         assert d / m < 1e-3, (d, m)
 
 
+def test_fused_adjoint_packed_batch_gradients():
+    """B=256 with the 2-feature state engages sublane packing in both the
+    forward (pick_pack -> k=2) and backward (_adjoint_pack gate
+    256 % (2*128) == 0) kernels; gradients must match the generic adjoint
+    like the unpacked battery does."""
+    weights = tuple(_weights(seed=7, dims=(2, 16, 2)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(8).randn(256, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    g_out = jnp.asarray(np.random.RandomState(9).randn(5, 256, 2),
+                        jnp.float32)
+
+    def loss_fused(w, y0_, t_):
+        ys = odeint_adjoint_mlp(spec, w, y0_, t_, rtol=1e-6, atol=1e-8,
+                                interpret=True)
+        return jnp.sum(ys * g_out)
+
+    def loss_gen(w, y0_, t_):
+        ys = odeint_adjoint(lambda tt, yy, p: mlp_apply(spec, p, yy),
+                            y0_, t_, params=w, rtol=1e-6, atol=1e-8)
+        return jnp.sum(ys * g_out)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(weights, y0, t)
+    gg = jax.grad(loss_gen, argnums=(0, 1, 2))(weights, y0, t)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 1e-3, (d, m)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("method", ["bosh3", "tsit5"])
 def test_fused_adjoint_other_tableaus(method):

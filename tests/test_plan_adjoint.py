@@ -71,6 +71,12 @@ FAMILIES = {
     "tied": (lambda t, y, p: jnp.tanh(y @ p) @ p.T * 0.5, W1),
     "computed_bias": (lambda t, y, p: jnp.tanh(y @ p[0] + 2.0 * p[1])
                       @ p[2] - 0.1 * y, (W1, B1, W2)),
+    # exact (erf-based) GELU: the in-kernel erf is the A&S 7.1.26
+    # approximation (1.5e-7 abs, below f32 resolution) with the EXACT
+    # 2/sqrt(pi) e^{-x^2} adjoint rule
+    "gelu_exact": (lambda t, y, p: jax.nn.gelu(y @ p[0] + p[1],
+                                               approximate=False) @ p[2],
+                   (W1, B1, W2)),
 }
 
 
@@ -80,6 +86,21 @@ def test_gradient_parity_vs_generic(name):
     gf = _grads(func, params, fused=True)
     gg = _grads(func, params, fused=False)
     _assert_close(gf, gg, rel=2e-4, label=name)
+
+
+def test_packed_adjoint_gradient_parity():
+    """B=256 engages sublane packing in BOTH kernels (forward pack via
+    pick_pack, backward via _adjoint_pack's B % k*LANE gate): the whole
+    two-kernel training path runs on [k*D, B/k] blocks. Parity vs the
+    generic adjoint must hold exactly as at B=8."""
+    func, params = FAMILIES["mlp_bias"]
+    y0 = jnp.asarray(np.random.RandomState(9).randn(256, 2) * 1.2,
+                     jnp.float32)
+    g = jnp.asarray(np.random.RandomState(10).randn(5, 256, 2),
+                    jnp.float32)
+    gf = _grads(func, params, y0=y0, g=g, fused=True)
+    gg = _grads(func, params, y0=y0, g=g, fused=False)
+    _assert_close(gf, gg, rel=2e-4, label="packed")
 
 
 def test_per_sample_data_const():

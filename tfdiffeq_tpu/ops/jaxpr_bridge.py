@@ -69,6 +69,31 @@ def _round_up(x: int, m: int) -> int:
 # from them; see pallas_kernels._ACTIVATIONS for the precedent set)
 # ---------------------------------------------------------------------------
 
+def _erfc_tail(a):
+    """erfc(a) for a >= 0 via Abramowitz & Stegun 7.1.26 (max abs error
+    1.5e-7 — the f32 noise floor). The tail form poly*exp(-a^2) is
+    cancellation-free where erfc is small."""
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-a * a)
+
+
+def _erf_approx(x):
+    """erf via A&S 7.1.26: Mosaic has no erf/erfc lowering, but
+    exp/div/abs/sign do lower, so exact-GELU dynamics stay fusable. The
+    adjoint uses the EXACT derivative 2/sqrt(pi) e^{-x^2}
+    (plan_adjoint._UN_GRADS)."""
+    return jnp.sign(x) * (1.0 - _erfc_tail(jnp.abs(x)))
+
+
+def _erfc_approx(x):
+    """erfc = 1 - erf, tail-form on x >= 0 (jax.nn.gelu(approximate=False)
+    traces to erfc)."""
+    tail = _erfc_tail(jnp.abs(x))
+    return jnp.where(x >= 0, tail, 2.0 - tail)
+
+
 _UN_OPS = {
     "neg": lambda x: -x,
     "exp": jnp.exp,
@@ -91,6 +116,8 @@ _UN_OPS = {
     "cosh": lambda x: 0.5 * (jnp.exp(x) + jnp.exp(-x)),
     "sinh": lambda x: 0.5 * (jnp.exp(x) - jnp.exp(-x)),
     "not": jnp.logical_not,
+    "erf": _erf_approx,
+    "erfc": _erfc_approx,
 }
 
 _BIN_OPS = {

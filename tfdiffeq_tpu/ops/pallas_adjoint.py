@@ -37,9 +37,57 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_kernels import (_ACTIVATION_GRAD2, _ACTIVATION_GRADS,
                              _ACTIVATIONS, _LANE, _controller_factor,
                              _input_transform, _layer_uses_mxu, _pad_rows,
-                             _round_up)
+                             _round_up, pick_pack, unpack_state)
 
 Array = jax.Array
+
+
+def _adjoint_pack(pack, D: int, B: int) -> int:
+    """Group count for the backward sweep's sublane packing. Unlike the
+    forward, the adjoint is gated on B being a multiple of k*LANE: the
+    kernel's lane masks (`lane < B_true`) and the weight-quadrature lane
+    reductions are then vacuously exact with NO pad lanes to pin, and the
+    per-group aug walk needs no group-aware masking."""
+    if pack != "auto":
+        return int(pack)
+    k = pick_pack(D, B)
+    while k > 1 and B % (k * _LANE) != 0:
+        k //= 2
+    return k
+
+
+def pack_traj(x: Array, k: int) -> Array:
+    """[T, D, B] -> [T, k*D, B/k] (pack_state over the trailing axes)."""
+    T, D, B = x.shape
+    return x.reshape(T, D, k, B // k).swapaxes(1, 2).reshape(
+        T, k * D, B // k)
+
+
+def packed_aug_factory(base_factory, k: int, D: int):
+    """Lift an aug_eval factory to the packed [k*D, B/k] layout: f/v_y/v_t
+    evaluate per sample-group on row slices; the parameter-cotangent
+    blocks (layout-shaped, lane-free) SUM over groups."""
+    def factory(wrefs):
+        base = base_factory(wrefs)
+
+        def aug_eval(t, y, ay):
+            fs, vys, vts = [], [], []
+            dps = None
+            for gi in range(k):
+                sl = slice(gi * D, (gi + 1) * D)
+                f, v_y, dparams, v_t = base(t, y[sl, :], ay[sl, :])
+                fs.append(f)
+                vys.append(v_y)
+                vts.append(v_t)
+                dps = (list(dparams) if dps is None
+                       else [a + b for a, b in zip(dps, dparams)])
+            return (jnp.concatenate(fs, axis=0),
+                    jnp.concatenate(vys, axis=0), dps,
+                    jnp.concatenate(vts, axis=0))
+
+        return aug_eval
+
+    return factory
 
 
 def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
@@ -564,7 +612,8 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "method", "safety", "ifactor", "dfactor", "max_steps",
-                     "seminorm", "matmul", "time_input", "rhs", "interpret"))
+                     "seminorm", "matmul", "time_input", "rhs", "interpret",
+                     "pack"))
 def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       dt0: Array, rtol, atol, sign, *,
                       activation: str = "tanh",
@@ -574,7 +623,7 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                       seminorm: bool = False, matmul: str = "vpu",
                       time_input: bool = False, rhs: str = "mlp",
-                      interpret: bool = False):
+                      interpret: bool = False, pack: str | int = "auto"):
     """Fused adjoint backward sweep, one kernel launch.
 
     warrays/dims: padded weights (`pad_mlp_weights`). ys, g: [T, D, B]
@@ -605,6 +654,13 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     if rhs == "cnf":
         time_input = True          # concat-t flow; a_t quadrature applies
 
+    D_state = D
+    kpk = _adjoint_pack(pack, D, B)
+    if kpk > 1:
+        ys = pack_traj(ys, kpk)
+        g = pack_traj(g, kpk)
+        T, D, B = ys.shape
+
     B_true = B
     BP = _round_up(max(B, _LANE), _LANE)
     if BP != B:
@@ -633,6 +689,8 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
             return _make_aug_eval(wrefs, dims, activation,
                                   final_activation, input_power,
                                   matmul, time_input)
+    if kpk > 1:
+        aug_factory = packed_aug_factory(aug_factory, kpk, D_state)
 
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), denom, B_true,
@@ -672,4 +730,6 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     at = res[2 + 2 * L][0, 0]
     if B != B_true:
         ay0 = ay0[:, :B_true]
+    if kpk > 1:
+        ay0 = unpack_state(ay0, kpk, D_state)
     return ay0, aws, at, stats

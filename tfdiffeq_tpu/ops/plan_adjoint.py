@@ -108,6 +108,11 @@ _UN_GRADS = {
     "expm1": lambda x, o: o + 1.0,
     "cosh": lambda x, o: 0.5 * (jnp.exp(x) - jnp.exp(-x)),
     "sinh": lambda x, o: 0.5 * (jnp.exp(x) + jnp.exp(-x)),
+    # exact d erf/dx (the primal uses the A&S 7.1.26 approximation, whose
+    # 1.5e-7 error is below f32 resolution — the exact derivative is both
+    # simpler and more accurate than differentiating the approximation)
+    "erf": lambda x, o: 1.1283791670955126 * jnp.exp(-x * x),
+    "erfc": lambda x, o: -1.1283791670955126 * jnp.exp(-x * x),
 }
 
 #: binary comparison / logical ops: no gradient flows
@@ -392,13 +397,13 @@ def _true_elems(plan: FusedPlan) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
-                     "max_steps", "seminorm", "interpret"))
+                     "max_steps", "seminorm", "interpret", "pack"))
 def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
                        tau: Array, dt0: Array, rtol, atol, sign, *,
                        method: str = "dopri5", safety: float = 0.9,
                        ifactor: float = 10.0, dfactor: float = 0.2,
                        max_steps: int = 2 ** 31 - 1, seminorm: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False, pack: str | int = "auto"):
     """Fused adjoint backward sweep for a jaxpr-bridge plan, one kernel.
 
     consts_packed: tuple from `pack_consts` (BP = lane-padded batch).
@@ -413,15 +418,29 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
     for autonomous plans), stats [4] int32).
     """
     from . import tableaus as _tabs
-    from .pallas_adjoint import _make_adjoint_kernel
+    from .pallas_adjoint import (_adjoint_pack, _make_adjoint_kernel,
+                                 pack_traj, packed_aug_factory)
+    from .pallas_kernels import unpack_state
 
     tab = _tabs.TABLEAUS_BY_NAME[method]
     T, D, B = ys.shape
     dtype = ys.dtype
 
+    if B != plan.batch:
+        raise ValueError(f"ys batch {B} != plan batch {plan.batch}")
+
+    # Sublane packing (see pallas_adjoint._adjoint_pack): skipped for
+    # plans with per-sample consts — their cotangent blocks are
+    # lane-resolved at the FULL batch width.
+    kpk = 1
+    if not any(l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        kpk = _adjoint_pack(pack, D, B)
+    if kpk > 1:
+        ys = pack_traj(ys, kpk)
+        g = pack_traj(g, kpk)
+        T, D, B = ys.shape
+
     B_true = B
-    if B_true != plan.batch:
-        raise ValueError(f"ys batch {B_true} != plan batch {plan.batch}")
     BP = _round_up(max(B, _LANE), _LANE)
     if BP != B:
         ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
@@ -443,6 +462,8 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
 
     def aug_factory(wrefs):
         return make_plan_aug_eval(plan, wrefs)
+    if kpk > 1:
+        aug_factory = packed_aug_factory(aug_factory, kpk, plan.dim)
 
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), denom, B_true,
@@ -479,4 +500,6 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
     at = res[2 + n_c][0, 0]
     if B != B_true:
         ay0 = ay0[:, :B_true]
+    if kpk > 1:
+        ay0 = unpack_state(ay0, kpk, plan.dim)
     return ay0, dconsts, at, stats
