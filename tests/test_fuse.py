@@ -139,6 +139,63 @@ def test_fused_sublane_packed_batch():
                                atol=2e-4)
 
 
+def test_whole_solve_grid_blocks():
+    """n_blocks > 1 runs lane blocks as sequential grid programs in one
+    launch (per-block controller, like the conv tier / sharded solves):
+    trajectories match the single-block kernel within step-sequence
+    noise, stats sum, and sublane packing composes per block."""
+    from tfdiffeq_tpu.ops import jaxpr_bridge as jb
+    from tfdiffeq_tpu.ops import pallas_kernels as pk
+
+    B = 1024
+    y0 = jnp.asarray(np.random.RandomState(5).randn(B, 2) * 1.2,
+                     jnp.float32)
+    tt = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    plan, consts = jb.build_plan(spiral, jnp.float32(0.0), y0)
+    yT, f0 = y0.T, spiral(tt[0], y0).T
+    packed = tuple(jb.pack_consts(plan, consts, jnp.float32, 512))
+
+    def run(nb, kp):
+        y0p = pk.pack_state_blocks(yT, kp, nb) if kp > 1 else yT
+        f0p = pk.pack_state_blocks(f0, kp, nb) if kp > 1 else f0
+        out, stats = jb.plan_solve(plan, packed, y0p, tt,
+                                   jnp.float32(0.05), 1e-6, 1e-8, 1.0,
+                                   f0p, interpret=True, pack=kp,
+                                   n_blocks=nb)
+        if kp > 1:
+            out = pk.unpack_state_blocks(out, kp, 2, nb)
+        return out, stats
+
+    o_ref, s_ref = run(1, 1)
+    for nb, kp in [(2, 1), (2, 4)]:
+        o, s = run(nb, kp)
+        assert s.shape == (nb, 4)
+        assert int(jnp.max(s[:, 3])) == 0
+        # every block re-solves its slice: total accepted >= single-block
+        assert int(jnp.sum(s[:, 1])) >= int(s_ref[1])
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   atol=2e-3)
+
+
+def test_mlp_solve_grid_blocks_match():
+    from tfdiffeq_tpu.ops.pallas_kernels import mlp_solve, pad_mlp_weights
+
+    w = [(W1, B1), (W2, jnp.zeros(2, jnp.float32))]
+    warr, dims = pad_mlp_weights(w, jnp.float32)
+    y0 = jnp.asarray(np.random.RandomState(6).randn(1024, 2) * 1.2,
+                     jnp.float32).T
+    tt = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    kw = dict(activation="tanh", final_activation="identity",
+              input_power=1, interpret=True)
+    o1, s1 = mlp_solve(warr, dims, y0, tt, jnp.float32(0.05), 1e-6, 1e-8,
+                       1.0, n_blocks=1, **kw)
+    o2, s2 = mlp_solve(warr, dims, y0, tt, jnp.float32(0.05), 1e-6, 1e-8,
+                       1.0, n_blocks=2, **kw)
+    assert s2.shape == (4,) and int(s2[3]) == 0     # merged stats
+    assert o2.shape == o1.shape
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-3)
+
+
 def test_mlp_solve_pack_matches_unpacked():
     """mlp_solve(pack=4) vs pack=1 on identical inputs: same dynamics,
     same controller — trajectories agree to roundoff-sequence noise."""

@@ -294,24 +294,44 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         z = jnp.asarray(0, jnp.int32)
         return SolveResult(y0[None], SolverStats(z, z, z, z))
 
-    # The in-kernel trajectory buffer lives in VMEM; past the budget, fall
-    # back to the generic on-device engine (same result contract).
-    if (not interpret and _fused_vmem_bytes(
-            int(t.shape[0]), y0.shape[1], y0.shape[0], 1) > _VMEM_BUDGET):
-        import warnings
-        warnings.warn(
-            "solve_mlp_spec: trajectory buffer exceeds the fused kernel's "
-            "VMEM budget (T x D x B too large); falling back to the "
-            "generic while-loop engine", stacklevel=2)
-        from .odeint import solve as _solve
-        return _solve(lambda tt, yy: mlp_apply(spec, weights, yy, tt),
-                      y0, t,
-                      rtol=rtol, atol=atol, method=method,
-                      options={"loop": "while",
-                               **({"max_num_steps": max_num_steps}
-                                  if max_num_steps is not None else {}),
-                               **({"first_step": first_step}
-                                  if first_step is not None else {})})
+    # The in-kernel trajectory buffer lives in VMEM; batches past the
+    # budget run as n_blocks sequential GRID programs inside ONE launch
+    # (per-block state/controller, shared weights — the conv tier's
+    # recipe). Only when even a single 1024-sample block cannot fit
+    # (huge T x D) does the generic engine take over.
+    n_blocks, B_orig = 1, y0.shape[0]
+    T_chk, D_chk = int(t.shape[0]), y0.shape[1]
+    if (not interpret
+            and _fused_vmem_bytes(T_chk, D_chk, B_orig, 1) > _VMEM_BUDGET):
+        # Grid mode pipelines the per-block output window (double-
+        # buffered), so budget TWO trajectory buffers per block.
+        b_blk = 1024               # multiple of 8*LANE: any pack k <= 8
+        while _fused_vmem_bytes(T_chk, D_chk, 2 * b_blk, 2) <= _VMEM_BUDGET:
+            b_blk *= 2
+        if _fused_vmem_bytes(T_chk, D_chk, b_blk, 2) > _VMEM_BUDGET:
+            import warnings
+            warnings.warn(
+                "solve_mlp_spec: even a single 1024-sample block exceeds "
+                "the fused kernel's VMEM budget (T x D too large); "
+                "falling back to the generic while-loop engine",
+                stacklevel=2)
+            from .odeint import solve as _solve
+            return _solve(lambda tt, yy: mlp_apply(spec, weights, yy, tt),
+                          y0, t,
+                          rtol=rtol, atol=atol, method=method,
+                          options={"loop": "while",
+                                   **({"max_num_steps": max_num_steps}
+                                      if max_num_steps is not None
+                                      else {}),
+                                   **({"first_step": first_step}
+                                      if first_step is not None else {})})
+        n_blocks = -(-B_orig // b_blk)
+        # Pad by REPLICATING samples (wrap mode): pad rows integrate
+        # exactly like their originals, so they can never NaN-poison
+        # their block's shared controller the way zero-filled fakes
+        # could.
+        y0 = jnp.pad(y0, ((0, n_blocks * b_blk - B_orig), (0, 0)),
+                     mode="wrap")
 
     order = tableaus.TABLEAUS_BY_NAME[method].order
 
@@ -344,8 +364,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         method=method,
         max_steps=(int(max_num_steps) if max_num_steps is not None
                    else 2 ** 31 - 1),
-        matmul=spec.matmul, interpret=interpret)
-    ys = jnp.transpose(out, (0, 2, 1))          # [T, B, D]
+        matmul=spec.matmul, interpret=interpret, n_blocks=n_blocks)
+    ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]      # [T, B, D]
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
     return SolveResult(ys, st)
 
@@ -400,13 +420,39 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         res = SolveResult(y0[None], SolverStats(z, z, z, z))
         return SolveResult(res.ys[:, 0], res.stats) if squeeze else res
     T_out, (B, D) = int(t.shape[0]), y0.shape
+    B_orig = B
+    n_blocks = 1
     if not interpret and _fused_vmem_bytes(T_out, D, B, 1) > _VMEM_BUDGET:
-        raise jb.FusionError(
-            "trajectory buffer exceeds the fused kernel's VMEM budget "
-            "(T x D x B too large)")
+        # Batches past the VMEM budget run as sequential grid blocks
+        # (one launch, per-block controller — the conv tier's recipe);
+        # dense output is single-block only.
+        if dense_output:
+            raise jb.FusionError(
+                "dense-output trajectory buffer exceeds the fused "
+                "kernel's VMEM budget (T x D x B too large)")
+        # Grid mode pipelines the per-block output window (double-
+        # buffered), so budget TWO trajectory buffers per block.
+        b_blk = 1024               # multiple of 8*LANE: any pack k <= 8
+        while _fused_vmem_bytes(T_out, D, 2 * b_blk, 2) <= _VMEM_BUDGET:
+            b_blk *= 2
+        if _fused_vmem_bytes(T_out, D, b_blk, 2) > _VMEM_BUDGET:
+            raise jb.FusionError(
+                "even a single 1024-sample block exceeds the fused "
+                "kernel's VMEM budget (T x D too large)")
+        n_blocks = -(-B // b_blk)
+        # Wrap-pad: replicated samples integrate exactly like their
+        # originals (zero-filled fakes could NaN-poison their block's
+        # shared controller).
+        y0 = jnp.pad(y0, ((0, n_blocks * b_blk - B), (0, 0)), mode="wrap")
+        B = y0.shape[0]
 
     plan, consts = jb.build_plan(func, jnp.asarray(t)[0].astype(dtype), y0,
                                  matmul=matmul)
+    if n_blocks > 1 and any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        raise jb.FusionError(
+            "per-sample consts are not block-shardable (grid programs "
+            "replicate const refs); batch exceeds the VMEM budget")
 
     t = t.astype(dtype)
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
@@ -433,18 +479,25 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     # when the plan carries per-sample ('batch'/'bvec') consts, whose
     # packed layout the per-group RHS walk doesn't slice.
     kpack = 1
+    Bb = B // n_blocks
     if not dense_output and not any(
             l[0] in ("batch", "bvec") for l in plan.const_layouts):
-        kpack = _pk.pick_pack(D, B)
-    Bk = B // kpack
-    yT_k = _pk.pack_state(yT, kpack) if kpack > 1 else yT
-    f0_k = _pk.pack_state(f0, kpack) if kpack > 1 else f0
+        kpack = _pk.pick_pack(D, Bb)
+        if n_blocks > 1 and (Bb // kpack) % _LANE:
+            kpack = 1              # grid blocks must stay lane-aligned
+    Lb = Bb // kpack               # per-block lane count
+    Bk = n_blocks * Lb             # total lanes
+    yT_k = _pk.pack_state_blocks(yT, kpack, n_blocks) if kpack > 1 else yT
+    f0_k = _pk.pack_state_blocks(f0, kpack, n_blocks) if kpack > 1 else f0
 
-    BP = _round_up(max(Bk, _LANE), _LANE)
     y0p, f0p = yT_k, f0_k
-    if BP != Bk:
-        y0p = jnp.pad(yT_k, ((0, 0), (0, BP - Bk)))
-        f0p = jnp.pad(f0_k, ((0, 0), (0, BP - Bk)))
+    if n_blocks == 1:
+        BP = _round_up(max(Lb, _LANE), _LANE)
+        if BP != Lb:
+            y0p = jnp.pad(yT_k, ((0, 0), (0, BP - Lb)))
+            f0p = jnp.pad(f0_k, ((0, 0), (0, BP - Lb)))
+    else:
+        BP = Lb                    # lane-aligned by construction
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
 
     dense = None
@@ -475,12 +528,15 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
             safety=safety, ifactor=ifactor, dfactor=dfactor,
             max_steps=(int(max_num_steps) if max_num_steps is not None
                        else 2 ** 31 - 1),
-            interpret=interpret, pack=kpack)
-    if BP != Bk:
-        out = out[:, :, :Bk]
+            interpret=interpret, pack=kpack, n_blocks=n_blocks)
+    if n_blocks > 1:
+        stats = jnp.concatenate(
+            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+    if out.shape[-1] != Bk:
+        out = out[:, :, :Lb]       # single-block lane padding
     if kpack > 1:
-        out = _pk.unpack_state(out, kpack, D)
-    ys = jnp.transpose(out, (0, 2, 1))           # [T, B, D]
+        out = _pk.unpack_state_blocks(out, kpack, D, n_blocks)
+    ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]      # [T, B, D]
     if squeeze:
         ys = ys[:, 0]
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])

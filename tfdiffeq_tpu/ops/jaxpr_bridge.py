@@ -809,13 +809,14 @@ import functools                                           # noqa: E402
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
-                     "max_steps", "emit_dense", "interpret", "pack"))
+                     "max_steps", "emit_dense", "interpret", "pack",
+                     "n_blocks"))
 def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
                rtol, atol, sign, f0: Array, *, method: str = "dopri5",
                safety: float = 0.9, ifactor: float = 10.0,
                dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                emit_dense: int = 0, interpret: bool = False,
-               pack: int = 1):
+               pack: int = 1, n_blocks: int = 1):
     """Whole-solve fused adaptive RK over a FusedPlan RHS: the plan is
     interpreted inside ONE Pallas kernel launch (same engine as
     pallas_kernels.mlp_solve; plan is a static arg, so equal-structure
@@ -825,8 +826,10 @@ def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
     `pack_consts`. With pack=k > 1 the caller has sublane-packed y0/f0 to
     [k*D, B/k] (pallas_kernels.pack_state) and the plan RHS runs
     per-group; outputs stay in the packed layout for the caller to
-    unpack. Returns (out [T, D, B], stats [4] int32), plus (meta [S, 3],
-    coeffs [5*S, D, B]) when emit_dense=S (see whole_solve_call).
+    unpack. n_blocks > 1 runs lane blocks as sequential grid programs
+    (per-block controller; stats come back [n_blocks, 4] — see
+    whole_solve_call). Returns (out [T, D, B], stats), plus (meta [S, 3],
+    coeffs [5*S, D, B]) when emit_dense=S.
     """
     from . import tableaus as _tabs
     from .pallas_kernels import packed_make_f, whole_solve_call
@@ -839,5 +842,6 @@ def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
         make_f, list(consts_packed),
         y0, tau, dt0, rtol, atol, sign, f0, tab=tab, safety=safety,
         ifactor=ifactor, dfactor=dfactor, max_steps=int(max_steps),
-        B_true=plan.batch // int(pack), interpret=interpret,
-        emit_dense=int(emit_dense))
+        B_true=plan.batch // (int(pack) * int(n_blocks)),
+        interpret=interpret,
+        emit_dense=int(emit_dense), n_blocks=int(n_blocks))

@@ -42,6 +42,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -213,6 +214,30 @@ def unpack_state(x, k: int, D: int):
     x = x.reshape(*lead, k, D, Bk)
     x = jnp.moveaxis(x, -3, -2)
     return x.reshape(*lead, D, k * Bk)
+
+
+def pack_state_blocks(x, k: int, n_blocks: int):
+    """[D, B] -> [k*D, n_blocks * (B/n/k)]: lane-contiguous blocks, each
+    sublane-packed independently (grid programs own one block each).
+
+    Derivation: input lane = i*Bb + g*Lb + j (block i, sample-group g,
+    position j); output (row g*D + d, lane i*Lb + j)."""
+    D, B = x.shape
+    Bb = B // n_blocks
+    Lb = Bb // k
+    xs = x.reshape(D, n_blocks, k, Lb)
+    xs = jnp.transpose(xs, (2, 0, 1, 3))         # [k, D, n_blocks, Lb]
+    return xs.reshape(k * D, n_blocks * Lb)
+
+
+def unpack_state_blocks(x, k: int, D: int, n_blocks: int):
+    """Inverse of pack_state_blocks over the trailing two axes."""
+    lead = x.shape[:-2]
+    L = x.shape[-1]
+    Lb = L // n_blocks
+    xb = x.reshape(*lead, k, D, n_blocks, Lb)
+    xb = jnp.moveaxis(xb, -4, -2)                # [..., D, n_blocks, k, Lb]
+    return xb.reshape(*lead, D, n_blocks * k * Lb)
 
 
 def packed_make_f(make_f, k: int, D: int):
@@ -777,7 +802,8 @@ def padded_mlp_f(warrays, dims, y: Array, activation: str,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "time_input", "rhs", "method", "safety", "ifactor",
-                     "dfactor", "max_steps", "matmul", "interpret", "pack"))
+                     "dfactor", "max_steps", "matmul", "interpret", "pack",
+                     "n_blocks"))
 def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               sign, *, f0: Array = None, activation: str = "tanh",
               final_activation: str = "identity", input_power: int = 1,
@@ -785,7 +811,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               method: str = "dopri5", safety: float = 0.9,
               ifactor: float = 10.0, dfactor: float = 0.2,
               max_steps: int = 2 ** 31 - 1, matmul: str = "vpu",
-              interpret: bool = False, pack: str | int = "auto"):
+              interpret: bool = False, pack: str | int = "auto",
+              n_blocks: int = 1):
     """Whole-solve fused adaptive RK for a GENERAL autonomous MLP ODE, one
     kernel launch: every stage evaluation, combine, error norm, controller
     decision and dense-output write runs in-kernel.
@@ -802,6 +829,10 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     in solvers/base.py); f0: optional precomputed signed derivative at
     (tau[0], y0). pack: 'auto' (default) engages sublane packing for
     narrow states (see pick_pack); an int pins the group count (1 = off).
+    n_blocks > 1 (batch must divide, per-block lanes must stay
+    lane-aligned) runs lane blocks as sequential grid programs — one
+    launch, per-block controller; stats are then nfe/acc/rej summed with
+    status = max.
     Returns (out [T, D, B], stats [4] int32: nfe/accepted/rejected/status).
     Status: 0 OK, 1 MAX_STEPS_REACHED, 2 DT_UNDERFLOW, 3 INVALID_TIMES.
     """
@@ -820,21 +851,29 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
                                  final_activation, input_power,
                                  t=sign * tau[0], time_input=time_input)
 
-    k = pick_pack(D, B) if pack == "auto" else int(pack)
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
+    if n_blocks > 1 and (Bb // k) % _LANE:
+        k = 1                      # grid blocks must stay lane-aligned
     if k > 1:
-        y0 = pack_state(y0, k)
-        f0 = pack_state(f0, k)
-        B = B // k
-    B_true = B
+        y0 = pack_state_blocks(y0, k, n_blocks)
+        f0 = pack_state_blocks(f0, k, n_blocks)
+    Lb = Bb // k                   # per-block lane count
+    B_true = Lb
 
-    # Pad ANY batch up to a full VPU lane multiple (Mosaic needs lane-aligned
-    # vectors; e.g. B=200 would reach the kernel unaligned otherwise); padded
-    # lanes are masked out of the error norm in-kernel.
-    BP = _round_up(max(B, _LANE), _LANE)
-    if BP != B:
-        y0 = jnp.pad(y0, ((0, 0), (0, BP - B)))
-        f0 = jnp.pad(f0, ((0, 0), (0, BP - B)))
-        B = BP
+    if n_blocks == 1:
+        # Pad ANY batch up to a full VPU lane multiple (Mosaic needs
+        # lane-aligned vectors); padded lanes are masked out of the error
+        # norm in-kernel.
+        BP = _round_up(max(Lb, _LANE), _LANE)
+        if BP != Lb:
+            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
+            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
+    elif Lb % _LANE:
+        raise ValueError(f"grid block lanes {Lb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
 
     if rhs == "mlp":
         def make_f(wrefs):
@@ -852,18 +891,23 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     out, stats = whole_solve_call(
         make_f, warrays, y0, tau, dt0, rtol, atol, sign, f0, tab=tab,
         safety=safety, ifactor=ifactor, dfactor=dfactor,
-        max_steps=int(max_steps), B_true=B_true, interpret=interpret)
-    if B != B_true:
-        out = out[:, :, :B_true]
+        max_steps=int(max_steps), B_true=B_true, interpret=interpret,
+        n_blocks=n_blocks)
+    if n_blocks > 1:
+        stats = jnp.concatenate(
+            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+    if out.shape[-1] != n_blocks * Lb:
+        out = out[:, :, :Lb]       # single-block lane padding
     if k > 1:
-        out = unpack_state(out, k, D)
+        out = unpack_state_blocks(out, k, D, n_blocks)
     return out, stats
 
 
 def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                      atol, sign, f0, *, tab, safety: float, ifactor: float,
                      dfactor: float, max_steps: int, B_true: int,
-                     interpret: bool, emit_dense: int = 0):
+                     interpret: bool, emit_dense: int = 0,
+                     n_blocks: int = 1):
     """Shared pallas_call plumbing for whole-solve kernels.
 
     y0/f0: [D, B] feature-major with B already lane-padded; aux_arrays:
@@ -872,6 +916,14 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
     and max_steps <= S so the cursor cannot overflow) additionally the
     per-accepted-step interpolants (meta [S, 3] = (t0, t1, dt) rows with
     +inf t1 tail, coeffs [5*S, D, B]).
+
+    n_blocks > 1: y0/f0 lanes hold n_blocks equal slices and each slice
+    runs as a SEQUENTIAL GRID PROGRAM in the same launch — its own [D,
+    B/n] state, scratch, and step controller, weights replicated via
+    index maps (the conv tier's recipe, ops/pallas_conv.py; bounds the
+    per-program VMEM trajectory buffer for batches past the budget).
+    B_true is then the per-block true lane count and stats come back
+    [n_blocks, 4]. Incompatible with emit_dense.
     """
     D, B = y0.shape
     T = int(tau.shape[0])
@@ -885,48 +937,81 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
     if emit_dense and int(max_steps) > int(emit_dense):
         raise ValueError("emit_dense buffer smaller than max_steps "
                          "(accepted steps could overflow it)")
+    if emit_dense and n_blocks > 1:
+        raise ValueError("emit_dense is single-block only")
+    if B % n_blocks:
+        raise ValueError(f"lane count {B} not divisible by n_blocks "
+                         f"{n_blocks}")
+    NB = B // n_blocks
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
                                 int(max_steps), float(D * B_true), B_true,
                                 make_f, len(aux_arrays),
+                                per_block_io=n_blocks > 1,
                                 emit_dense=int(emit_dense))
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    out_shape = [jax.ShapeDtypeStruct((T, D, B), dtype),
-                 jax.ShapeDtypeStruct((1, 4), jnp.int32)]
-    out_specs = [vmem, smem_t]
-    if emit_dense:
-        S = int(emit_dense)
-        out_shape += [jax.ShapeDtypeStruct((S, 3), dtype),
-                      jax.ShapeDtypeStruct((5 * S, D, B), dtype)]
-        out_specs += [vmem, vmem]
-
     tau = tau.astype(dtype)
     valid = (jnp.all(jnp.diff(tau) > 0) if T > 1
              else jnp.asarray(True)).astype(jnp.int32)
-    res = pl.pallas_call(
+    # dt0: per-block row (each grid program reads column program_id) or a
+    # broadcast scalar.
+    dt0 = jnp.broadcast_to(jnp.asarray(dt0, dtype).reshape(-1),
+                           (n_blocks,)).reshape(1, n_blocks)
+    scalar_ins = (tau.reshape(1, T), dt0,
+                  jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+                  jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+                  jnp.reshape(dt_min, (1, 1)),
+                  jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+                  jnp.reshape(valid, (1, 1)))
+    scratch = [pltpu.VMEM((D, NB), dtype)] * 3
+
+    if n_blocks == 1:
+        out_shape = [jax.ShapeDtypeStruct((T, D, B), dtype),
+                     jax.ShapeDtypeStruct((1, 4), jnp.int32)]
+        out_specs = [vmem, smem_t]
+        if emit_dense:
+            S = int(emit_dense)
+            out_shape += [jax.ShapeDtypeStruct((S, 3), dtype),
+                          jax.ShapeDtypeStruct((5 * S, D, B), dtype)]
+            out_specs += [vmem, vmem]
+        res = pl.pallas_call(
+            kernel,
+            in_specs=[smem_t] * 7 + [vmem] * (2 + len(aux_arrays)),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*scalar_ins, y0, f0, *aux_arrays)
+        if emit_dense:
+            out, stats, meta, dcoef = res
+            return out, stats[0], meta, dcoef
+        out, stats = res
+        return out, stats[0]
+
+    # Sequential grid over lane blocks (one launch; scratch reused
+    # program-to-program since TPU grids run sequentially).
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    out, stats = pl.pallas_call(
         kernel,
-        in_specs=[smem_t] * 7 + [vmem] * (2 + len(aux_arrays)),
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((D, B), dtype),
-                        pltpu.VMEM((D, B), dtype),
-                        pltpu.VMEM((D, B), dtype)],
+        grid=(n_blocks,),
+        in_specs=([smem_t] * 7 + [state_spec, state_spec]
+                  + [rep(np.shape(w)) for w in aux_arrays]),
+        out_specs=[out_spec, smem_t],
+        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                   jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(tau.reshape(1, T),
-      jnp.reshape(jnp.asarray(dt0, dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
-      jnp.reshape(dt_min, (1, 1)),
-      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
-      jnp.reshape(valid, (1, 1)),
-      y0, f0, *aux_arrays)
-    if emit_dense:
-        out, stats, meta, dcoef = res
-        return out, stats[0], meta, dcoef
-    out, stats = res
-    return out, stats[0]
+    )(*scalar_ins, y0, f0, *aux_arrays)
+    return out, stats
 
 
 def dopri5_mlp_solve(params: dict, y0: Array, tau: Array, dt0: Array,
