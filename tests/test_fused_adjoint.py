@@ -135,6 +135,41 @@ def test_fused_adjoint_packed_batch_gradients():
         assert d / m < 1e-3, (d, m)
 
 
+def test_adjoint_grid_blocks_match():
+    """mlp_adjoint_solve(n_blocks=2): the backward sweep runs as two
+    sequential grid programs whose parameter-cotangent quadratures
+    accumulate into REVISITED output windows — results must match the
+    single-block kernel to roundoff."""
+    from tfdiffeq_tpu.ops.pallas_adjoint import mlp_adjoint_solve
+    from tfdiffeq_tpu.ops.pallas_kernels import mlp_solve, pad_mlp_weights
+
+    w = _weights(seed=10, dims=(2, 16, 2))
+    warr, dims = pad_mlp_weights(w, jnp.float32)
+    y0 = jnp.asarray(np.random.RandomState(11).randn(512, 2),
+                     jnp.float32).T
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    kw = dict(activation="tanh", final_activation="identity",
+              input_power=1, interpret=True)
+    ys, _ = mlp_solve(warr, dims, y0, t, jnp.float32(0.05), 1e-6, 1e-8,
+                      1.0, **kw)
+    g = jnp.asarray(np.random.RandomState(12).randn(*ys.shape),
+                    jnp.float32) * 0.1
+
+    def run(nb):
+        return mlp_adjoint_solve(warr, dims, ys, g, t, jnp.float32(0.05),
+                                 1e-6, 1e-8, 1.0, n_blocks=nb, **kw)
+
+    a1, aw1, at1, s1 = run(1)
+    a2, aw2, at2, s2 = run(2)
+    assert s2.shape == (4,) and int(s2[3]) == 0
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=2e-6)
+    for (dW1, db1), (dW2, db2) in zip(aw1, aw2):
+        np.testing.assert_allclose(np.asarray(dW2), np.asarray(dW1),
+                                   rtol=0, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(db2), np.asarray(db1),
+                                   rtol=0, atol=5e-6)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("method", ["bosh3", "tsit5"])
 def test_fused_adjoint_other_tableaus(method):

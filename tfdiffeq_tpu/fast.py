@@ -576,17 +576,37 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                  else 2 ** 31 - 1)
 
     # Backward kernel holds ys + g ([T, D, B] each) in VMEM; past the
-    # budget, delegate the whole call to the generic adjoint (identical
-    # semantics, XLA path).
+    # budget, the backward runs as sequential grid blocks (forward grids
+    # via solve_mlp_spec already). Pad samples get wrap-replicated states
+    # (benign dynamics) but ZERO cotangent seeds, so their adjoint stays
+    # identically 0 and contributes nothing to the weight quadratures.
+    # Only when even a single 1024-sample block cannot fit does the
+    # generic adjoint take over.
     y0_arr = jnp.asarray(y0)
     t_arr = jnp.asarray(t)
+    adj_blocks, adj_bpad = 1, 0
     if (not interp_flag and t_arr.ndim >= 1 and _fused_vmem_bytes(
             int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 2)
             > _VMEM_BUDGET):
+        T_chk, D_chk = int(t_arr.shape[0]), y0_arr.shape[1]
+        B_chk = y0_arr.shape[0]
+        # ys AND g windows are pipelined (double-buffered) per block:
+        # budget four trajectory buffers.
+        b_blk = 1024
+        while _fused_vmem_bytes(T_chk, D_chk, 2 * b_blk, 4) <= _VMEM_BUDGET:
+            b_blk *= 2
+        if _fused_vmem_bytes(T_chk, D_chk, b_blk, 4) <= _VMEM_BUDGET:
+            adj_blocks = -(-B_chk // b_blk)
+            adj_bpad = adj_blocks * b_blk - B_chk
+    if adj_blocks == 1 and (
+            not interp_flag and t_arr.ndim >= 1 and _fused_vmem_bytes(
+                int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 2)
+            > _VMEM_BUDGET):
         import warnings
         warnings.warn(
-            "odeint_adjoint_mlp: T x D x B exceeds the adjoint kernel's "
-            "VMEM budget; falling back to the generic odeint_adjoint",
+            "odeint_adjoint_mlp: even a single 1024-sample block exceeds "
+            "the adjoint kernel's VMEM budget (T x D too large); falling "
+            "back to the generic odeint_adjoint",
             stacklevel=2)
         from .adjoint import odeint_adjoint as _generic_adjoint
         fb_options = {}
@@ -658,6 +678,11 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             # controller converges within a few attempts either way.
             dt0 = 0.1 * jnp.abs(tau[-1] - tau[-2]).astype(dtype)
 
+        if adj_blocks > 1:
+            B_true_adj = ysT.shape[-1]
+            ysT = jnp.pad(ysT, ((0, 0), (0, 0), (0, adj_bpad)),
+                          mode="wrap")
+            gT = jnp.pad(gT, ((0, 0), (0, 0), (0, adj_bpad)))
         warrays, dims = pad_mlp_weights(weights_, dtype)
         ay0, aws, at_q, bstats = mlp_adjoint_solve(
             warrays, dims, ysT, gT, tau, dt0, adjoint_rtol, adjoint_atol,
@@ -666,7 +691,9 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             input_power=spec.input_power, method=adjoint_method,
             max_steps=max_steps, seminorm=adjoint_seminorm,
             matmul=spec.matmul, time_input=spec.time_input,
-            interpret=interp_flag)
+            interpret=interp_flag, n_blocks=adj_blocks)
+        if adj_blocks > 1:
+            ay0 = ay0[:, :B_true_adj]
         emit_bwd(nfe_meter, bstats[0], bstats[1])
         ts_bar = jnp.concatenate(
             [(at_q.astype(t_.dtype) - jnp.sum(t_bars[1:]))[None],
@@ -773,13 +800,32 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         raise jb.FusionError("fused adjoint needs >= 2 observation times")
 
     # Backward kernel holds ys + g ([T, D, B] each) in VMEM; past the
-    # budget, delegate to the generic adjoint (identical semantics).
+    # budget, both kernels run as sequential grid blocks (ys/g windows
+    # are pipelined per block: budget FOUR trajectory buffers). Pad
+    # samples wrap-replicate (benign dynamics); their cotangent seeds are
+    # the zeros that the output slice's transpose injects, so they
+    # contribute nothing to the const quadratures. Only when even a
+    # single 1024-sample block cannot fit does the generic adjoint take
+    # over.
+    n_blocks, B_user = 1, B
     if (not interp_flag
+            and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET):
+        b_blk = 1024
+        while _fused_vmem_bytes(T_out, D, 2 * b_blk, 4) <= _VMEM_BUDGET:
+            b_blk *= 2
+        if _fused_vmem_bytes(T_out, D, b_blk, 4) <= _VMEM_BUDGET:
+            n_blocks = -(-B // b_blk)
+            y0c = jnp.pad(y0c, ((0, n_blocks * b_blk - B), (0, 0)),
+                          mode="wrap")
+            B = y0c.shape[0]
+    if n_blocks == 1 and (
+            not interp_flag
             and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET):
         import warnings
         warnings.warn(
-            "odeint_adjoint_fused: T x D x B exceeds the adjoint kernel's "
-            "VMEM budget; falling back to the generic odeint_adjoint",
+            "odeint_adjoint_fused: even a single 1024-sample block "
+            "exceeds the adjoint kernel's VMEM budget (T x D too large); "
+            "falling back to the generic odeint_adjoint",
             stacklevel=2)
         from .adjoint import odeint_adjoint as _generic_adjoint
         fb_options = {}
@@ -812,17 +858,26 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         lambda tt, yy: user_func(tt, yy, params_in), t_arr[0], y0c,
         matmul=matmul)
     check_plan_adjoint(plan)
+    if n_blocks > 1 and any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        raise jb.FusionError(
+            "per-sample consts are not block-shardable (grid programs "
+            "replicate const refs); batch exceeds the VMEM budget")
     BP = _round_up(max(B, _LANE), _LANE)
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
     # Sublane-pack the FORWARD solve for narrow states (the backward
-    # adjoint kernel runs unpacked). Safe only without per-sample consts:
-    # their packed layout is lane-width-dependent, and the per-group RHS
-    # walk doesn't slice them.
+    # adjoint kernel packs on its own). Safe only without per-sample
+    # consts: their packed layout is lane-width-dependent, and the
+    # per-group RHS walk doesn't slice them.
     kpack = 1
+    Bb_f = B // n_blocks
     if not any(l[0] in ("batch", "bvec") for l in plan.const_layouts):
-        kpack = _pk.pick_pack(D, B)
-    Bk = B // kpack
-    BPk = _round_up(max(Bk, _LANE), _LANE)
+        kpack = _pk.pick_pack(D, Bb_f)
+        if n_blocks > 1 and (Bb_f // kpack) % _LANE:
+            kpack = 1
+    Lb_f = Bb_f // kpack           # per-block lane count (forward)
+    Bk = n_blocks * Lb_f           # total lanes (forward)
+    BPk = _round_up(max(Lb_f, _LANE), _LANE) if n_blocks == 1 else Lb_f
 
     def _f_eval(packed_, tt, yT):
         """Plan RHS at TRUE batch lanes (pads to BP for bvec/batch consts,
@@ -848,17 +903,24 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         else:
             dt0 = jnp.abs(jnp.asarray(first_step, dtype))
             extra_nfe = 1
-        yTk = _pk.pack_state(yT, kpack) if kpack > 1 else yT
-        f0k = _pk.pack_state(f0, kpack) if kpack > 1 else f0
-        y0p = jnp.pad(yTk, ((0, 0), (0, BPk - Bk))) if BPk != Bk else yTk
-        f0p = jnp.pad(f0k, ((0, 0), (0, BPk - Bk))) if BPk != Bk else f0k
+        yTk = (_pk.pack_state_blocks(yT, kpack, n_blocks)
+               if kpack > 1 else yT)
+        f0k = (_pk.pack_state_blocks(f0, kpack, n_blocks)
+               if kpack > 1 else f0)
+        pad_f = n_blocks * BPk - yTk.shape[1]
+        y0p = jnp.pad(yTk, ((0, 0), (0, pad_f))) if pad_f else yTk
+        f0p = jnp.pad(f0k, ((0, 0), (0, pad_f))) if pad_f else f0k
         out, stats = jb.plan_solve(
             plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,
             method=method, max_steps=max_steps, interpret=interp_flag,
-            pack=kpack)
-        out = out[:, :, :Bk]
+            pack=kpack, n_blocks=n_blocks)
+        if n_blocks > 1:
+            stats = jnp.concatenate(
+                [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+        if out.shape[-1] != Bk:
+            out = out[:, :, :Lb_f]
         if kpack > 1:
-            out = _pk.unpack_state(out, kpack, D)
+            out = _pk.unpack_state_blocks(out, kpack, D, n_blocks)
         ys = jnp.transpose(out, (0, 2, 1))                  # [T, B, D]
         st = (stats[0] + extra_nfe, stats[1], stats[2], stats[3])
         emit_fwd(nfe_meter, st[0], st[1])
@@ -898,7 +960,8 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         ay0, dconsts, at_q, bstats = plan_adjoint_solve(
             plan, packed_, ysT, gT, tau, dt0, adjoint_rtol, adjoint_atol,
             sign, method=adjoint_method, max_steps=max_steps,
-            seminorm=adjoint_seminorm, interpret=interp_flag)
+            seminorm=adjoint_seminorm, interpret=interp_flag,
+            n_blocks=n_blocks)
         emit_bwd(nfe_meter, bstats[0], bstats[1])
         ts_bar = jnp.concatenate(
             [(at_q.astype(t_.dtype) - jnp.sum(t_bars[1:]))[None],
@@ -918,6 +981,10 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
 
     _run.defvjp(_vjp_fwd, _vjp_bwd)
     ys, stats = _run(packed, y0c, t_arr)
+    if n_blocks > 1:
+        # Slice off the wrap-pad rows; the slice's transpose seeds their
+        # cotangents with exact zeros, so pad samples never contribute.
+        ys = ys[:, :B_user]
     if squeeze:
         ys = ys[:, 0]
     if return_stats:

@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_kernels import (_ACTIVATION_GRAD2, _ACTIVATION_GRADS,
                              _ACTIVATIONS, _LANE, _controller_factor,
                              _input_transform, _layer_uses_mxu, _pad_rows,
-                             _round_up, pick_pack, unpack_state)
+                             _round_up, pick_pack, unpack_state,
+                             unpack_state_blocks)
 
 Array = jax.Array
 
@@ -61,6 +62,17 @@ def pack_traj(x: Array, k: int) -> Array:
     T, D, B = x.shape
     return x.reshape(T, D, k, B // k).swapaxes(1, 2).reshape(
         T, k * D, B // k)
+
+
+def pack_traj_blocks(x: Array, k: int, n_blocks: int) -> Array:
+    """[T, D, B] -> [T, k*D, n_blocks*(B/n/k)]: pack_state_blocks over the
+    trailing axes (lane-contiguous grid blocks, each packed on its own)."""
+    T, D, B = x.shape
+    Bb = B // n_blocks
+    Lb = Bb // k
+    xs = x.reshape(T, D, n_blocks, k, Lb)
+    xs = jnp.transpose(xs, (0, 3, 1, 2, 4))      # [T, k, D, n, Lb]
+    return xs.reshape(T, k * D, n_blocks * Lb)
 
 
 def packed_aug_factory(base_factory, k: int, D: int):
@@ -402,7 +414,8 @@ def _make_cnf_aug_eval(wrefs, dims, activation: str):
 def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                          dfactor: float, max_steps: int, denom: float,
                          B_true: int, aug_factory, n_in: int, n_acc: int,
-                         seminorm: bool, time_input: bool = False):
+                         seminorm: bool, time_input: bool = False,
+                         per_block_io: bool = False):
     """Kernel: the full backward sweep. Ref layout (inputs then outputs then
     scratch):
 
@@ -430,6 +443,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         stats_ref = refs[9 + n_in + n_acc]
         at_ref = refs[10 + n_in + n_acc]
         y_s, ay_s, cy_s, cay_s = refs[11 + n_in + n_acc:]
+        pid = pl.program_id(0) if per_block_io else 0
 
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
@@ -451,8 +465,18 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                 kat = jnp.zeros((), y.dtype)
             return ky, kay, kws, kat
 
-        for r in awrefs:
-            r[:] = jnp.zeros_like(r)
+        if per_block_io:
+            # Grid mode: the parameter-cotangent accumulators are
+            # revisited output windows shared by every sequential grid
+            # program (the standard Pallas reduction idiom) — zero them
+            # once, then every block's quadrature adds in.
+            @pl.when(pid == 0)
+            def _():
+                for r in awrefs:
+                    r[:] = jnp.zeros_like(r)
+        else:
+            for r in awrefs:
+                r[:] = jnp.zeros_like(r)
         ay_s[:] = jnp.zeros_like(ay_s)
 
         def interval_body(ii, carry):
@@ -593,17 +617,17 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
             return dt, at, nfe, nacc, nrej, status
 
         status0 = jnp.int32(0)
-        carry0 = (dt0_ref[0, 0], jnp.zeros((), ys_ref.dtype), jnp.int32(0),
-                  jnp.int32(0), jnp.int32(0), status0)
+        carry0 = (dt0_ref[0, pid], jnp.zeros((), ys_ref.dtype),
+                  jnp.int32(0), jnp.int32(0), jnp.int32(0), status0)
         dt, at, nfe, nacc, nrej, status = jax.lax.fori_loop(
             0, T - 1, interval_body, carry0)
 
         ay0_ref[:] = ay_s[:] + g_ref[pl.ds(0, 1)][0]
-        at_ref[0, 0] = at
-        stats_ref[0, 0] = nfe
-        stats_ref[0, 1] = nacc
-        stats_ref[0, 2] = nrej
-        stats_ref[0, 3] = status
+        at_ref[0, pid] = at
+        stats_ref[pid, 0] = nfe
+        stats_ref[pid, 1] = nacc
+        stats_ref[pid, 2] = nrej
+        stats_ref[pid, 3] = status
 
     return kernel
 
@@ -613,7 +637,7 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "method", "safety", "ifactor", "dfactor", "max_steps",
                      "seminorm", "matmul", "time_input", "rhs", "interpret",
-                     "pack"))
+                     "pack", "n_blocks"))
 def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       dt0: Array, rtol, atol, sign, *,
                       activation: str = "tanh",
@@ -623,7 +647,8 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                       dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                       seminorm: bool = False, matmul: str = "vpu",
                       time_input: bool = False, rhs: str = "mlp",
-                      interpret: bool = False, pack: str | int = "auto"):
+                      interpret: bool = False, pack: str | int = "auto",
+                      n_blocks: int = 1):
     """Fused adjoint backward sweep, one kernel launch.
 
     warrays/dims: padded weights (`pad_mlp_weights`). ys, g: [T, D, B]
@@ -655,18 +680,27 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
         time_input = True          # concat-t flow; a_t quadrature applies
 
     D_state = D
-    kpk = _adjoint_pack(pack, D, B)
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    if n_blocks > 1 and Bb % _LANE:
+        raise ValueError(f"grid block lanes {Bb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
+    kpk = _adjoint_pack(pack, D, Bb)
+    if n_blocks > 1 and (Bb // kpk) % _LANE:
+        kpk = 1                    # grid blocks must stay lane-aligned
     if kpk > 1:
-        ys = pack_traj(ys, kpk)
-        g = pack_traj(g, kpk)
+        ys = pack_traj_blocks(ys, kpk, n_blocks)
+        g = pack_traj_blocks(g, kpk, n_blocks)
         T, D, B = ys.shape
 
-    B_true = B
-    BP = _round_up(max(B, _LANE), _LANE)
-    if BP != B:
-        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
-        g = jnp.pad(g, ((0, 0), (0, 0), (0, BP - B)))
-        B = BP
+    B_true = B // n_blocks         # per-block true lanes
+    if n_blocks == 1:
+        BP = _round_up(max(B, _LANE), _LANE)
+        if BP != B:
+            ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, BP - B)))
+            B = BP
 
     sigma = (-tau).astype(dtype)          # backward sweeps integrate up
     dt_min = (4.0 * jnp.finfo(dtype).eps
@@ -695,10 +729,12 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), denom, B_true,
                                   aug_factory, 2 * L, 2 * L,
-                                  seminorm, time_input)
+                                  seminorm, time_input,
+                                  per_block_io=n_blocks > 1)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    NB = B // n_blocks
 
     out_shape = [jax.ShapeDtypeStruct((D, B), dtype)]
     for l in range(L):
@@ -706,30 +742,65 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
             jax.ShapeDtypeStruct(warrays[2 * l].shape, dtype))
         out_shape.append(
             jax.ShapeDtypeStruct(warrays[2 * l + 1].shape, dtype))
-    out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
-    out_shape.append(jax.ShapeDtypeStruct((1, 1), dtype))
+    out_shape.append(jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32))
+    out_shape.append(jax.ShapeDtypeStruct((1, n_blocks), dtype))
+
+    scalar_ins = (
+        sigma.reshape(1, T),
+        jnp.broadcast_to(jnp.asarray(dt0, dtype).reshape(-1),
+                         (n_blocks,)).reshape(1, n_blocks),
+        jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+        jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+        jnp.reshape(dt_min, (1, 1)),
+        jnp.reshape(jnp.asarray(sign, dtype), (1, 1)))
+    scratch = [pltpu.VMEM((D, NB), dtype)] * 4
+
+    if n_blocks == 1:
+        in_specs = [smem_t] * 6 + [vmem] * (2 + 2 * L)
+        out_specs = [vmem] * (1 + 2 * L) + [smem_t, smem_t]
+        grid_kw = {}
+    else:
+        # Sequential grid over lane blocks: block-sliced ys/g/ay0,
+        # replicated weights, and REVISITED parameter-cotangent windows
+        # that accumulate across programs (zeroed at program 0).
+        def rep(shape):
+            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        traj_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        ay0_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        in_specs = ([smem_t] * 6 + [traj_spec, traj_spec]
+                    + [rep(w.shape) for w in warrays])
+        out_specs = ([ay0_spec]
+                     + [rep(w.shape) for w in warrays]
+                     + [smem_t, smem_t])
+        grid_kw = {"grid": (n_blocks,)}
 
     res = pl.pallas_call(
         kernel,
-        in_specs=[smem_t] * 6 + [vmem] * (2 + 2 * L),
-        out_specs=[vmem] * (1 + 2 * L) + [smem_t, smem_t],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((D, B), dtype)] * 4,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(sigma.reshape(1, T),
-      jnp.reshape(dt0.astype(dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
-      jnp.reshape(dt_min, (1, 1)),
-      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
-      ys, g, *warrays)
+        **grid_kw,
+    )(*scalar_ins, ys, g, *warrays)
 
     ay0 = res[0]
     aws = [(res[1 + 2 * l], res[2 + 2 * l]) for l in range(L)]
-    stats = res[1 + 2 * L][0]
-    at = res[2 + 2 * L][0, 0]
-    if B != B_true:
-        ay0 = ay0[:, :B_true]
+    st = res[1 + 2 * L]
+    at_row = res[2 + 2 * L]
+    if n_blocks == 1:
+        stats = st[0]
+        at = at_row[0, 0]
+        if B != B_true:
+            ay0 = ay0[:, :B_true]
+    else:
+        stats = jnp.concatenate(
+            [jnp.sum(st[:, :3], axis=0), st[:, 3:4].max(axis=0)])
+        at = jnp.sum(at_row)
     if kpk > 1:
-        ay0 = unpack_state(ay0, kpk, D_state)
+        ay0 = unpack_state_blocks(ay0, kpk, D_state, n_blocks)
     return ay0, aws, at, stats

@@ -397,13 +397,15 @@ def _true_elems(plan: FusedPlan) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
-                     "max_steps", "seminorm", "interpret", "pack"))
+                     "max_steps", "seminorm", "interpret", "pack",
+                     "n_blocks"))
 def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
                        tau: Array, dt0: Array, rtol, atol, sign, *,
                        method: str = "dopri5", safety: float = 0.9,
                        ifactor: float = 10.0, dfactor: float = 0.2,
                        max_steps: int = 2 ** 31 - 1, seminorm: bool = False,
-                       interpret: bool = False, pack: str | int = "auto"):
+                       interpret: bool = False, pack: str | int = "auto",
+                       n_blocks: int = 1):
     """Fused adjoint backward sweep for a jaxpr-bridge plan, one kernel.
 
     consts_packed: tuple from `pack_consts` (BP = lane-padded batch).
@@ -419,8 +421,8 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
     """
     from . import tableaus as _tabs
     from .pallas_adjoint import (_adjoint_pack, _make_adjoint_kernel,
-                                 pack_traj, packed_aug_factory)
-    from .pallas_kernels import unpack_state
+                                 pack_traj_blocks, packed_aug_factory)
+    from .pallas_kernels import unpack_state_blocks
 
     tab = _tabs.TABLEAUS_BY_NAME[method]
     T, D, B = ys.shape
@@ -428,24 +430,36 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
 
     if B != plan.batch:
         raise ValueError(f"ys batch {B} != plan batch {plan.batch}")
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    if n_blocks > 1 and Bb % _LANE:
+        raise ValueError(f"grid block lanes {Bb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
+    if n_blocks > 1 and any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        raise ValueError("per-sample consts are not block-shardable")
 
     # Sublane packing (see pallas_adjoint._adjoint_pack): skipped for
     # plans with per-sample consts — their cotangent blocks are
     # lane-resolved at the FULL batch width.
     kpk = 1
     if not any(l[0] in ("batch", "bvec") for l in plan.const_layouts):
-        kpk = _adjoint_pack(pack, D, B)
+        kpk = _adjoint_pack(pack, D, Bb)
+    if n_blocks > 1 and (Bb // kpk) % _LANE:
+        kpk = 1                    # grid blocks must stay lane-aligned
     if kpk > 1:
-        ys = pack_traj(ys, kpk)
-        g = pack_traj(g, kpk)
+        ys = pack_traj_blocks(ys, kpk, n_blocks)
+        g = pack_traj_blocks(g, kpk, n_blocks)
         T, D, B = ys.shape
 
-    B_true = B
-    BP = _round_up(max(B, _LANE), _LANE)
-    if BP != B:
-        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
-        g = jnp.pad(g, ((0, 0), (0, 0), (0, BP - B)))
-        B = BP
+    B_true = B // n_blocks         # per-block true lanes
+    if n_blocks == 1:
+        BP = _round_up(max(B, _LANE), _LANE)
+        if BP != B:
+            ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, BP - B)))
+            B = BP
 
     consts_packed = tuple(jnp.asarray(c, dtype) for c in consts_packed)
     n_c = len(consts_packed)
@@ -468,38 +482,75 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
     kernel = _make_adjoint_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), denom, B_true,
                                   aug_factory, n_c, n_c,
-                                  seminorm, time_input)
+                                  seminorm, time_input,
+                                  per_block_io=n_blocks > 1)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    NB = B // n_blocks
 
     out_shape = [jax.ShapeDtypeStruct((D, B), dtype)]
     for c in consts_packed:
         out_shape.append(jax.ShapeDtypeStruct(c.shape, dtype))
-    out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
-    out_shape.append(jax.ShapeDtypeStruct((1, 1), dtype))
+    out_shape.append(jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32))
+    out_shape.append(jax.ShapeDtypeStruct((1, n_blocks), dtype))
+
+    scalar_ins = (
+        sigma.reshape(1, T),
+        jnp.broadcast_to(jnp.asarray(dt0, dtype).reshape(-1),
+                         (n_blocks,)).reshape(1, n_blocks),
+        jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+        jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+        jnp.reshape(dt_min, (1, 1)),
+        jnp.reshape(jnp.asarray(sign, dtype), (1, 1)))
+    scratch = [pltpu.VMEM((D, NB), dtype)] * 4
+
+    if n_blocks == 1:
+        in_specs = [smem_t] * 6 + [vmem] * (2 + n_c)
+        out_specs = [vmem] * (1 + n_c) + [smem_t, smem_t]
+        grid_kw = {}
+    else:
+        # Sequential grid over lane blocks: block-sliced ys/g/ay0,
+        # replicated consts, REVISITED cotangent windows accumulating
+        # across programs (zeroed at program 0).
+        def rep(shape):
+            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        traj_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        ay0_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        in_specs = ([smem_t] * 6 + [traj_spec, traj_spec]
+                    + [rep(c.shape) for c in consts_packed])
+        out_specs = ([ay0_spec]
+                     + [rep(c.shape) for c in consts_packed]
+                     + [smem_t, smem_t])
+        grid_kw = {"grid": (n_blocks,)}
 
     res = pl.pallas_call(
         kernel,
-        in_specs=[smem_t] * 6 + [vmem] * (2 + n_c),
-        out_specs=[vmem] * (1 + n_c) + [smem_t, smem_t],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((D, B), dtype)] * 4,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(sigma.reshape(1, T),
-      jnp.reshape(dt0.astype(dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
-      jnp.reshape(dt_min, (1, 1)),
-      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
-      ys, g, *consts_packed)
+        **grid_kw,
+    )(*scalar_ins, ys, g, *consts_packed)
 
     ay0 = res[0]
     dconsts = list(res[1:1 + n_c])
-    stats = res[1 + n_c][0]
-    at = res[2 + n_c][0, 0]
-    if B != B_true:
-        ay0 = ay0[:, :B_true]
+    st = res[1 + n_c]
+    at_row = res[2 + n_c]
+    if n_blocks == 1:
+        stats = st[0]
+        at = at_row[0, 0]
+        if B != B_true:
+            ay0 = ay0[:, :B_true]
+    else:
+        stats = jnp.concatenate(
+            [jnp.sum(st[:, :3], axis=0), st[:, 3:4].max(axis=0)])
+        at = jnp.sum(at_row)
     if kpk > 1:
-        ay0 = unpack_state(ay0, kpk, plan.dim)
+        ay0 = unpack_state_blocks(ay0, kpk, plan.dim, n_blocks)
     return ay0, dconsts, at, stats
