@@ -55,6 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.pallas_adjoint import mlp_adjoint_solve
+from .ops import pallas_fixed as _pf
 from .ops import pallas_kernels as _pk
 from .ops.pallas_kernels import (_ACTIVATIONS, dopri5_mlp_solve,
                                  dopri5_mlp_step, mlp_f, mlp_solve,
@@ -276,19 +277,52 @@ def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int) -> int:
     return 4 * (n_traj_buffers * T * D * BP + 4 * D * BP)
 
 
+def _fixed_grid_tau(tau, t, num_steps, step_size, dtype):
+    """Resolve the fused fixed-grid step grid in TAU-space (mirrors
+    solvers/fixed_grid.build_grid_from_options: num_steps works under
+    jit, step_size needs concrete t for a static grid length; default
+    grid = the requested times themselves)."""
+    if num_steps is not None and step_size is not None:
+        raise ValueError("pass num_steps OR step_size, not both")
+    if num_steps is not None:
+        n = int(num_steps)
+        if n < 1:
+            raise ValueError(f"num_steps must be >= 1, got {n}")
+        return jnp.linspace(tau[0], tau[-1], n + 1).astype(dtype)
+    if step_size is not None:
+        if isinstance(t, jax.core.Tracer):
+            raise ValueError(
+                "step_size needs concrete (non-traced) t so the grid "
+                "length is static under jit; use num_steps instead")
+        t_np = np.asarray(t, np.float64)
+        span = abs(float(t_np[-1] - t_np[0]))
+        n = max(1, int(np.ceil(span / float(step_size) - 1e-12)))
+        return jnp.linspace(tau[0], tau[-1], n + 1).astype(dtype)
+    return tau
+
+
 def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                    atol=1e-8, method: str = "dopri5",
                    interpret: Optional[bool] = None, max_num_steps=None,
-                   first_step=None) -> SolveResult:
-    """Whole-solve fused adaptive RK for a GENERAL autonomous MLP neural
-    ODE (arbitrary depth/width/activation via `MLPSpec` — covers the
+                   first_step=None, num_steps=None,
+                   step_size=None) -> SolveResult:
+    """Whole-solve fused RK for a GENERAL autonomous MLP neural ODE
+    (arbitrary depth/width/activation via `MLPSpec` — covers the
     benchmark tanh-MLP and the latent-ODE ELU dynamics). y0: [B, D]; t may
     increase or decrease (canonicalized like the generic engine,
     solvers/base.py). Returns ys [T, B, D] + stats.
+
+    `method` may be adaptive (dopri5/bosh3/adaptive_heun/tsit5/dopri8 —
+    rtol/atol/first_step/max_num_steps apply) or FIXED-GRID
+    (euler/midpoint/rk4/rk4_38, upstream `tfdiffeq/fixed_grid.py` parity
+    — tolerances are ignored and the step grid defaults to t itself,
+    refinable via `num_steps`/`step_size` exactly like the generic
+    engine's options).
     """
     y0, t = _check_spec_inputs(y0, t)
     interpret = _auto_interpret(interpret)
     dtype = y0.dtype
+    fixed = method in _pf.FIXED_TABLEAUS_BY_NAME
 
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
@@ -316,15 +350,23 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                 "falling back to the generic while-loop engine",
                 stacklevel=2)
             from .odeint import solve as _solve
+            if fixed:
+                fb_options = {
+                    **({"num_steps": num_steps}
+                       if num_steps is not None else {}),
+                    **({"step_size": step_size}
+                       if step_size is not None else {})}
+            else:
+                fb_options = {
+                    "loop": "while",
+                    **({"max_num_steps": max_num_steps}
+                       if max_num_steps is not None else {}),
+                    **({"first_step": first_step}
+                       if first_step is not None else {})}
             return _solve(lambda tt, yy: mlp_apply(spec, weights, yy, tt),
                           y0, t,
                           rtol=rtol, atol=atol, method=method,
-                          options={"loop": "while",
-                                   **({"max_num_steps": max_num_steps}
-                                      if max_num_steps is not None
-                                      else {}),
-                                   **({"first_step": first_step}
-                                      if first_step is not None else {})})
+                          options=fb_options)
         n_blocks = -(-B_orig // b_blk)
         # Pad by REPLICATING samples (wrap mode): pad rows integrate
         # exactly like their originals, so they can never NaN-poison
@@ -333,8 +375,6 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         y0 = jnp.pad(y0, ((0, n_blocks * b_blk - B_orig), (0, 0)),
                      mode="wrap")
 
-    order = tableaus.TABLEAUS_BY_NAME[method].order
-
     t = t.astype(dtype)
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
     tau = sign * t
@@ -342,6 +382,21 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     D, B = yT.shape
 
     f0 = (sign * mlp_apply(spec, weights, y0, t[0]).T).astype(dtype)
+    warrays, dims = pad_mlp_weights(weights, dtype)
+
+    if fixed:
+        grid = _fixed_grid_tau(tau, t, num_steps, step_size, dtype)
+        out, stats = _pf.mlp_solve_fixed(
+            warrays, dims, yT, tau, grid, sign, f0=f0,
+            activation=spec.activation,
+            final_activation=spec.final_activation,
+            input_power=spec.input_power, time_input=spec.time_input,
+            method=method, matmul=spec.matmul, interpret=interpret,
+            n_blocks=n_blocks)
+        ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]  # [T, B, D]
+        return SolveResult(ys, SolverStats(*stats))
+
+    order = tableaus.TABLEAUS_BY_NAME[method].order
     if first_step is None:
         def flat_g(s, yf):
             yb = yf.reshape(D, B).T
@@ -356,7 +411,6 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         dt0 = jnp.abs(jnp.asarray(first_step, dtype))
         extra_nfe = 1
 
-    warrays, dims = pad_mlp_weights(weights, dtype)
     out, stats = mlp_solve(
         warrays, dims, yT, tau, dt0, rtol, atol, sign, f0=f0,
         activation=spec.activation, final_activation=spec.final_activation,
@@ -374,8 +428,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                 method: str = "dopri5", interpret: Optional[bool] = None,
                 max_num_steps=None, first_step=None, matmul: str = "auto",
                 safety: float = 0.9, ifactor: float = 10.0,
-                dfactor: float = 0.2,
-                dense_output: bool = False) -> SolveResult:
+                dfactor: float = 0.2, dense_output: bool = False,
+                num_steps=None, step_size=None) -> SolveResult:
     """Whole-solve fused adaptive RK for ARBITRARY plain-jnp dynamics via
     the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py).
 
@@ -411,10 +465,16 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     interpret = _auto_interpret(interpret)
     dtype = y0.dtype
 
-    if method not in tableaus.TABLEAUS_BY_NAME:
+    fixed = method in _pf.FIXED_TABLEAUS_BY_NAME
+    if not fixed and method not in tableaus.TABLEAUS_BY_NAME:
         raise jb.FusionError(
             f"method {method!r} has no whole-solve tableau (available: "
-            f"{sorted(tableaus.TABLEAUS_BY_NAME)})")
+            f"{sorted(tableaus.TABLEAUS_BY_NAME)} adaptive, "
+            f"{sorted(_pf.FIXED_TABLEAUS_BY_NAME)} fixed-grid)")
+    if fixed and dense_output:
+        raise jb.FusionError(
+            "dense_output applies to adaptive methods only (the generic "
+            "fixed-grid engine has no dense output either)")
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
         res = SolveResult(y0[None], SolverStats(z, z, z, z))
@@ -458,17 +518,19 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
     tau = sign * t
     yT = y0.T                                    # [D, B] feature-major
-    order = tableaus.TABLEAUS_BY_NAME[method].order
 
     f0 = (sign * func(t[0], y0).T).astype(dtype)
-    if first_step is None:
+    if fixed:
+        dt0, extra_nfe = None, 0   # no controller, no initial-step probe
+    elif first_step is None:
         def flat_g(s, yf):
             yb = yf.reshape(D, B).T
             return (sign * func(sign * s, yb).T).ravel()
 
-        dt0 = select_initial_step(flat_g, tau[0], yT.ravel(), f0.ravel(),
-                                  order - 1, jnp.asarray(rtol, dtype),
-                                  jnp.asarray(atol, dtype))
+        dt0 = select_initial_step(
+            flat_g, tau[0], yT.ravel(), f0.ravel(),
+            tableaus.TABLEAUS_BY_NAME[method].order - 1,
+            jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype))
         extra_nfe = 2
     else:
         dt0 = jnp.abs(jnp.asarray(first_step, dtype))
@@ -499,6 +561,25 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     else:
         BP = Lb                    # lane-aligned by construction
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
+
+    if fixed:
+        grid = _fixed_grid_tau(tau, t, num_steps, step_size, dtype)
+        out, stats = _pf.plan_solve_fixed(
+            plan, packed, y0p, tau, grid, sign, f0p, method=method,
+            interpret=interpret, pack=kpack, n_blocks=n_blocks)
+        if n_blocks > 1:
+            # Every block walks the SAME fixed grid: per-solve stats are
+            # block-count-invariant (nfe/steps from block 0, status max).
+            stats = jnp.concatenate(
+                [stats[0, :3], stats[:, 3].max(keepdims=True)])
+        if out.shape[-1] != Bk:
+            out = out[:, :, :Lb]
+        if kpack > 1:
+            out = _pk.unpack_state_blocks(out, kpack, D, n_blocks)
+        ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
+        if squeeze:
+            ys = ys[:, 0]
+        return SolveResult(ys, SolverStats(*stats))
 
     dense = None
     if dense_output:

@@ -90,8 +90,12 @@ def _resolve_tolerance(tol, y0) -> Any:
 _FUSABLE_OPTIONS = frozenset({"first_step", "max_num_steps", "safety",
                               "ifactor", "dfactor", "loop"})
 
+#: fixed-grid options the fused fixed kernel honors (arbitrary
+#: `grid_constructor` callables stay on the generic engine).
+_FUSABLE_FIXED_OPTIONS = frozenset({"step_size", "num_steps"})
 
-def _try_fused(func, y0, t, rtol, atol, method, options):
+
+def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
     """Attempt the jaxpr->Pallas fused solve; None => use the generic
     engine (with a warning naming the reason)."""
     import warnings
@@ -99,7 +103,9 @@ def _try_fused(func, y0, t, rtol, atol, method, options):
     from .ops.jaxpr_bridge import FusionError
 
     try:
-        unsupported = set(options) - _FUSABLE_OPTIONS
+        allowed = (_FUSABLE_OPTIONS if kind == "adaptive"
+                   else _FUSABLE_FIXED_OPTIONS)
+        unsupported = set(options) - allowed
         if unsupported:
             raise FusionError(f"options {sorted(unsupported)} are not "
                               "supported by the fused kernel")
@@ -111,6 +117,11 @@ def _try_fused(func, y0, t, rtol, atol, method, options):
                 raise FusionError("per-leaf tolerance pytrees are not "
                                   "supported by the fused kernel")
         from .fast import solve_fused
+        if kind == "fixed":
+            return solve_fused(
+                func, y0, t, method=method,
+                num_steps=options.get("num_steps"),
+                step_size=options.get("step_size"))
         return solve_fused(
             func, y0, t, rtol=rtol, atol=atol, method=method,
             max_num_steps=options.get("max_num_steps"),
@@ -148,10 +159,11 @@ def solve(
         allowed = ADAPTIVE_OPTIONS
     else:
         allowed = _CUSTOM_ALLOWED.get(method)  # None -> global set
-    if (options or {}).get("fuse") and kind != "adaptive":
+    if (options or {}).get("fuse") and kind not in ("adaptive", "fixed"):
         raise ValueError("options={'fuse': True} requires an adaptive "
-                         "tableau method (dopri5/bosh3/adaptive_heun/"
-                         "tsit5/dopri8)")
+                         "(dopri5/bosh3/adaptive_heun/tsit5/dopri8) or "
+                         "fixed-grid (euler/midpoint/rk4/rk4_38) tableau "
+                         "method")
     options = check_options(options, allowed)
 
     # jaxpr -> Pallas auto-fusion (options={'fuse': True}): compile the
@@ -159,7 +171,8 @@ def solve(
     # fusable primitive subset; anything else falls back to the generic
     # engine below with a warning (fusion never changes semantics).
     if options.pop("fuse", False):
-        res = _try_fused(func, y0, t, rtol, atol, method, options)
+        res = _try_fused(func, y0, t, rtol, atol, method, options,
+                         kind=kind)
         if res is not None:
             return res
 

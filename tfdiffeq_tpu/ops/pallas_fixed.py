@@ -1,0 +1,338 @@
+"""Fixed-grid whole-solve Pallas kernels: euler/midpoint/rk4/rk4_38 as ONE
+kernel launch.
+
+The adaptive whole-solve engine (`pallas_kernels._make_solve_kernel`) pays
+for an error estimate, a step controller and an accept/reject branch on
+every attempt. Fixed-grid methods (upstream `tfdiffeq/fixed_grid.py`,
+SURVEY.md §2/§3.2) need none of that: the step sequence is known at trace
+time, so the in-kernel loop is a plain `fori_loop` over grid intervals —
+deterministic cost, no rejected work, no controller scalars. This is the
+serving tier: rk4 at a fixed step budget runs each step at the raw price
+of its 4 stage evaluations plus the chained end derivative.
+
+Semantics mirror `solvers/fixed_grid.solve_fixed_grid` exactly:
+- grid defaults to the requested times `tau` themselves (the reference's
+  default `grid_constructor`); an explicit grid (from `step_size` /
+  `num_steps` / `grid_constructor`) may be finer, and outputs are then
+  cubic-Hermite-interpolated onto `tau` from the step endpoints using the
+  node derivatives the walk already computed.
+- the end derivative f1 = f(t1, y1) is chained into the next step's first
+  stage, so a step costs exactly `tableau.stages` evaluations
+  (NFE = 1 + stages * (G - 1), upstream parity).
+- state accumulation across steps is Kahan-compensated, matching both the
+  generic fixed-grid scan and the adaptive whole-solve kernel.
+
+Layout contracts (feature-major [D, B], lane-padded batch, sublane
+packing, sequential-grid batch blocks) are shared with
+`pallas_kernels.whole_solve_call`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import (_LANE, _round_up, pack_state_blocks,
+                             packed_make_f, pick_pack, unpack_state_blocks)
+from . import tableaus as _tabs
+
+Array = jax.Array
+
+#: fixed-grid method name -> tableau (the fused fixed tier's registry;
+#: the adaptive registry is tableaus.TABLEAUS_BY_NAME).
+FIXED_TABLEAUS_BY_NAME = {
+    "euler": _tabs.EULER,
+    "midpoint": _tabs.MIDPOINT,
+    "rk4": _tabs.RK4,
+    "rk4_38": _tabs.RK4_38,
+}
+
+
+def _fixed_stage_walk(tab, f, y0, f0, t0, dt):
+    """Stage evaluations and the solution combine for one fixed step
+    (no embedded error estimate). Returns delta with y1 = y0 + delta."""
+    k = [f0]
+    for i in range(1, tab.stages):
+        yi = y0
+        for aij, kj in zip(tab.a[i - 1], k):
+            if aij != 0.0:
+                yi = yi + (dt * aij) * kj
+        k.append(f(t0 + tab.c[i] * dt, yi))
+    delta = None
+    for b, kj in zip(tab.b_sol, k):
+        if b != 0.0:
+            delta = (dt * b) * kj if delta is None else delta + (dt * b) * kj
+    return delta
+
+
+def _make_fixed_solve_kernel(tab, G: int, T: int, make_f, n_wrefs: int,
+                             per_block_io: bool = False):
+    """Whole-solve fixed-grid kernel. Ref layout:
+
+    inputs:  grid [1,G] SMEM, tau [1,T] SMEM, sign [1,1], valid [1,1],
+             y0 [D,B] VMEM, f0 [D,B] VMEM, *wrefs
+    outputs: out [T,D,B] VMEM, stats [n_blocks,4] SMEM
+    scratch: y_s, f_s, comp_s [D,B] VMEM
+
+    grid/tau are CANONICAL (increasing) times; the runtime sign scalar
+    maps them back to user time inside the RHS (tau = sign * t, as in
+    solvers/base.py canonicalize), so one compiled kernel serves both
+    directions.
+    """
+    evals = tab.stages
+
+    def kernel(*refs):
+        (grid_ref, tau_ref, sign_ref, valid_ref, y0_ref, f0_ref) = refs[:6]
+        wrefs = refs[6:6 + n_wrefs]
+        out_ref, stats_ref, y_s, f_s, comp_s = refs[6 + n_wrefs:]
+        pid = pl.program_id(0) if per_block_io else 0
+        sign = sign_ref[0, 0]
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[0] = y0_ref[:]
+        y_s[:] = y0_ref[:]
+        f_s[:] = f0_ref[:]
+        comp_s[:] = jnp.zeros_like(comp_s)
+
+        raw_f = make_f(wrefs)
+
+        def f(s, y):
+            # Canonical dynamics: g(tau, y) = sign * f(sign * tau, y).
+            return sign * raw_f(sign * s, y)
+
+        def body(i, oi):
+            t0 = grid_ref[0, i]
+            t1 = grid_ref[0, i + 1]
+            dt = t1 - t0
+            y0 = y_s[:]
+            f0 = f_s[:]
+            delta = _fixed_stage_walk(tab, f, y0, f0, t0, dt)
+
+            # Kahan-compensated accumulation (matches the generic scan).
+            comp = comp_s[:]
+            adj = delta - comp
+            y1 = y0 + adj
+            comp_s[:] = (y1 - y0) - adj
+            y_s[:] = y1
+
+            # Chained end derivative: next step's first stage AND the
+            # Hermite end slope (upstream NFE parity: stages evals/step).
+            f1 = f(t1, y1)
+            f_s[:] = f1
+
+            # Cubic-Hermite drain of every requested time in (t0, t1]
+            # (output cursor oi — O(outputs) dynamic writes total). The
+            # last interval flushes any roundoff-stranded tail times.
+            df0 = dt * f0
+            df1 = dt * f1
+            cb = 2.0 * (y0 - y1) + df0 + df1
+            cc = 3.0 * (y1 - y0) - 2.0 * df0 - df1
+            last = i == (G - 2)
+
+            def wcond(o):
+                within = tau_ref[0, jnp.minimum(o, T - 1)] <= t1
+                return (o < T) & (within | last)
+
+            def wbody(o):
+                tj = tau_ref[0, o]
+                x = (tj - t0) / dt
+                val = ((cb * x + cc) * x + df0) * x + y0
+                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y1, val)[None]
+                return o + 1
+
+            return jax.lax.while_loop(wcond, wbody, oi)
+
+        # Invalid (non-monotonic) traced times: status 3, output zero
+        # beyond row 0 — same contract as the adaptive kernel.
+        ok = valid_ref[0, 0] != 0
+
+        @pl.when(ok)
+        def _():
+            jax.lax.fori_loop(1, G, lambda i, o: body(i - 1, o),
+                              jnp.int32(1))
+
+        stats_ref[pid, 0] = jnp.where(ok, jnp.int32(1 + evals * (G - 1)),
+                                      jnp.int32(0))
+        stats_ref[pid, 1] = jnp.where(ok, jnp.int32(G - 1), jnp.int32(0))
+        stats_ref[pid, 2] = jnp.int32(0)
+        stats_ref[pid, 3] = jnp.where(ok, jnp.int32(0), jnp.int32(3))
+
+    return kernel
+
+
+def fixed_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
+                     sign, f0, *, tab, interpret: bool, n_blocks: int = 1):
+    """Shared pallas_call plumbing for fixed-grid whole-solve kernels.
+
+    y0/f0: [D, B] feature-major with B already lane-padded; grid/tau:
+    increasing canonical times with grid[0] == tau[0], grid[-1] == tau[-1].
+    n_blocks > 1 runs lane blocks as sequential grid programs (the
+    adaptive tier's recipe — per-block state/scratch, replicated weights);
+    fixed steps make per-block control trivial (identical step sequence),
+    the grid mode exists purely to bound the per-program VMEM trajectory
+    buffer. Returns (out [T, D, B], stats [4] or [n_blocks, 4] int32).
+    """
+    D, B = y0.shape
+    T = int(tau.shape[0])
+    G = int(grid.shape[0])
+    dtype = y0.dtype
+
+    if B % n_blocks:
+        raise ValueError(f"lane count {B} not divisible by n_blocks "
+                         f"{n_blocks}")
+    NB = B // n_blocks
+    kernel = _make_fixed_solve_kernel(tab, G, T, make_f, len(aux_arrays),
+                                      per_block_io=n_blocks > 1)
+
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    tau = tau.astype(dtype)
+    grid = grid.astype(dtype)
+    valid_t = jnp.all(jnp.diff(tau) > 0) if T > 1 else jnp.asarray(True)
+    valid_g = jnp.all(jnp.diff(grid) > 0) if G > 1 else jnp.asarray(True)
+    valid = (valid_t & valid_g).astype(jnp.int32)
+    scalar_ins = (grid.reshape(1, G), tau.reshape(1, T),
+                  jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+                  jnp.reshape(valid, (1, 1)))
+    scratch = [pltpu.VMEM((D, NB), dtype)] * 3
+
+    if n_blocks == 1:
+        out, stats = pl.pallas_call(
+            kernel,
+            in_specs=[smem_t] * 4 + [vmem] * (2 + len(aux_arrays)),
+            out_specs=[vmem, smem_t],
+            out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                       jax.ShapeDtypeStruct((1, 4), jnp.int32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*scalar_ins, y0, f0, *aux_arrays)
+        return out, stats[0]
+
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    out, stats = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=([smem_t] * 4 + [state_spec, state_spec]
+                  + [rep(np.shape(w)) for w in aux_arrays]),
+        out_specs=[out_spec, smem_t],
+        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                   jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*scalar_ins, y0, f0, *aux_arrays)
+    return out, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "activation", "final_activation", "input_power",
+                     "time_input", "rhs", "method", "matmul", "interpret",
+                     "pack", "n_blocks"))
+def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
+                    *, f0: Array = None, activation: str = "tanh",
+                    final_activation: str = "identity", input_power: int = 1,
+                    time_input: bool = False, rhs: str = "mlp",
+                    method: str = "rk4", matmul: str = "vpu",
+                    interpret: bool = False, pack: str | int = "auto",
+                    n_blocks: int = 1):
+    """Whole-solve fused FIXED-GRID RK for a general MLP ODE, one kernel.
+
+    Mirror of `pallas_kernels.mlp_solve` for the fixed-grid family
+    (upstream `tfdiffeq/fixed_grid.py` capability, SURVEY.md §2): grid is
+    the canonical step grid (defaults to tau at the front-end), method in
+    FIXED_TABLEAUS_BY_NAME. No controller scalars, no rejected work —
+    deterministic cost 1 + stages*(G-1) NFE. Returns (out [T, D, B],
+    stats [4]: nfe / steps / 0 / status).
+    """
+    from .pallas_kernels import _make_cnf_net, _make_net, padded_mlp_f
+
+    tab = FIXED_TABLEAUS_BY_NAME[method]
+    D, B = y0.shape
+    dtype = y0.dtype
+    warrays = [jnp.asarray(w, dtype) for w in warrays]
+    sign = jnp.asarray(sign, dtype)
+    if f0 is None:
+        if rhs != "mlp":
+            raise ValueError(f"rhs={rhs!r} needs an explicit f0 (the XLA "
+                             "reference only covers the plain MLP)")
+        f0 = sign * padded_mlp_f(warrays, dims, y0, activation,
+                                 final_activation, input_power,
+                                 t=sign * grid[0], time_input=time_input)
+
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
+    if n_blocks > 1 and (Bb // k) % _LANE:
+        k = 1                      # grid blocks must stay lane-aligned
+    if k > 1:
+        y0 = pack_state_blocks(y0, k, n_blocks)
+        f0 = pack_state_blocks(f0, k, n_blocks)
+    Lb = Bb // k
+    if n_blocks == 1:
+        BP = _round_up(max(Lb, _LANE), _LANE)
+        if BP != Lb:
+            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
+            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
+    elif Lb % _LANE:
+        raise ValueError(f"grid block lanes {Lb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
+
+    if rhs == "mlp":
+        def make_f(wrefs):
+            return _make_net(wrefs, dims, activation, final_activation,
+                             input_power, time_input, matmul)
+    elif rhs == "cnf":
+        def make_f(wrefs):
+            return _make_cnf_net(wrefs, dims, activation, time_input)
+    else:
+        raise ValueError(f"unknown rhs {rhs!r} (expected 'mlp' or 'cnf')")
+    if k > 1:
+        make_f = packed_make_f(make_f, k, D)
+
+    out, stats = fixed_solve_call(
+        make_f, warrays, y0, tau, grid, sign, f0, tab=tab,
+        interpret=interpret, n_blocks=n_blocks)
+    if n_blocks > 1:
+        stats = jnp.concatenate(
+            [stats[:1, 0], stats[:1, 1], stats[:1, 2],
+             stats[:, 3].max(keepdims=True)])
+    if out.shape[-1] != n_blocks * Lb:
+        out = out[:, :, :Lb]       # single-block lane padding
+    if k > 1:
+        out = unpack_state_blocks(out, k, D, n_blocks)
+    return out, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "method", "interpret", "pack", "n_blocks"))
+def plan_solve_fixed(plan, consts_packed, y0: Array, tau: Array, grid: Array,
+                     sign, f0: Array, *, method: str = "rk4",
+                     interpret: bool = False, pack: int = 1,
+                     n_blocks: int = 1):
+    """Whole-solve fused fixed-grid RK over a FusedPlan RHS (the
+    jaxpr-bridge counterpart of `mlp_solve_fixed`; same layout contracts
+    as `jaxpr_bridge.plan_solve`)."""
+    from .jaxpr_bridge import make_plan_f
+
+    tab = FIXED_TABLEAUS_BY_NAME[method]
+    make_f = lambda wrefs: make_plan_f(plan, wrefs)      # noqa: E731
+    if pack > 1:
+        make_f = packed_make_f(make_f, int(pack), plan.dim)
+    return fixed_solve_call(
+        make_f, list(consts_packed), y0, tau, grid, sign, f0, tab=tab,
+        interpret=interpret, n_blocks=int(n_blocks))

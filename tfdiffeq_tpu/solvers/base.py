@@ -142,7 +142,7 @@ def empty_stats(nfe: int = 0) -> SolverStats:
 
 #: Options accepted by fixed-grid solvers (euler/midpoint/rk4/rk4_38).
 FIXED_GRID_OPTIONS = frozenset({"grid_constructor", "step_size",
-                                "num_steps"})
+                                "num_steps", "fuse"})
 
 #: Options accepted by adaptive embedded-RK solvers.
 ADAPTIVE_OPTIONS = frozenset({
