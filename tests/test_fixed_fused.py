@@ -228,3 +228,122 @@ def test_plan_solve_fixed_matches_generic():
     np.testing.assert_allclose(
         np.asarray(out[:, :, :B]).transpose(0, 2, 1),
         np.asarray(ref.ys), rtol=0, atol=1e-5)
+
+
+def test_fixed_adjoint_matches_generic_gradients():
+    """odeint_adjoint_mlp(method='rk4', adjoint_method='rk4'): the fixed
+    one-kernel backward sweep must agree with the generic fixed-grid
+    adjoint (adjoint_options={'num_steps': n}) on gradients wrt weights,
+    y0, AND t."""
+    from tfdiffeq_tpu import odeint_adjoint
+    from tfdiffeq_tpu.fast import odeint_adjoint_mlp
+
+    w = tuple(_weights(seed=21, dims=(2, 16, 2)))
+    spec = MLPSpec(activation="tanh")
+    y0 = jnp.asarray(np.random.RandomState(22).randn(12, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 7, dtype=jnp.float32)
+    g_out = jnp.asarray(np.random.RandomState(23).randn(7, 12, 2),
+                        jnp.float32)
+
+    def loss_fused(w_, y0_, t_):
+        ys = odeint_adjoint_mlp(spec, w_, y0_, t_, method="rk4",
+                                num_steps=16, adjoint_num_steps=8,
+                                interpret=True)
+        return jnp.sum(ys * g_out)
+
+    def loss_gen(w_, y0_, t_):
+        ys = odeint_adjoint(lambda tt, yy, p: mlp_apply(spec, p, yy),
+                            y0_, t_, params=w_, method="rk4",
+                            options={"num_steps": 16},
+                            adjoint_method="rk4",
+                            adjoint_options={"num_steps": 8})
+        return jnp.sum(ys * g_out)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(w, y0, t)
+    gg = jax.grad(loss_gen, argnums=(0, 1, 2))(w, y0, t)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 1e-3, (d, m)
+
+
+def test_fixed_adjoint_packed_and_blocks():
+    """Sublane packing + sequential grid blocks in the FIXED backward
+    sweep reproduce the single-block unpacked kernel."""
+    from tfdiffeq_tpu.ops.pallas_fixed import mlp_adjoint_solve_fixed
+    from tfdiffeq_tpu.ops.pallas_kernels import mlp_solve, pad_mlp_weights
+
+    w = _weights(seed=25, dims=(2, 16, 2))
+    warr, dims = pad_mlp_weights(w, jnp.float32)
+    y0 = jnp.asarray(np.random.RandomState(26).randn(512, 2),
+                     jnp.float32).T
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    kw = dict(activation="tanh", final_activation="identity",
+              input_power=1, interpret=True)
+    ys, _ = mlp_solve(warr, dims, y0, t, jnp.float32(0.05), 1e-6, 1e-8,
+                      1.0, **kw)
+    g = jnp.asarray(np.random.RandomState(27).randn(*ys.shape),
+                    jnp.float32) * 0.1
+
+    def run(**extra):
+        return mlp_adjoint_solve_fixed(warr, dims, ys, g, t,
+                                       jnp.float32(1.0), num_steps=4,
+                                       method="rk4", **kw, **extra)
+
+    a1, aw1, at1, s1 = run(pack=1)
+    a2, aw2, at2, s2 = run(pack="auto")
+    a3, aw3, at3, s3 = run(pack=1, n_blocks=2)
+    assert int(s1[3]) == 0 and int(s1[0]) == 4 * 4 * 4
+    for (ax, awx) in ((a2, aw2), (a3, aw3)):
+        np.testing.assert_allclose(np.asarray(ax), np.asarray(a1),
+                                   rtol=0, atol=2e-6)
+        for (dW1, db1), (dWx, dbx) in zip(aw1, awx):
+            np.testing.assert_allclose(np.asarray(dWx), np.asarray(dW1),
+                                       rtol=0, atol=5e-6)
+            np.testing.assert_allclose(np.asarray(dbx), np.asarray(db1),
+                                       rtol=0, atol=5e-6)
+
+
+def test_odeint_adjoint_fuse_fixed_two_kernel_parity():
+    """odeint_adjoint(options={'fuse': True}, method='rk4'): tier-1 full
+    two-kernel fusion engages for fixed-grid methods (no fallback
+    warning) and matches the generic fixed-grid adjoint on every
+    cotangent (params pytree, y0, t)."""
+    import warnings
+
+    from tfdiffeq_tpu import odeint_adjoint
+
+    rng = np.random.RandomState(31)
+    params = {"w1": jnp.asarray(rng.randn(2, 24) * 0.3, jnp.float32),
+              "b1": jnp.asarray(rng.randn(24) * 0.05, jnp.float32),
+              "w2": jnp.asarray(rng.randn(24, 2) * 0.3, jnp.float32)}
+
+    def f(tt, yy, p):
+        return jnp.tanh((yy ** 3) @ p["w1"] + p["b1"]) @ p["w2"]
+
+    y0 = jnp.asarray(rng.randn(12, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 7, dtype=jnp.float32)
+    g_out = jnp.asarray(rng.randn(7, 12, 2), jnp.float32)
+
+    def loss_fused(p, y0_, t_):
+        ys = odeint_adjoint(f, y0_, t_, params=p, method="rk4",
+                            options={"fuse": True, "num_steps": 16},
+                            adjoint_options={"num_steps": 8})
+        return jnp.sum(ys * g_out)
+
+    def loss_gen(p, y0_, t_):
+        ys = odeint_adjoint(f, y0_, t_, params=p, method="rk4",
+                            options={"num_steps": 16},
+                            adjoint_options={"num_steps": 8})
+        return jnp.sum(ys * g_out)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")   # fallback warning = tier-1 missed
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(params, y0, t)
+    gg = jax.grad(loss_gen, argnums=(0, 1, 2))(params, y0, t)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert d / m < 1e-3, (d, m)

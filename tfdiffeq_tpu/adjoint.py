@@ -292,11 +292,19 @@ def odeint_adjoint(
     # when the option surface maps onto the kernels; FusionError falls
     # through to tier 2 (fused forward + generic backward).
     _FULL_FUSE_OPTS = {"first_step", "max_num_steps", "loop"}
+    _FULL_FUSE_FIXED_OPTS = {"num_steps", "step_size"}
+    _fwd_kind_ok = (_is_adaptive(method)
+                    or SOLVERS.get(method or "dopri5", ("",))[0] == "fixed")
+    _bwd_kind_ok = (adj_is_adaptive or adj_kind == "fixed")
+    _fwd_allowed = (_FULL_FUSE_OPTS if _is_adaptive(method)
+                    else _FULL_FUSE_FIXED_OPTS)
+    _bwd_allowed = (_FULL_FUSE_OPTS if adj_is_adaptive
+                    else _FULL_FUSE_FIXED_OPTS)
     if (use_fuse and forward_solver is None and adjoint_mode == "resets"
-            and _is_adaptive(method) and _is_adaptive(adjoint_method)
+            and _fwd_kind_ok and _bwd_kind_ok
             and hasattr(y0, "ndim") and jnp.ndim(y0) in (1, 2)
-            and not (set(fwd_options) - _FULL_FUSE_OPTS)
-            and not (set(bwd_options) - _FULL_FUSE_OPTS)
+            and not (set(fwd_options) - _fwd_allowed)
+            and not (set(bwd_options) - _bwd_allowed)
             and all(isinstance(tol, (int, float)) or jnp.ndim(tol) == 0
                     for tol in (rtol, atol, adjoint_rtol, adjoint_atol))):
         from .ops.jaxpr_bridge import FusionError
@@ -310,6 +318,9 @@ def odeint_adjoint(
                 max_num_steps=fwd_options.get("max_num_steps"),
                 first_step=fwd_options.get("first_step"),
                 adjoint_first_step=bwd_options.get("first_step"),
+                num_steps=fwd_options.get("num_steps"),
+                step_size=fwd_options.get("step_size"),
+                adjoint_num_steps=bwd_options.get("num_steps"),
                 nfe_meter=nfe_meter, return_stats=return_stats)
         except FusionError as e:
             import warnings
@@ -323,7 +334,9 @@ def odeint_adjoint(
     # O(1)-memory adjoint backward — arbitrary-dynamics training with a
     # fused forward. Validated eagerly so unfusable dynamics fall back
     # (warning) instead of failing inside custom_vjp.
-    if (use_fuse and forward_solver is None and _is_adaptive(method)):
+    if (use_fuse and forward_solver is None
+            and (_is_adaptive(method) or (_fwd_kind_ok
+                                          and adjoint_mode == "resets"))):
         forward_solver = _build_fused_forward(
             user_func, y0, t, params_in, rtol, atol, method, fwd_options,
             emit_dense=adjoint_mode == "interpolated")
@@ -527,6 +540,9 @@ def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
         if not (hasattr(y0, "ndim") and jnp.ndim(y0) == 2):
             raise FusionError("fused forward needs a single [B, D] array "
                               "state")
+        if "grid_constructor" in fwd_options:
+            raise FusionError("grid_constructor callables are not "
+                              "supported by the fused fixed-grid kernel")
         t0 = jnp.asarray(t).reshape(-1)[0]
         # Validation trace only (the real plan is rebuilt inside the
         # custom_vjp forward, where params are that trace's tracers).
@@ -539,6 +555,8 @@ def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
 
     first_step = fwd_options.get("first_step")
     max_num_steps = fwd_options.get("max_num_steps")
+    num_steps = fwd_options.get("num_steps")
+    step_size = fwd_options.get("step_size")
 
     def forward_solver(y0_, t_, params_):
         from .fast import solve_fused
@@ -546,7 +564,8 @@ def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
                           t_, rtol=rtol, atol=atol, method=method,
                           first_step=first_step,
                           max_num_steps=max_num_steps,
-                          dense_output=emit_dense)
+                          dense_output=emit_dense, num_steps=num_steps,
+                          step_size=step_size)
         if emit_dense:
             return res.ys, res.stats, res.dense
         return res.ys, res.stats

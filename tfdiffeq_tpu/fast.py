@@ -632,7 +632,8 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                        interpret: Optional[bool] = None,
                        max_num_steps=None, first_step=None,
                        adjoint_first_step=None, nfe_meter=None,
-                       return_stats: bool = False):
+                       return_stats: bool = False, num_steps=None,
+                       step_size=None, adjoint_num_steps=None):
     """Fully-fused O(1)-memory training path for MLP neural ODEs.
 
     Forward = ONE whole-solve Pallas kernel (`mlp_solve`); backward = ONE
@@ -655,6 +656,12 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     interp_flag = _auto_interpret(interpret)
     max_steps = (int(max_num_steps) if max_num_steps is not None
                  else 2 ** 31 - 1)
+    fixed_bwd = adjoint_method in _pf.FIXED_TABLEAUS_BY_NAME
+    # Fixed backward: steps PER OBSERVATION INTERVAL. Default inherits
+    # the forward's num_steps (the generic adjoint's contract: bwd_options
+    # copy the forward options filtered to {'num_steps'}), else 1.
+    bwd_num_steps = int(adjoint_num_steps if adjoint_num_steps is not None
+                        else (num_steps if num_steps is not None else 1))
 
     # Backward kernel holds ys + g ([T, D, B] each) in VMEM; past the
     # budget, the backward runs as sequential grid blocks (forward grids
@@ -691,14 +698,23 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             stacklevel=2)
         from .adjoint import odeint_adjoint as _generic_adjoint
         fb_options = {}
-        if max_num_steps is not None:
-            fb_options["max_num_steps"] = int(max_num_steps)
-        if first_step is not None:
-            fb_options["first_step"] = first_step
-        fb_adj_options = dict(fb_options)
-        fb_adj_options.pop("first_step", None)
-        if adjoint_first_step is not None:
-            fb_adj_options["first_step"] = adjoint_first_step
+        if method in _pf.FIXED_TABLEAUS_BY_NAME:
+            if num_steps is not None:
+                fb_options["num_steps"] = int(num_steps)
+            if step_size is not None:
+                fb_options["step_size"] = step_size
+        else:
+            if max_num_steps is not None:
+                fb_options["max_num_steps"] = int(max_num_steps)
+            if first_step is not None:
+                fb_options["first_step"] = first_step
+        if fixed_bwd:
+            fb_adj_options = {"num_steps": bwd_num_steps}
+        else:
+            fb_adj_options = {k: v for k, v in fb_options.items()
+                              if k in ("max_num_steps",)}
+            if adjoint_first_step is not None:
+                fb_adj_options["first_step"] = adjoint_first_step
         return _generic_adjoint(
             lambda tt, yy, w: mlp_apply(spec, w, yy), y0, t,
             params=tuple((W, b) for W, b in weights), rtol=rtol, atol=atol,
@@ -718,7 +734,8 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         res = solve_mlp_spec(spec, weights_, y0_, t_, rtol=rtol, atol=atol,
                              method=method, interpret=interpret,
                              max_num_steps=max_num_steps,
-                             first_step=first_step)
+                             first_step=first_step, num_steps=num_steps,
+                             step_size=step_size)
         emit_fwd(nfe_meter, res.stats.nfe, res.stats.n_accepted)
         return res.ys, res.stats
 
@@ -765,14 +782,23 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                           mode="wrap")
             gT = jnp.pad(gT, ((0, 0), (0, 0), (0, adj_bpad)))
         warrays, dims = pad_mlp_weights(weights_, dtype)
-        ay0, aws, at_q, bstats = mlp_adjoint_solve(
-            warrays, dims, ysT, gT, tau, dt0, adjoint_rtol, adjoint_atol,
-            sign, activation=spec.activation,
-            final_activation=spec.final_activation,
-            input_power=spec.input_power, method=adjoint_method,
-            max_steps=max_steps, seminorm=adjoint_seminorm,
-            matmul=spec.matmul, time_input=spec.time_input,
-            interpret=interp_flag, n_blocks=adj_blocks)
+        if fixed_bwd:
+            ay0, aws, at_q, bstats = _pf.mlp_adjoint_solve_fixed(
+                warrays, dims, ysT, gT, tau, sign,
+                num_steps=bwd_num_steps, activation=spec.activation,
+                final_activation=spec.final_activation,
+                input_power=spec.input_power, method=adjoint_method,
+                matmul=spec.matmul, time_input=spec.time_input,
+                interpret=interp_flag, n_blocks=adj_blocks)
+        else:
+            ay0, aws, at_q, bstats = mlp_adjoint_solve(
+                warrays, dims, ysT, gT, tau, dt0, adjoint_rtol,
+                adjoint_atol, sign, activation=spec.activation,
+                final_activation=spec.final_activation,
+                input_power=spec.input_power, method=adjoint_method,
+                max_steps=max_steps, seminorm=adjoint_seminorm,
+                matmul=spec.matmul, time_input=spec.time_input,
+                interpret=interp_flag, n_blocks=adj_blocks)
         if adj_blocks > 1:
             ay0 = ay0[:, :B_true_adj]
         emit_bwd(nfe_meter, bstats[0], bstats[1])
@@ -815,7 +841,9 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
                          interpret: Optional[bool] = None,
                          max_num_steps=None, first_step=None,
                          adjoint_first_step=None, matmul: str = "auto",
-                         nfe_meter=None, return_stats: bool = False):
+                         nfe_meter=None, return_stats: bool = False,
+                         num_steps=None, step_size=None,
+                         adjoint_num_steps=None):
     """Fully-fused O(1)-memory training path for ARBITRARY fusable
     dynamics: the plan-driven counterpart of `odeint_adjoint_mlp`.
 
@@ -859,11 +887,18 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
     max_steps = (int(max_num_steps) if max_num_steps is not None
                  else 2 ** 31 - 1)
 
-    for m in (method, adjoint_method):
-        if m not in tableaus.TABLEAUS_BY_NAME:
+    fixed_fwd = method in _pf.FIXED_TABLEAUS_BY_NAME
+    fixed_bwd = adjoint_method in _pf.FIXED_TABLEAUS_BY_NAME
+    # Fixed backward: steps PER OBSERVATION INTERVAL (generic-adjoint
+    # contract: the backward inherits the forward's num_steps, else 1).
+    bwd_num_steps = int(adjoint_num_steps if adjoint_num_steps is not None
+                        else (num_steps if num_steps is not None else 1))
+    for m, fx in ((method, fixed_fwd), (adjoint_method, fixed_bwd)):
+        if not fx and m not in tableaus.TABLEAUS_BY_NAME:
             raise jb.FusionError(
                 f"method {m!r} has no whole-solve tableau (available: "
-                f"{sorted(tableaus.TABLEAUS_BY_NAME)})")
+                f"{sorted(tableaus.TABLEAUS_BY_NAME)} adaptive, "
+                f"{sorted(_pf.FIXED_TABLEAUS_BY_NAME)} fixed-grid)")
 
     y0 = jnp.asarray(y0)
     squeeze = False
@@ -910,14 +945,23 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
             stacklevel=2)
         from .adjoint import odeint_adjoint as _generic_adjoint
         fb_options = {}
-        if max_num_steps is not None:
-            fb_options["max_num_steps"] = int(max_num_steps)
-        if first_step is not None:
-            fb_options["first_step"] = first_step
-        fb_adj = dict(fb_options)
-        fb_adj.pop("first_step", None)
-        if adjoint_first_step is not None:
-            fb_adj["first_step"] = adjoint_first_step
+        if fixed_fwd:
+            if num_steps is not None:
+                fb_options["num_steps"] = int(num_steps)
+            if step_size is not None:
+                fb_options["step_size"] = step_size
+        else:
+            if max_num_steps is not None:
+                fb_options["max_num_steps"] = int(max_num_steps)
+            if first_step is not None:
+                fb_options["first_step"] = first_step
+        if fixed_bwd:
+            fb_adj = {"num_steps": bwd_num_steps}
+        else:
+            fb_adj = {k: v for k, v in fb_options.items()
+                      if k == "max_num_steps"}
+            if adjoint_first_step is not None:
+                fb_adj["first_step"] = adjoint_first_step
         out = _generic_adjoint(
             lambda tt, yy, pp: user_func(tt, yy, pp), y0c, t_arr,
             params=params_in, rtol=rtol, atol=atol, method=method,
@@ -971,7 +1015,9 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         tau = sign * t_
         yT = y0_.T
         f0 = (sign * _f_eval(packed_, t_[0], yT)).astype(dtype)
-        if first_step is None:
+        if fixed_fwd:
+            dt0, extra_nfe = None, 0
+        elif first_step is None:
             def flat_g(s, yf):
                 yb = yf.reshape(D, B)
                 return (sign * _f_eval(packed_, sign * s, yb)).ravel()
@@ -991,13 +1037,24 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         pad_f = n_blocks * BPk - yTk.shape[1]
         y0p = jnp.pad(yTk, ((0, 0), (0, pad_f))) if pad_f else yTk
         f0p = jnp.pad(f0k, ((0, 0), (0, pad_f))) if pad_f else f0k
-        out, stats = jb.plan_solve(
-            plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,
-            method=method, max_steps=max_steps, interpret=interp_flag,
-            pack=kpack, n_blocks=n_blocks)
-        if n_blocks > 1:
-            stats = jnp.concatenate(
-                [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+        if fixed_fwd:
+            grid = _fixed_grid_tau(tau, t_, num_steps, step_size, dtype)
+            out, stats = _pf.plan_solve_fixed(
+                plan, packed_, y0p, tau, grid, sign, f0p, method=method,
+                interpret=interp_flag, pack=kpack, n_blocks=n_blocks)
+            if n_blocks > 1:
+                # Same fixed grid per block: stats block-count-invariant.
+                stats = jnp.concatenate(
+                    [stats[0, :3], stats[:, 3].max(keepdims=True)])
+        else:
+            out, stats = jb.plan_solve(
+                plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,
+                method=method, max_steps=max_steps, interpret=interp_flag,
+                pack=kpack, n_blocks=n_blocks)
+            if n_blocks > 1:
+                stats = jnp.concatenate(
+                    [jnp.sum(stats[:, :3], axis=0),
+                     stats[:, 3:4].max(axis=0)])
         if out.shape[-1] != Bk:
             out = out[:, :, :Lb_f]
         if kpack > 1:
@@ -1038,11 +1095,17 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         else:
             dt0 = 0.1 * jnp.abs(tau[-1] - tau[-2]).astype(dtype)
 
-        ay0, dconsts, at_q, bstats = plan_adjoint_solve(
-            plan, packed_, ysT, gT, tau, dt0, adjoint_rtol, adjoint_atol,
-            sign, method=adjoint_method, max_steps=max_steps,
-            seminorm=adjoint_seminorm, interpret=interp_flag,
-            n_blocks=n_blocks)
+        if fixed_bwd:
+            ay0, dconsts, at_q, bstats = _pf.plan_adjoint_solve_fixed(
+                plan, packed_, ysT, gT, tau, sign,
+                num_steps=bwd_num_steps, method=adjoint_method,
+                interpret=interp_flag, n_blocks=n_blocks)
+        else:
+            ay0, dconsts, at_q, bstats = plan_adjoint_solve(
+                plan, packed_, ysT, gT, tau, dt0, adjoint_rtol,
+                adjoint_atol, sign, method=adjoint_method,
+                max_steps=max_steps, seminorm=adjoint_seminorm,
+                interpret=interp_flag, n_blocks=n_blocks)
         emit_bwd(nfe_meter, bstats[0], bstats[1])
         ts_bar = jnp.concatenate(
             [(at_q.astype(t_.dtype) - jnp.sum(t_bars[1:]))[None],

@@ -317,6 +317,369 @@ def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
     return out, stats
 
 
+def _make_fixed_adjoint_kernel(tab, T: int, n_sub: int, B_true: int,
+                               aug_factory, n_in: int, n_acc: int,
+                               time_input: bool = False,
+                               per_block_io: bool = False):
+    """Fixed-grid backward sweep kernel: per observation interval, n_sub
+    equal steps of the chosen fixed tableau on the augmented system — no
+    controller, no error estimate, all steps accepted (the fused
+    counterpart of the generic fixed-grid adjoint's
+    `adjoint_options={'num_steps': n}` per-interval walk, adjoint.py).
+
+    Ref layout (inputs, outputs, scratch):
+      SMEM in : sigma [1,T], sign_f [1,1]
+      VMEM in : ys [T,D,B], g [T,D,B], const refs (n_in)
+      out     : ay0 [D,B], n_acc parameter-cotangent accumulators,
+                stats [n_blocks,4] (SMEM), at [1,n_blocks] (SMEM)
+      scratch : y, ay, comp_y, comp_ay (all [D,B])
+    """
+    stages = tab.stages
+
+    def kernel(*refs):
+        (sigma_ref, sf_ref) = refs[:2]
+        ys_ref, g_ref = refs[2:4]
+        wrefs = refs[4:4 + n_in]
+        ay0_ref = refs[4 + n_in]
+        awrefs = refs[5 + n_in: 5 + n_in + n_acc]
+        stats_ref = refs[5 + n_in + n_acc]
+        at_ref = refs[6 + n_in + n_acc]
+        y_s, ay_s, cy_s, cay_s = refs[7 + n_in + n_acc:]
+        pid = pl.program_id(0) if per_block_io else 0
+        sf = sf_ref[0, 0]
+
+        aug_eval = aug_factory(wrefs)
+
+        def rhs_fn(s, y, ay):
+            # user time t = sign * tau = -sign * sigma
+            f, v_y, dparams, v_t = aug_eval(-sf * s, y, ay)
+            ky = -sf * f
+            kay = sf * v_y
+            kws = [sf * blk for blk in dparams]
+            if time_input:
+                lane = jax.lax.broadcasted_iota(jnp.int32, v_t.shape, 1)
+                kat = sf * jnp.sum(jnp.where(lane < B_true, v_t, 0.0))
+            else:
+                kat = jnp.zeros((), y.dtype)
+            return ky, kay, kws, kat
+
+        if per_block_io:
+            # Grid mode: parameter-cotangent accumulators are revisited
+            # output windows shared by the sequential grid programs —
+            # zero once, every block adds in.
+            @pl.when(pid == 0)
+            def _():
+                for r in awrefs:
+                    r[:] = jnp.zeros_like(r)
+        else:
+            for r in awrefs:
+                r[:] = jnp.zeros_like(r)
+        ay_s[:] = jnp.zeros_like(ay_s)
+
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (ys_ref.shape[1], ys_ref.shape[2]), 1)
+        valid = lane < B_true
+
+        def interval_body(ii, at):
+            i = T - 1 - ii
+            # Reset y to the stored forward state; inject the cotangent.
+            y_s[:] = ys_ref[pl.ds(i, 1)][0]
+            ay_s[:] = ay_s[:] + g_ref[pl.ds(i, 1)][0]
+            cy_s[:] = jnp.zeros_like(cy_s)
+            cay_s[:] = jnp.zeros_like(cay_s)
+            s_start = sigma_ref[0, i]
+            s_end = sigma_ref[0, i - 1]
+            h = (s_end - s_start) / float(n_sub)
+
+            def step(j, at):
+                s = s_start + h * jnp.asarray(j, h.dtype)
+                y0 = y_s[:]
+                ay0 = ay_s[:]
+
+                ky, kay, kws, kat = [], [], [], []
+                for st in range(stages):
+                    yi, ayi = y0, ay0
+                    if st > 0:
+                        for aij, (kyj, kayj) in zip(tab.a[st - 1],
+                                                    zip(ky, kay)):
+                            if aij != 0.0:
+                                yi = yi + (h * aij) * kyj
+                                ayi = ayi + (h * aij) * kayj
+                    k1, k2, k3, k4 = rhs_fn(s + tab.c[st] * h, yi, ayi)
+                    ky.append(k1)
+                    kay.append(k2)
+                    kws.append(k3)
+                    kat.append(k4)
+
+                def comb(ks):
+                    acc = None
+                    for cjj, kj in zip(tab.b_sol, ks):
+                        if cjj != 0.0:
+                            term = (h * cjj) * kj
+                            acc = term if acc is None else acc + term
+                    return acc
+
+                d_y = comb(ky)
+                d_ay = comb(kay)
+                at = at + comb(kat)
+
+                # Kahan for y and a_y; pad lanes pinned to exactly 0 (a
+                # divergent pad state reaching Inf would turn the 0*Inf in
+                # the weight-quadrature lane reductions into NaN).
+                adj_y = d_y - cy_s[:]
+                y_new = jnp.where(valid, y0 + adj_y, 0.0)
+                cy_s[:] = jnp.where(valid, (y_new - y0) - adj_y, 0.0)
+                y_s[:] = y_new
+                adj_ay = d_ay - cay_s[:]
+                ay_new = jnp.where(valid, ay0 + adj_ay, 0.0)
+                cay_s[:] = jnp.where(valid, (ay_new - ay0) - adj_ay, 0.0)
+                ay_s[:] = ay_new
+                for j2 in range(n_acc):
+                    awrefs[j2][:] = awrefs[j2][:] + comb(
+                        [k[j2] for k in kws])
+                return at
+
+            return jax.lax.fori_loop(0, n_sub, step, at)
+
+        at = jax.lax.fori_loop(0, T - 1, interval_body,
+                               jnp.zeros((), ys_ref.dtype))
+
+        ay0_ref[:] = ay_s[:] + g_ref[pl.ds(0, 1)][0]
+        at_ref[0, pid] = at
+        stats_ref[pid, 0] = jnp.int32(stages * n_sub * (T - 1))
+        stats_ref[pid, 1] = jnp.int32(n_sub * (T - 1))
+        stats_ref[pid, 2] = jnp.int32(0)
+        stats_ref[pid, 3] = jnp.int32(0)
+
+    return kernel
+
+
+def _fixed_adjoint_call(aug_factory, const_arrays, out_shape_tail, ys, g,
+                        tau, sign, *, tab, n_sub, B_true, time_input,
+                        interpret, n_blocks):
+    """Shared pallas_call plumbing for the fixed backward sweep.
+
+    ys/g: [T, D, B] already packed/lane-padded; out_shape_tail: the
+    parameter-cotangent accumulator ShapeDtypeStructs (n_acc of them).
+    Returns (ay0 [D, B], accs list, at, stats) with grid-mode stats/at
+    already merged (fixed sweeps are block-count-invariant)."""
+    T, D, B = ys.shape
+    dtype = ys.dtype
+    NB = B // n_blocks
+    n_in = len(const_arrays)
+    n_acc = len(out_shape_tail)
+    kernel = _make_fixed_adjoint_kernel(tab, T, int(n_sub), B_true,
+                                        aug_factory, n_in, n_acc,
+                                        time_input=time_input,
+                                        per_block_io=n_blocks > 1)
+
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    sigma = (-tau).astype(dtype)          # backward sweeps integrate up
+    scalar_ins = (sigma.reshape(1, T),
+                  jnp.reshape(jnp.asarray(sign, dtype), (1, 1)))
+    out_shape = ([jax.ShapeDtypeStruct((D, B), dtype)]
+                 + list(out_shape_tail)
+                 + [jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32),
+                    jax.ShapeDtypeStruct((1, n_blocks), dtype)])
+    scratch = [pltpu.VMEM((D, NB), dtype)] * 4
+
+    if n_blocks == 1:
+        in_specs = [smem_t] * 2 + [vmem] * (2 + n_in)
+        out_specs = [vmem] * (1 + n_acc) + [smem_t, smem_t]
+        grid_kw = {}
+    else:
+        def rep(shape):
+            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        traj_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        ay0_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        in_specs = ([smem_t] * 2 + [traj_spec, traj_spec]
+                    + [rep(np.shape(c)) for c in const_arrays])
+        out_specs = ([ay0_spec]
+                     + [rep(s.shape) for s in out_shape_tail]
+                     + [smem_t, smem_t])
+        grid_kw = {"grid": (n_blocks,)}
+
+    res = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **grid_kw,
+    )(*scalar_ins, ys, g, *const_arrays)
+
+    ay0 = res[0]
+    accs = list(res[1:1 + n_acc])
+    st = res[1 + n_acc]
+    at_row = res[2 + n_acc]
+    if n_blocks == 1:
+        return ay0, accs, at_row[0, 0], st[0]
+    # Fixed sweeps take identical step sequences per block: stats are
+    # block-count-invariant (block 0); the batch-summed a_t quadrature
+    # sums across blocks.
+    stats = jnp.concatenate([st[0, :3], st[:, 3].max(keepdims=True)])
+    return ay0, accs, jnp.sum(at_row), stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "activation", "final_activation", "input_power",
+                     "method", "num_steps", "matmul", "time_input", "rhs",
+                     "interpret", "pack", "n_blocks"))
+def mlp_adjoint_solve_fixed(warrays, dims, ys: Array, g: Array, tau: Array,
+                            sign, *, num_steps: int = 1,
+                            activation: str = "tanh",
+                            final_activation: str = "identity",
+                            input_power: int = 1, method: str = "rk4",
+                            matmul: str = "vpu", time_input: bool = False,
+                            rhs: str = "mlp", interpret: bool = False,
+                            pack: str | int = "auto", n_blocks: int = 1):
+    """Fixed-grid fused adjoint backward sweep, one kernel launch (the
+    fixed-method counterpart of `pallas_adjoint.mlp_adjoint_solve`):
+    num_steps fixed steps per observation interval, deterministic cost.
+    Returns (ay0 [D, B], aw_list of padded (dW, db), at, stats)."""
+    from .pallas_adjoint import (_adjoint_pack, _make_aug_eval,
+                                 _make_cnf_aug_eval, pack_traj_blocks,
+                                 packed_aug_factory)
+
+    tab = FIXED_TABLEAUS_BY_NAME[method]
+    T, D, B = ys.shape
+    dtype = ys.dtype
+    warrays = [jnp.asarray(w, dtype) for w in warrays]
+    L = len(dims)
+    if rhs == "cnf":
+        time_input = True          # concat-t flow; a_t quadrature applies
+
+    D_state = D
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    if n_blocks > 1 and Bb % _LANE:
+        raise ValueError(f"grid block lanes {Bb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
+    kpk = _adjoint_pack(pack, D, Bb)
+    if n_blocks > 1 and (Bb // kpk) % _LANE:
+        kpk = 1                    # grid blocks must stay lane-aligned
+    if kpk > 1:
+        ys = pack_traj_blocks(ys, kpk, n_blocks)
+        g = pack_traj_blocks(g, kpk, n_blocks)
+        T, D, B = ys.shape
+
+    B_true = B // n_blocks         # per-block true lanes
+    if n_blocks == 1:
+        BP = _round_up(max(B, _LANE), _LANE)
+        if BP != B:
+            ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, BP - B)))
+            B = BP
+
+    if rhs == "cnf":
+        def aug_factory(wrefs):
+            return _make_cnf_aug_eval(wrefs, dims, activation)
+    else:
+        def aug_factory(wrefs):
+            return _make_aug_eval(wrefs, dims, activation,
+                                  final_activation, input_power,
+                                  matmul, time_input)
+    if kpk > 1:
+        aug_factory = packed_aug_factory(aug_factory, kpk, D_state)
+
+    out_tail = []
+    for l in range(L):
+        out_tail.append(
+            jax.ShapeDtypeStruct(warrays[2 * l].shape, dtype))
+        out_tail.append(
+            jax.ShapeDtypeStruct(warrays[2 * l + 1].shape, dtype))
+
+    ay0, accs, at, stats = _fixed_adjoint_call(
+        aug_factory, warrays, out_tail, ys, g, tau, sign, tab=tab,
+        n_sub=int(num_steps), B_true=B_true, time_input=time_input,
+        interpret=interpret, n_blocks=n_blocks)
+    aws = [(accs[2 * l], accs[2 * l + 1]) for l in range(L)]
+    if n_blocks == 1 and B != B_true:
+        ay0 = ay0[:, :B_true]
+    if kpk > 1:
+        ay0 = unpack_state_blocks(ay0, kpk, D_state, n_blocks)
+    return ay0, aws, at, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "method", "num_steps", "interpret", "pack",
+                     "n_blocks"))
+def plan_adjoint_solve_fixed(plan, consts_packed, ys: Array, g: Array,
+                             tau: Array, sign, *, num_steps: int = 1,
+                             method: str = "rk4", interpret: bool = False,
+                             pack: str | int = "auto", n_blocks: int = 1):
+    """Fixed-grid fused adjoint backward sweep for a jaxpr-bridge plan
+    (the fixed-method counterpart of `plan_adjoint.plan_adjoint_solve`).
+    Returns (ay0 [D, B], dconsts list, at, stats)."""
+    from .pallas_adjoint import (_adjoint_pack, pack_traj_blocks,
+                                 packed_aug_factory)
+    from .plan_adjoint import make_plan_aug_eval, plan_uses_t
+
+    tab = FIXED_TABLEAUS_BY_NAME[method]
+    T, D, B = ys.shape
+    dtype = ys.dtype
+
+    if B != plan.batch:
+        raise ValueError(f"ys batch {B} != plan batch {plan.batch}")
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    if n_blocks > 1 and Bb % _LANE:
+        raise ValueError(f"grid block lanes {Bb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
+    if n_blocks > 1 and any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        raise ValueError("per-sample consts are not block-shardable")
+
+    kpk = 1
+    if not any(l[0] in ("batch", "bvec") for l in plan.const_layouts):
+        kpk = _adjoint_pack(pack, D, Bb)
+    if n_blocks > 1 and (Bb // kpk) % _LANE:
+        kpk = 1                    # grid blocks must stay lane-aligned
+    if kpk > 1:
+        ys = pack_traj_blocks(ys, kpk, n_blocks)
+        g = pack_traj_blocks(g, kpk, n_blocks)
+        T, D, B = ys.shape
+
+    B_true = B // n_blocks         # per-block true lanes
+    if n_blocks == 1:
+        BP = _round_up(max(B, _LANE), _LANE)
+        if BP != B:
+            ys = jnp.pad(ys, ((0, 0), (0, 0), (0, BP - B)))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, BP - B)))
+            B = BP
+
+    consts_packed = tuple(jnp.asarray(c, dtype) for c in consts_packed)
+    time_input = plan_uses_t(plan)
+
+    def aug_factory(wrefs):
+        return make_plan_aug_eval(plan, wrefs)
+    if kpk > 1:
+        aug_factory = packed_aug_factory(aug_factory, kpk, plan.dim)
+
+    out_tail = [jax.ShapeDtypeStruct(c.shape, dtype)
+                for c in consts_packed]
+    ay0, dconsts, at, stats = _fixed_adjoint_call(
+        aug_factory, list(consts_packed), out_tail, ys, g, tau, sign,
+        tab=tab, n_sub=int(num_steps), B_true=B_true,
+        time_input=time_input, interpret=interpret, n_blocks=n_blocks)
+    if n_blocks == 1 and B != B_true:
+        ay0 = ay0[:, :B_true]
+    if kpk > 1:
+        ay0 = unpack_state_blocks(ay0, kpk, plan.dim, n_blocks)
+    return ay0, dconsts, at, stats
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "method", "interpret", "pack", "n_blocks"))
