@@ -156,6 +156,29 @@ def bench_fused_auto_nfe_per_sec(reps: int = 64):
     return nfe_s, marginal_us
 
 
+def bench_fixed_rk4_nfe_per_sec(reps: int = 64):
+    """Fixed-grid serving tier: rk4 on the benchmark spiral MLP at a step
+    budget matched to the adaptive solve's typical accepted-step count,
+    through the fixed whole-solve kernel (`ops/pallas_fixed.py`) — no
+    controller, no rejected work, deterministic cost."""
+    from tfdiffeq_tpu.fast import MLPSpec, solve_mlp_spec
+
+    p = _params()
+    weights = [(p["w1"], p["b1"]), (p["w2"], p["b2"])]
+    spec = MLPSpec(activation="tanh", input_power=3)
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+
+    def one(y):
+        res = solve_mlp_spec(spec, weights, y, t, method="rk4",
+                             num_steps=512)
+        return res.ys, res.stats.nfe
+
+    nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=5)
+    return nfe_s, marginal_us
+
+
 def bench_adams_nfe_per_sec(reps: int = 8):
     """VCABM ('adams') sustained NFE/s on the batched spiral — the
     hardest solver in the registry (SURVEY.md §7 hard-part 2), previously
@@ -511,6 +534,10 @@ def main():
     except Exception:
         adams_nfe_s = adams_marg_us = None
     try:
+        rk4_nfe_s, rk4_marg_us = bench_fixed_rk4_nfe_per_sec()
+    except Exception:
+        rk4_nfe_s = rk4_marg_us = None
+    try:
         torch_nfe_s, _, _, frac = bench_torch_proxy_nfe_per_sec()
         vs = fused_nfe_s / torch_nfe_s
     except Exception:
@@ -568,6 +595,10 @@ def main():
                 round(adams_nfe_s, 1) if adams_nfe_s else None,
             "adams_vcabm_marginal_us_per_step":
                 round(adams_marg_us, 3) if adams_marg_us else None,
+            "fixed_rk4_nfe_per_sec":
+                round(rk4_nfe_s, 1) if rk4_nfe_s else None,
+            "fixed_rk4_marginal_us_per_step":
+                round(rk4_marg_us, 3) if rk4_marg_us else None,
             "torch_eager_cpu_proxy_nfe_per_sec":
                 round(torch_nfe_s, 1) if torch_nfe_s else None,
             "latent_ode_train_iter_ms":
