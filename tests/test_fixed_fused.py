@@ -347,3 +347,90 @@ def test_odeint_adjoint_fuse_fixed_two_kernel_parity():
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b))) + 1e-8
         assert d / m < 1e-3, (d, m)
+
+
+@pytest.mark.parametrize("method,implicit", [("explicit_adams", False),
+                                             ("fixed_adams", True)])
+def test_adams_kernel_matches_generic(method, implicit):
+    """Whole-solve fixed-step Adams kernel (AB predictor / ABM corrector,
+    RK4 bootstrap, in-kernel history shifts) vs the generic scan engine:
+    roundoff-level trajectory parity and IDENTICAL NFE."""
+    from tfdiffeq_tpu.ops.pallas_fixed import mlp_solve_adams
+
+    w, warr, wdims, y0 = _setup(seed=41)
+    spec = MLPSpec(activation="tanh")
+    t = jnp.linspace(0.0, 2.0, 9, dtype=jnp.float32)
+    grid = jnp.linspace(0.0, 2.0, 33, dtype=jnp.float32)
+
+    out, stats = mlp_solve_adams(warr, wdims, y0.T, t, grid, 1e-7, 1e-9,
+                                 jnp.float32(1.0), activation="tanh",
+                                 implicit=implicit, max_order=4,
+                                 max_iters=4, interpret=True)
+    ref = solve(lambda tt, yy: mlp_apply(spec, w, yy), y0, t,
+                method=method, options={"num_steps": 32, "max_order": 4})
+    assert int(stats[3]) == 0
+    assert int(stats[0]) == int(ref.stats.nfe)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1),
+                               np.asarray(ref.ys), rtol=0, atol=2e-6)
+
+
+def test_adams_kernel_packed_blocks_and_reverse():
+    """Packing, grid blocks, and reverse time for the Adams kernel."""
+    from tfdiffeq_tpu.ops.pallas_fixed import mlp_solve_adams
+
+    w, warr, wdims, y0 = _setup(seed=43, B=512)
+    spec = MLPSpec(activation="tanh")
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    kw = dict(activation="tanh", implicit=True, max_order=3, max_iters=3,
+              interpret=True)
+
+    base, s0 = mlp_solve_adams(warr, wdims, y0.T, t, t, 1e-6, 1e-8,
+                               jnp.float32(1.0), pack=1, **kw)
+    packed, s1 = mlp_solve_adams(warr, wdims, y0.T, t, t, 1e-6, 1e-8,
+                                 jnp.float32(1.0), pack="auto", **kw)
+    blocked, s2 = mlp_solve_adams(warr, wdims, y0.T, t, t, 1e-6, 1e-8,
+                                  jnp.float32(1.0), pack=1, n_blocks=2,
+                                  **kw)
+    assert int(s1[0]) == int(s0[0]) and int(s2[0]) == int(s0[0])
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(base),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(base),
+                               rtol=0, atol=0)
+
+    # reverse time (canonical: tau = -t increasing, sign = -1)
+    td = jnp.linspace(1.5, 0.0, 7, dtype=jnp.float32)
+    out, st = mlp_solve_adams(warr, wdims, y0.T, -td, -td, 1e-6, 1e-8,
+                              jnp.float32(-1.0), **kw)
+    ref = solve(lambda tt, yy: mlp_apply(spec, w, yy), y0, td,
+                method="fixed_adams", options={"max_order": 3,
+                                               "max_iters": 3})
+    assert int(st[0]) == int(ref.stats.nfe)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1),
+                               np.asarray(ref.ys), rtol=0, atol=2e-6)
+
+
+def test_odeint_fuse_adams_routes_and_matches():
+    """solve(options={'fuse': True}) with explicit_adams/fixed_adams."""
+    import warnings
+
+    rng = np.random.RandomState(45)
+    W1 = jnp.asarray(rng.randn(2, 24) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.randn(24) * 0.05, jnp.float32)
+    W2 = jnp.asarray(rng.randn(24, 2) * 0.3, jnp.float32)
+
+    def f(tt, yy):
+        return jnp.tanh(yy @ W1 + b1) @ W2
+
+    y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 9, dtype=jnp.float32)
+
+    for method in ("explicit_adams", "fixed_adams"):
+        opts = {"num_steps": 32, "max_order": 5}
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            rf = solve(f, y0, t, method=method,
+                       options={"fuse": True, **opts})
+        rg = solve(f, y0, t, method=method, options=opts)
+        assert int(rf.stats.nfe) == int(rg.stats.nfe), method
+        np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
+                                   rtol=0, atol=2e-6, err_msg=method)

@@ -301,11 +301,16 @@ def _fixed_grid_tau(tau, t, num_steps, step_size, dtype):
     return tau
 
 
+#: fixed-step Adams methods the fused tier covers (kind 'custom' in the
+#: SOLVERS registry; their whole-solve kernel lives in ops/pallas_fixed).
+_ADAMS_METHODS = frozenset({"explicit_adams", "fixed_adams"})
+
+
 def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                    atol=1e-8, method: str = "dopri5",
                    interpret: Optional[bool] = None, max_num_steps=None,
-                   first_step=None, num_steps=None,
-                   step_size=None) -> SolveResult:
+                   first_step=None, num_steps=None, step_size=None,
+                   max_order: int = 4, max_iters: int = 4) -> SolveResult:
     """Whole-solve fused RK for a GENERAL autonomous MLP neural ODE
     (arbitrary depth/width/activation via `MLPSpec` — covers the
     benchmark tanh-MLP and the latent-ODE ELU dynamics). y0: [B, D]; t may
@@ -322,7 +327,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     y0, t = _check_spec_inputs(y0, t)
     interpret = _auto_interpret(interpret)
     dtype = y0.dtype
-    fixed = method in _pf.FIXED_TABLEAUS_BY_NAME
+    adams = method in _ADAMS_METHODS
+    fixed = method in _pf.FIXED_TABLEAUS_BY_NAME or adams
 
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
@@ -355,7 +361,9 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                     **({"num_steps": num_steps}
                        if num_steps is not None else {}),
                     **({"step_size": step_size}
-                       if step_size is not None else {})}
+                       if step_size is not None else {}),
+                    **({"max_order": int(max_order),
+                        "max_iters": int(max_iters)} if adams else {})}
             else:
                 fb_options = {
                     "loop": "while",
@@ -386,13 +394,23 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
 
     if fixed:
         grid = _fixed_grid_tau(tau, t, num_steps, step_size, dtype)
-        out, stats = _pf.mlp_solve_fixed(
-            warrays, dims, yT, tau, grid, sign, f0=f0,
-            activation=spec.activation,
-            final_activation=spec.final_activation,
-            input_power=spec.input_power, time_input=spec.time_input,
-            method=method, matmul=spec.matmul, interpret=interpret,
-            n_blocks=n_blocks)
+        if adams:
+            out, stats = _pf.mlp_solve_adams(
+                warrays, dims, yT, tau, grid, rtol, atol, sign, f0=f0,
+                activation=spec.activation,
+                final_activation=spec.final_activation,
+                input_power=spec.input_power, time_input=spec.time_input,
+                implicit=method == "fixed_adams", max_order=int(max_order),
+                max_iters=int(max_iters), matmul=spec.matmul,
+                interpret=interpret, n_blocks=n_blocks)
+        else:
+            out, stats = _pf.mlp_solve_fixed(
+                warrays, dims, yT, tau, grid, sign, f0=f0,
+                activation=spec.activation,
+                final_activation=spec.final_activation,
+                input_power=spec.input_power, time_input=spec.time_input,
+                method=method, matmul=spec.matmul, interpret=interpret,
+                n_blocks=n_blocks)
         ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]  # [T, B, D]
         return SolveResult(ys, SolverStats(*stats))
 
@@ -429,7 +447,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                 max_num_steps=None, first_step=None, matmul: str = "auto",
                 safety: float = 0.9, ifactor: float = 10.0,
                 dfactor: float = 0.2, dense_output: bool = False,
-                num_steps=None, step_size=None) -> SolveResult:
+                num_steps=None, step_size=None, max_order: int = 4,
+                max_iters: int = 4) -> SolveResult:
     """Whole-solve fused adaptive RK for ARBITRARY plain-jnp dynamics via
     the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py).
 
@@ -465,12 +484,14 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     interpret = _auto_interpret(interpret)
     dtype = y0.dtype
 
-    fixed = method in _pf.FIXED_TABLEAUS_BY_NAME
+    adams = method in _ADAMS_METHODS
+    fixed = method in _pf.FIXED_TABLEAUS_BY_NAME or adams
     if not fixed and method not in tableaus.TABLEAUS_BY_NAME:
         raise jb.FusionError(
             f"method {method!r} has no whole-solve tableau (available: "
             f"{sorted(tableaus.TABLEAUS_BY_NAME)} adaptive, "
-            f"{sorted(_pf.FIXED_TABLEAUS_BY_NAME)} fixed-grid)")
+            f"{sorted(_pf.FIXED_TABLEAUS_BY_NAME)} fixed-grid, "
+            f"{sorted(_ADAMS_METHODS)} fixed-step Adams)")
     if fixed and dense_output:
         raise jb.FusionError(
             "dense_output applies to adaptive methods only (the generic "
@@ -564,9 +585,16 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
 
     if fixed:
         grid = _fixed_grid_tau(tau, t, num_steps, step_size, dtype)
-        out, stats = _pf.plan_solve_fixed(
-            plan, packed, y0p, tau, grid, sign, f0p, method=method,
-            interpret=interpret, pack=kpack, n_blocks=n_blocks)
+        if adams:
+            out, stats = _pf.plan_solve_adams(
+                plan, packed, y0p, tau, grid, rtol, atol, sign, f0p,
+                implicit=method == "fixed_adams",
+                max_order=int(max_order), max_iters=int(max_iters),
+                interpret=interpret, pack=kpack, n_blocks=n_blocks)
+        else:
+            out, stats = _pf.plan_solve_fixed(
+                plan, packed, y0p, tau, grid, sign, f0p, method=method,
+                interpret=interpret, pack=kpack, n_blocks=n_blocks)
         if n_blocks > 1:
             # Every block walks the SAME fixed grid: per-solve stats are
             # block-count-invariant (nfe/steps from block 0, status max).

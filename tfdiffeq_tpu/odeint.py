@@ -94,6 +94,12 @@ _FUSABLE_OPTIONS = frozenset({"first_step", "max_num_steps", "safety",
 #: `grid_constructor` callables stay on the generic engine).
 _FUSABLE_FIXED_OPTIONS = frozenset({"step_size", "num_steps"})
 
+#: fixed-step Adams methods with a whole-solve kernel (ops/pallas_fixed)
+#: and the options it honors.
+_FUSABLE_ADAMS_METHODS = frozenset({"explicit_adams", "fixed_adams"})
+_FUSABLE_ADAMS_OPTIONS = frozenset({"step_size", "num_steps", "max_order",
+                                    "max_iters"})
+
 
 def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
     """Attempt the jaxpr->Pallas fused solve; None => use the generic
@@ -103,8 +109,12 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
     from .ops.jaxpr_bridge import FusionError
 
     try:
-        allowed = (_FUSABLE_OPTIONS if kind == "adaptive"
-                   else _FUSABLE_FIXED_OPTIONS)
+        if kind == "adaptive":
+            allowed = _FUSABLE_OPTIONS
+        elif method in _FUSABLE_ADAMS_METHODS:
+            allowed = _FUSABLE_ADAMS_OPTIONS
+        else:
+            allowed = _FUSABLE_FIXED_OPTIONS
         unsupported = set(options) - allowed
         if unsupported:
             raise FusionError(f"options {sorted(unsupported)} are not "
@@ -117,6 +127,13 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
                 raise FusionError("per-leaf tolerance pytrees are not "
                                   "supported by the fused kernel")
         from .fast import solve_fused
+        if method in _FUSABLE_ADAMS_METHODS:
+            return solve_fused(
+                func, y0, t, rtol=rtol, atol=atol, method=method,
+                num_steps=options.get("num_steps"),
+                step_size=options.get("step_size"),
+                max_order=int(options.get("max_order", 4)),
+                max_iters=int(options.get("max_iters", 4)))
         if kind == "fixed":
             return solve_fused(
                 func, y0, t, method=method,
@@ -159,10 +176,12 @@ def solve(
         allowed = ADAPTIVE_OPTIONS
     else:
         allowed = _CUSTOM_ALLOWED.get(method)  # None -> global set
-    if (options or {}).get("fuse") and kind not in ("adaptive", "fixed"):
+    if ((options or {}).get("fuse") and kind not in ("adaptive", "fixed")
+            and method not in _FUSABLE_ADAMS_METHODS):
         raise ValueError("options={'fuse': True} requires an adaptive "
-                         "(dopri5/bosh3/adaptive_heun/tsit5/dopri8) or "
-                         "fixed-grid (euler/midpoint/rk4/rk4_38) tableau "
+                         "(dopri5/bosh3/adaptive_heun/tsit5/dopri8), "
+                         "fixed-grid (euler/midpoint/rk4/rk4_38), or "
+                         "fixed-step Adams (explicit_adams/fixed_adams) "
                          "method")
     options = check_options(options, allowed)
 

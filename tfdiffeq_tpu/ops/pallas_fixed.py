@@ -317,6 +317,242 @@ def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
     return out, stats
 
 
+def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
+                             max_order: int, max_iters: int, implicit: bool,
+                             B_true: int, per_block_io: bool = False):
+    """Whole-solve fixed-step Adams kernel (AB predictor, optional AM
+    corrector with unrolled functional iteration) — the fused counterpart
+    of `solvers/fixed_adams.solve_fixed_adams`, one launch.
+
+    Ref layout:
+      SMEM in : grid [1,G], tau [1,T], ab [MO,MO], am [MO,MO],
+                rtol [1,1], atol [1,1], sign [1,1], valid [1,1]
+      VMEM in : y0 [D,B], f0 [D,B], *wrefs
+      outputs : out [T,D,B], stats [n_blocks,4] (SMEM)
+      scratch : y_s [D,B], hist_s [MO*D, B] (hist row-block j =
+                f_{current-j}), comp_s [D,B]
+
+    Startup mirrors the generic engine: the first max_order-1 steps run
+    RK4 (O(h^5) local) instead of the reference's order ramp; history then
+    carries exactly the evaluations the generic scan would hold. The
+    corrector runs max_iters unrolled iterations with a convergence mask
+    (converged states stop updating), NFE counts every evaluation
+    performed — identical to the generic engine's accounting.
+    """
+    MO = int(max_order)
+    rk4 = FIXED_TABLEAUS_BY_NAME["rk4"]
+    bootstrap = MO - 1
+
+    def kernel(*refs):
+        (grid_ref, tau_ref, ab_ref, am_ref, rtol_ref, atol_ref,
+         sign_ref, valid_ref, y0_ref, f0_ref) = refs[:10]
+        wrefs = refs[10:10 + n_wrefs]
+        out_ref, stats_ref, y_s, hist_s, comp_s = refs[10 + n_wrefs:]
+        pid = pl.program_id(0) if per_block_io else 0
+        sign = sign_ref[0, 0]
+        rtol = rtol_ref[0, 0]
+        atol = atol_ref[0, 0]
+        D = y_s.shape[0]
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[0] = y0_ref[:]
+        y_s[:] = y0_ref[:]
+        hist_s[:] = jnp.zeros_like(hist_s)
+        hist_s[pl.ds(0, D)] = f0_ref[:]
+        comp_s[:] = jnp.zeros_like(comp_s)
+
+        raw_f = make_f(wrefs)
+
+        def f(s, y):
+            return sign * raw_f(sign * s, y)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (D, y_s.shape[1]), 1)
+        valid = lane < B_true
+
+        def body(i, carry):
+            oi, nfe = carry
+            t0 = grid_ref[0, i]
+            t1 = grid_ref[0, i + 1]
+            dt = t1 - t0
+            y0 = y_s[:]
+            f_head = hist_s[pl.ds(0, D)]
+            n = i                      # steps completed so far
+
+            def adams_step():
+                k_eff = jnp.minimum(n + 1, MO)
+                # Predictor: y + dt * sum_j beta_j f_{n-j} (masked past
+                # the usable history length).
+                acc = None
+                for j in range(MO):
+                    beta = jnp.where(j < k_eff, ab_ref[k_eff - 1, j], 0.0)
+                    term = beta * hist_s[pl.ds(j * D, D)]
+                    acc = term if acc is None else acc + term
+                y_pred = y0 + dt * acc
+                if not implicit:
+                    # Reference convention: f1 = f(t1, y_pred), 1 eval.
+                    return (y_pred, f(t1, y_pred), dt * acc,
+                            jnp.int32(1))
+                hist_part = None
+                for j in range(MO - 1):
+                    gam = jnp.where(j + 1 < k_eff,
+                                    am_ref[k_eff - 1, j + 1], 0.0)
+                    term = gam * hist_s[pl.ds(j * D, D)]
+                    hist_part = term if hist_part is None \
+                        else hist_part + term
+                g0 = am_ref[k_eff - 1, 0]
+                y_cur = y_pred
+                done = jnp.asarray(False)
+                for _ in range(max_iters):
+                    f_new = f(t1, y_cur)
+                    y_next = y0 + dt * (hist_part + g0 * f_new)
+                    scale = atol + rtol * jnp.maximum(jnp.abs(y_cur),
+                                                      jnp.abs(y_next))
+                    esc = jnp.where(valid, (y_next - y_cur) / scale, 0.0)
+                    delta = jnp.sqrt(jnp.sum(esc * esc)
+                                     / float(D * B_true))
+                    y_cur = jnp.where(done, y_cur, y_next)
+                    done = done | (delta <= 1.0)
+                f1 = f(t1, y_cur)
+                return (y_cur, f1, y_cur - y0,
+                        jnp.int32(max_iters + 1))
+
+            def rk4_step():
+                delta = _fixed_stage_walk(rk4, f, y0, f_head, t0, dt)
+                y1 = y0 + delta
+                return y1, f(t1, y1), delta, jnp.int32(4)
+
+            if bootstrap > 0:
+                y1, f1, delta, n_evals = jax.lax.cond(
+                    n < bootstrap, rk4_step, adams_step)
+            else:
+                y1, f1, delta, n_evals = adams_step()
+
+            # Kahan-compensated accumulation on the exact increment.
+            comp = comp_s[:]
+            adj = delta - comp
+            y_new = jnp.where(valid, y0 + adj, 0.0)
+            comp_s[:] = jnp.where(valid, (y_new - y0) - adj, 0.0)
+            y_s[:] = y_new
+
+            # Shift history: row-block j becomes f_{new - j}.
+            hist_s[pl.ds(D, (MO - 1) * D)] = hist_s[pl.ds(0, (MO - 1) * D)]
+            hist_s[pl.ds(0, D)] = f1
+
+            # Hermite drain of requested times in (t0, t1].
+            df0 = dt * f_head
+            df1 = dt * f1
+            cb = 2.0 * (y0 - y_new) + df0 + df1
+            cc = 3.0 * (y_new - y0) - 2.0 * df0 - df1
+            last = i == (G - 2)
+
+            def wcond(o):
+                within = tau_ref[0, jnp.minimum(o, T - 1)] <= t1
+                return (o < T) & (within | last)
+
+            def wbody(o):
+                tj = tau_ref[0, o]
+                x = (tj - t0) / dt
+                val = ((cb * x + cc) * x + df0) * x + y0
+                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y_new,
+                                                 val)[None]
+                return o + 1
+
+            oi = jax.lax.while_loop(wcond, wbody, oi)
+            return oi, nfe + n_evals
+
+        ok = valid_ref[0, 0] != 0
+
+        def run():
+            _, nfe = jax.lax.fori_loop(0, G - 1, body,
+                                       (jnp.int32(1), jnp.int32(1)))
+            return nfe
+
+        nfe = jax.lax.cond(ok, run, lambda: jnp.int32(0))
+        stats_ref[pid, 0] = nfe
+        stats_ref[pid, 1] = jnp.where(ok, jnp.int32(G - 1), jnp.int32(0))
+        stats_ref[pid, 2] = jnp.int32(0)
+        stats_ref[pid, 3] = jnp.where(ok, jnp.int32(0), jnp.int32(3))
+
+    return kernel
+
+
+def adams_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
+                     rtol, atol, sign, f0, *, max_order: int,
+                     max_iters: int, implicit: bool, B_true: int,
+                     interpret: bool, n_blocks: int = 1):
+    """pallas_call plumbing for the fixed-Adams whole-solve kernel (same
+    layout contracts as `fixed_solve_call`). B_true: per-block TRUE lane
+    count — pad lanes are masked out of the corrector's convergence norm
+    and pinned to 0 through the Kahan update."""
+    from ..solvers.fixed_adams import BASHFORTH_TABLE, MOULTON_TABLE
+
+    D, B = y0.shape
+    T = int(tau.shape[0])
+    G = int(grid.shape[0])
+    dtype = y0.dtype
+    MO = int(max_order)
+
+    if B % n_blocks:
+        raise ValueError(f"lane count {B} not divisible by n_blocks "
+                         f"{n_blocks}")
+    NB = B // n_blocks
+    kernel = _make_adams_solve_kernel(G, T, make_f, len(aux_arrays), MO,
+                                      int(max_iters), implicit, B_true,
+                                      per_block_io=n_blocks > 1)
+
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    tau = tau.astype(dtype)
+    grid = grid.astype(dtype)
+    valid_t = jnp.all(jnp.diff(tau) > 0) if T > 1 else jnp.asarray(True)
+    valid_g = jnp.all(jnp.diff(grid) > 0) if G > 1 else jnp.asarray(True)
+    valid = (valid_t & valid_g).astype(jnp.int32)
+    ab = jnp.asarray(BASHFORTH_TABLE[:MO, :MO], dtype)
+    am = jnp.asarray(MOULTON_TABLE[:MO, :MO], dtype)
+    scalar_ins = (grid.reshape(1, G), tau.reshape(1, T), ab, am,
+                  jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+                  jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+                  jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+                  jnp.reshape(valid, (1, 1)))
+    scratch = [pltpu.VMEM((D, NB), dtype),
+               pltpu.VMEM((MO * D, NB), dtype),
+               pltpu.VMEM((D, NB), dtype)]
+
+    if n_blocks == 1:
+        out, stats = pl.pallas_call(
+            kernel,
+            in_specs=[smem_t] * 8 + [vmem] * (2 + len(aux_arrays)),
+            out_specs=[vmem, smem_t],
+            out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                       jax.ShapeDtypeStruct((1, 4), jnp.int32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*scalar_ins, y0, f0, *aux_arrays)
+        return out, stats[0]
+
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    out, stats = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=([smem_t] * 8 + [state_spec, state_spec]
+                  + [rep(np.shape(w)) for w in aux_arrays]),
+        out_specs=[out_spec, smem_t],
+        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                   jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*scalar_ins, y0, f0, *aux_arrays)
+    return out, stats
+
+
 def _make_fixed_adjoint_kernel(tab, T: int, n_sub: int, B_true: int,
                                aug_factory, n_in: int, n_acc: int,
                                time_input: bool = False,
@@ -678,6 +914,103 @@ def plan_adjoint_solve_fixed(plan, consts_packed, ys: Array, g: Array,
     if kpk > 1:
         ay0 = unpack_state_blocks(ay0, kpk, plan.dim, n_blocks)
     return ay0, dconsts, at, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "activation", "final_activation", "input_power",
+                     "time_input", "implicit", "max_order", "max_iters",
+                     "matmul", "interpret", "pack", "n_blocks"))
+def mlp_solve_adams(warrays, dims, y0: Array, tau: Array, grid: Array,
+                    rtol, atol, sign, *, f0: Array = None,
+                    activation: str = "tanh",
+                    final_activation: str = "identity",
+                    input_power: int = 1, time_input: bool = False,
+                    implicit: bool = True, max_order: int = 4,
+                    max_iters: int = 4, matmul: str = "vpu",
+                    interpret: bool = False, pack: str | int = "auto",
+                    n_blocks: int = 1):
+    """Whole-solve fused fixed-step Adams (AB / ABM) for a general MLP
+    ODE: predictor + unrolled corrector + RK4 bootstrap + history shifts
+    all in ONE kernel. Mirror of `solvers/fixed_adams.solve_fixed_adams`
+    semantics ('explicit_adams' = implicit=False, 'fixed_adams' =
+    implicit=True; rtol/atol drive the corrector's convergence mask).
+    Returns (out [T, D, B], stats [4])."""
+    from .pallas_kernels import _make_net, padded_mlp_f
+
+    D, B = y0.shape
+    dtype = y0.dtype
+    warrays = [jnp.asarray(w, dtype) for w in warrays]
+    sign = jnp.asarray(sign, dtype)
+    if f0 is None:
+        f0 = sign * padded_mlp_f(warrays, dims, y0, activation,
+                                 final_activation, input_power,
+                                 t=sign * grid[0], time_input=time_input)
+
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
+    if n_blocks > 1 and (Bb // k) % _LANE:
+        k = 1
+    if k > 1:
+        y0 = pack_state_blocks(y0, k, n_blocks)
+        f0 = pack_state_blocks(f0, k, n_blocks)
+    Lb = Bb // k
+    B_true = Lb
+    if n_blocks == 1:
+        BP = _round_up(max(Lb, _LANE), _LANE)
+        if BP != Lb:
+            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
+            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
+    elif Lb % _LANE:
+        raise ValueError(f"grid block lanes {Lb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
+
+    def make_f(wrefs):
+        return _make_net(wrefs, dims, activation, final_activation,
+                         input_power, time_input, matmul)
+    if k > 1:
+        make_f = packed_make_f(make_f, k, D)
+
+    out, stats = adams_solve_call(
+        make_f, warrays, y0, tau, grid, rtol, atol, sign, f0,
+        max_order=int(max_order), max_iters=int(max_iters),
+        implicit=bool(implicit), B_true=B_true, interpret=interpret,
+        n_blocks=n_blocks)
+    if n_blocks > 1:
+        stats = jnp.concatenate(
+            [stats[:1, 0], stats[:1, 1], stats[:1, 2],
+             stats[:, 3].max(keepdims=True)])
+    if out.shape[-1] != n_blocks * Lb:
+        out = out[:, :, :Lb]
+    if k > 1:
+        out = unpack_state_blocks(out, k, D, n_blocks)
+    return out, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "implicit", "max_order", "max_iters",
+                     "interpret", "pack", "n_blocks"))
+def plan_solve_adams(plan, consts_packed, y0: Array, tau: Array,
+                     grid: Array, rtol, atol, sign, f0: Array, *,
+                     implicit: bool = True, max_order: int = 4,
+                     max_iters: int = 4, interpret: bool = False,
+                     pack: int = 1, n_blocks: int = 1):
+    """Whole-solve fused fixed-step Adams over a FusedPlan RHS (the
+    jaxpr-bridge counterpart of `mlp_solve_adams`)."""
+    from .jaxpr_bridge import make_plan_f
+
+    make_f = lambda wrefs: make_plan_f(plan, wrefs)      # noqa: E731
+    if pack > 1:
+        make_f = packed_make_f(make_f, int(pack), plan.dim)
+    return adams_solve_call(
+        make_f, list(consts_packed), y0, tau, grid, rtol, atol, sign, f0,
+        max_order=int(max_order), max_iters=int(max_iters),
+        implicit=bool(implicit),
+        B_true=plan.batch // (int(pack) * int(n_blocks)),
+        interpret=interpret, n_blocks=int(n_blocks))
 
 
 @functools.partial(

@@ -214,7 +214,7 @@ def _implicit(prob, options, rtol, atol):
 from ..odeint import register_solver  # noqa: E402
 
 _ADAMS_GRID_OPTIONS = {"max_order", "max_iters", "step_size", "num_steps",
-                       "grid_constructor"}
+                       "grid_constructor", "fuse"}
 register_solver("explicit_adams", "custom", _explicit,
                 allowed=_ADAMS_GRID_OPTIONS)
 register_solver("fixed_adams", "custom", _implicit,
