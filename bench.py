@@ -199,6 +199,26 @@ def bench_adams_nfe_per_sec(reps: int = 8):
     return nfe_s, marginal_us
 
 
+def bench_adams_fused_nfe_per_sec(reps: int = 32):
+    """VCABM through the whole-solve kernel (ops/pallas_vcabm): the full
+    Shampine-Gordon order/step machinery in ONE launch."""
+    from tfdiffeq_tpu import solve
+
+    p = _params()
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+    dyn = _spiral_dyn(p)
+
+    def one(y):
+        res = solve(dyn, y, t, rtol=RTOL, atol=ATOL, method="adams",
+                    options={"fuse": True, "first_step": 0.01})
+        return res.ys, res.stats.nfe
+
+    nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=5)
+    return nfe_s, marginal_us
+
+
 def bench_fused_nfe_per_sec(reps: int = 64):
     """Headline: sustained NFE/s of the whole-solve Pallas kernel.
 
@@ -538,6 +558,10 @@ def main():
     except Exception:
         rk4_nfe_s = rk4_marg_us = None
     try:
+        adams_f_nfe_s, adams_f_marg_us = bench_adams_fused_nfe_per_sec()
+    except Exception:
+        adams_f_nfe_s = adams_f_marg_us = None
+    try:
         torch_nfe_s, _, _, frac = bench_torch_proxy_nfe_per_sec()
         vs = fused_nfe_s / torch_nfe_s
     except Exception:
@@ -599,6 +623,10 @@ def main():
                 round(rk4_nfe_s, 1) if rk4_nfe_s else None,
             "fixed_rk4_marginal_us_per_step":
                 round(rk4_marg_us, 3) if rk4_marg_us else None,
+            "adams_vcabm_fused_nfe_per_sec":
+                round(adams_f_nfe_s, 1) if adams_f_nfe_s else None,
+            "adams_vcabm_fused_marginal_us_per_step":
+                round(adams_f_marg_us, 3) if adams_f_marg_us else None,
             "torch_eager_cpu_proxy_nfe_per_sec":
                 round(torch_nfe_s, 1) if torch_nfe_s else None,
             "latent_ode_train_iter_ms":

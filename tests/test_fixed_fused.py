@@ -434,3 +434,81 @@ def test_odeint_fuse_adams_routes_and_matches():
         assert int(rf.stats.nfe) == int(rg.stats.nfe), method
         np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
                                    rtol=0, atol=2e-6, err_msg=method)
+
+
+def test_vcabm_kernel_accept_sequence_identical():
+    """The whole-solve VCABM kernel runs the generic engine's masked
+    Shampine-Gordon machinery in-kernel: same status, step counts within
+    a few percent (exact equality is not guaranteed — the kernel's
+    controller computes r**(-1/k) as exp/log because scalar powf does
+    not lower in Mosaic, and that ulp difference cascades through the
+    accept sequence), trajectories at tolerance level."""
+    rng = np.random.RandomState(51)
+    W1 = jnp.asarray(rng.randn(2, 24) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.randn(24) * 0.05, jnp.float32)
+    W2 = jnp.asarray(rng.randn(24, 2) * 0.3, jnp.float32)
+
+    def f(tt, yy):
+        return jnp.tanh((yy ** 3) @ W1 + b1) @ W2
+
+    y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
+
+    # first_step pinned: the initial-step heuristic reduces in a
+    # different element order on the feature-major kernel path, and
+    # ulp-level dt0 differences cascade into different (equally valid)
+    # accept sequences — the same reason the adaptive-RK NFE-parity
+    # tests pin first_step (tests/test_fuse.py).
+    cases = [
+        (jnp.linspace(0.0, 5.0, 9, jnp.float32), 1e-6, 1e-8,
+         {"first_step": 0.02}),
+        (jnp.linspace(0.0, 2.0, 5, jnp.float32), 1e-4, 1e-6,
+         {"max_order": 4, "first_step": 0.05}),
+        (jnp.linspace(3.0, 0.0, 7, jnp.float32), 1e-6, 1e-8,
+         {"first_step": 0.05}),
+    ]
+    for t, rtol, atol, opts in cases:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            rf = solve(f, y0, t, rtol=rtol, atol=atol, method="adams",
+                       options={"fuse": True, **opts})
+        rg = solve(f, y0, t, rtol=rtol, atol=atol, method="adams",
+                   options=opts)
+        assert int(rf.stats.status) == int(rg.stats.status) == 0, opts
+        nf, ng = int(rf.stats.nfe), int(rg.stats.nfe)
+        assert abs(nf - ng) <= 0.12 * ng + 4, (opts, nf, ng)
+        af, ag = int(rf.stats.n_accepted), int(rg.stats.n_accepted)
+        assert abs(af - ag) <= 0.12 * ag + 2, (opts, af, ag)
+        np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
+                                   rtol=0, atol=2e-4, err_msg=str(opts))
+
+
+def test_vcabm_kernel_direct_packed_blocks():
+    """Direct mlp_solve_vcabm entry: packing and grid blocks agree with
+    the unpacked single-block kernel (per-block controllers see identical
+    subproblems when the batch halves are integrated independently)."""
+    from tfdiffeq_tpu.ops.pallas_vcabm import mlp_solve_vcabm
+
+    w, warr, wdims, y0 = _setup(seed=53, B=512)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    kw = dict(activation="tanh", max_order=6, interpret=True)
+
+    base, s0 = mlp_solve_vcabm(warr, wdims, y0.T, t, jnp.float32(0.02),
+                               1e-5, 1e-7, jnp.float32(1.0), pack=1, **kw)
+    packed, s1 = mlp_solve_vcabm(warr, wdims, y0.T, t, jnp.float32(0.02),
+                                 1e-5, 1e-7, jnp.float32(1.0),
+                                 pack="auto", **kw)
+    assert int(s0[3]) == 0
+    # Packed groups change the error-norm reduction order only: the
+    # accept sequence may differ by last-ulp ties, so compare
+    # trajectories at tolerance level and require clean status.
+    assert int(s1[3]) == 0
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(base),
+                               rtol=0, atol=5e-4)
+
+    spec = MLPSpec(activation="tanh")
+    ref = solve(lambda tt, yy: mlp_apply(spec, w, yy), y0, t, rtol=1e-5,
+                atol=1e-7, method="adams",
+                options={"max_order": 6, "first_step": 0.02})
+    np.testing.assert_allclose(np.asarray(base).transpose(0, 2, 1),
+                               np.asarray(ref.ys), rtol=0, atol=5e-4)

@@ -257,10 +257,12 @@ def test_odeint_fuse_option_and_fallback():
     assert any("falling back" in str(w.message) for w in wlog)
     assert ys3["a"].shape == (7, 8, 2)
 
-    # fixed-grid methods fuse too (tests/test_fixed_fused.py covers the
-    # parity battery); non-tableau kinds stay a hard error
+    # fixed-grid and Adams methods fuse too (tests/test_fixed_fused.py
+    # covers those parity batteries); remaining custom kinds stay a hard
+    # error
     with pytest.raises(ValueError, match="adaptive"):
-        odeint(spiral, Y0, T, method="adams", options={"fuse": True})
+        odeint(spiral, Y0, T, method="hyper_euler",
+               options={"fuse": True})
 
 
 def test_fuse_under_jit_with_traced_weights():

@@ -57,6 +57,7 @@ import numpy as np
 from .ops.pallas_adjoint import mlp_adjoint_solve
 from .ops import pallas_fixed as _pf
 from .ops import pallas_kernels as _pk
+from .ops import pallas_vcabm as _pv
 from .ops.pallas_kernels import (_ACTIVATIONS, dopri5_mlp_solve,
                                  dopri5_mlp_step, mlp_f, mlp_solve,
                                  pad_mlp_weights)
@@ -310,7 +311,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                    atol=1e-8, method: str = "dopri5",
                    interpret: Optional[bool] = None, max_num_steps=None,
                    first_step=None, num_steps=None, step_size=None,
-                   max_order: int = 4, max_iters: int = 4) -> SolveResult:
+                   max_order: Optional[int] = None,
+                   max_iters: int = 4) -> SolveResult:
     """Whole-solve fused RK for a GENERAL autonomous MLP neural ODE
     (arbitrary depth/width/activation via `MLPSpec` — covers the
     benchmark tanh-MLP and the latent-ODE ELU dynamics). y0: [B, D]; t may
@@ -328,7 +330,10 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     interpret = _auto_interpret(interpret)
     dtype = y0.dtype
     adams = method in _ADAMS_METHODS
+    vcabm = method == "adams"
     fixed = method in _pf.FIXED_TABLEAUS_BY_NAME or adams
+    if max_order is None:
+        max_order = 12 if vcabm else 4     # generic engines' defaults
 
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
@@ -356,7 +361,14 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                 "falling back to the generic while-loop engine",
                 stacklevel=2)
             from .odeint import solve as _solve
-            if fixed:
+            if vcabm:
+                fb_options = {
+                    "max_order": min(int(max_order), 12),
+                    **({"max_num_steps": int(max_num_steps)}
+                       if max_num_steps is not None else {}),
+                    **({"first_step": first_step}
+                       if first_step is not None else {})}
+            elif fixed:
                 fb_options = {
                     **({"num_steps": num_steps}
                        if num_steps is not None else {}),
@@ -391,6 +403,35 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
 
     f0 = (sign * mlp_apply(spec, weights, y0, t[0]).T).astype(dtype)
     warrays, dims = pad_mlp_weights(weights, dtype)
+
+    if vcabm:
+        if first_step is None:
+            def flat_g(s, yf):
+                yb = yf.reshape(D, B).T
+                return (sign * mlp_apply(spec, weights, yb,
+                                         sign * s).T).ravel()
+
+            dt0 = select_initial_step(flat_g, tau[0], yT.ravel(),
+                                      f0.ravel(), 1,
+                                      jnp.asarray(rtol, dtype),
+                                      jnp.asarray(atol, dtype))
+            extra_nfe = 2
+        else:
+            dt0 = jnp.abs(jnp.asarray(first_step, dtype))
+            extra_nfe = 1
+        out, stats = _pv.mlp_solve_vcabm(
+            warrays, dims, yT, tau, dt0, rtol, atol, sign, f0=f0,
+            activation=spec.activation,
+            final_activation=spec.final_activation,
+            input_power=spec.input_power, time_input=spec.time_input,
+            max_order=int(max_order),
+            max_steps=(int(max_num_steps) if max_num_steps is not None
+                       else 2 ** 31 - 1),
+            matmul=spec.matmul, interpret=interpret, n_blocks=n_blocks)
+        ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
+        st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2],
+                         stats[3])
+        return SolveResult(ys, st)
 
     if fixed:
         grid = _fixed_grid_tau(tau, t, num_steps, step_size, dtype)
@@ -447,7 +488,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                 max_num_steps=None, first_step=None, matmul: str = "auto",
                 safety: float = 0.9, ifactor: float = 10.0,
                 dfactor: float = 0.2, dense_output: bool = False,
-                num_steps=None, step_size=None, max_order: int = 4,
+                num_steps=None, step_size=None,
+                max_order: Optional[int] = None,
                 max_iters: int = 4) -> SolveResult:
     """Whole-solve fused adaptive RK for ARBITRARY plain-jnp dynamics via
     the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py).
@@ -485,13 +527,19 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     dtype = y0.dtype
 
     adams = method in _ADAMS_METHODS
+    vcabm = method == "adams"
     fixed = method in _pf.FIXED_TABLEAUS_BY_NAME or adams
-    if not fixed and method not in tableaus.TABLEAUS_BY_NAME:
+    if not fixed and not vcabm and method not in tableaus.TABLEAUS_BY_NAME:
         raise jb.FusionError(
-            f"method {method!r} has no whole-solve tableau (available: "
+            f"method {method!r} has no whole-solve kernel (available: "
             f"{sorted(tableaus.TABLEAUS_BY_NAME)} adaptive, "
             f"{sorted(_pf.FIXED_TABLEAUS_BY_NAME)} fixed-grid, "
-            f"{sorted(_ADAMS_METHODS)} fixed-step Adams)")
+            f"{sorted(_ADAMS_METHODS)} fixed-step Adams, 'adams' VCABM)")
+    if vcabm and dense_output:
+        raise jb.FusionError(
+            "dense_output applies to adaptive RK methods only")
+    if max_order is None:
+        max_order = 12 if vcabm else 4     # generic engines' defaults
     if fixed and dense_output:
         raise jb.FusionError(
             "dense_output applies to adaptive methods only (the generic "
@@ -550,7 +598,7 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
 
         dt0 = select_initial_step(
             flat_g, tau[0], yT.ravel(), f0.ravel(),
-            tableaus.TABLEAUS_BY_NAME[method].order - 1,
+            1 if vcabm else tableaus.TABLEAUS_BY_NAME[method].order - 1,
             jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype))
         extra_nfe = 2
     else:
@@ -582,6 +630,28 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     else:
         BP = Lb                    # lane-aligned by construction
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
+
+    if vcabm:
+        out, stats = _pv.plan_solve_vcabm(
+            plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p,
+            max_order=int(max_order),
+            safety=safety, ifactor=ifactor, dfactor=dfactor,
+            max_steps=(int(max_num_steps) if max_num_steps is not None
+                       else 2 ** 31 - 1),
+            interpret=interpret, pack=kpack, n_blocks=n_blocks)
+        if n_blocks > 1:
+            stats = jnp.concatenate(
+                [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+        if out.shape[-1] != Bk:
+            out = out[:, :, :Lb]
+        if kpack > 1:
+            out = _pk.unpack_state_blocks(out, kpack, D, n_blocks)
+        ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
+        if squeeze:
+            ys = ys[:, 0]
+        st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2],
+                         stats[3])
+        return SolveResult(ys, st)
 
     if fixed:
         grid = _fixed_grid_tau(tau, t, num_steps, step_size, dtype)

@@ -100,6 +100,11 @@ _FUSABLE_ADAMS_METHODS = frozenset({"explicit_adams", "fixed_adams"})
 _FUSABLE_ADAMS_OPTIONS = frozenset({"step_size", "num_steps", "max_order",
                                     "max_iters"})
 
+#: VCABM ('adams') whole-solve kernel options (ops/pallas_vcabm; custom
+#: norms stay on the generic engine).
+_FUSABLE_VCABM_OPTIONS = frozenset({"max_order", "first_step", "safety",
+                                    "ifactor", "dfactor", "max_num_steps"})
+
 
 def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
     """Attempt the jaxpr->Pallas fused solve; None => use the generic
@@ -111,6 +116,8 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
     try:
         if kind == "adaptive":
             allowed = _FUSABLE_OPTIONS
+        elif method == "adams":
+            allowed = _FUSABLE_VCABM_OPTIONS
         elif method in _FUSABLE_ADAMS_METHODS:
             allowed = _FUSABLE_ADAMS_OPTIONS
         else:
@@ -127,6 +134,15 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
                 raise FusionError("per-leaf tolerance pytrees are not "
                                   "supported by the fused kernel")
         from .fast import solve_fused
+        if method == "adams":
+            return solve_fused(
+                func, y0, t, rtol=rtol, atol=atol, method=method,
+                max_num_steps=options.get("max_num_steps"),
+                first_step=options.get("first_step"),
+                safety=float(options.get("safety", 0.9)),
+                ifactor=float(options.get("ifactor", 10.0)),
+                dfactor=float(options.get("dfactor", 0.2)),
+                max_order=int(options.get("max_order", 12)))
         if method in _FUSABLE_ADAMS_METHODS:
             return solve_fused(
                 func, y0, t, rtol=rtol, atol=atol, method=method,
@@ -177,11 +193,12 @@ def solve(
     else:
         allowed = _CUSTOM_ALLOWED.get(method)  # None -> global set
     if ((options or {}).get("fuse") and kind not in ("adaptive", "fixed")
-            and method not in _FUSABLE_ADAMS_METHODS):
+            and method not in _FUSABLE_ADAMS_METHODS
+            and method != "adams"):
         raise ValueError("options={'fuse': True} requires an adaptive "
                          "(dopri5/bosh3/adaptive_heun/tsit5/dopri8), "
                          "fixed-grid (euler/midpoint/rk4/rk4_38), or "
-                         "fixed-step Adams (explicit_adams/fixed_adams) "
+                         "Adams (explicit_adams/fixed_adams/adams) "
                          "method")
     options = check_options(options, allowed)
 

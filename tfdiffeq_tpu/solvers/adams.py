@@ -344,4 +344,4 @@ from ..odeint import register_solver  # noqa: E402
 
 register_solver("adams", "custom", _adams,
                 allowed={"max_order", "first_step", "safety", "ifactor",
-                         "dfactor", "max_num_steps", "norm"})
+                         "dfactor", "max_num_steps", "norm", "fuse"})
