@@ -512,3 +512,70 @@ def test_vcabm_kernel_direct_packed_blocks():
                 options={"max_order": 6, "first_step": 0.02})
     np.testing.assert_allclose(np.asarray(base).transpose(0, 2, 1),
                                np.asarray(ref.ys), rtol=0, atol=5e-4)
+
+
+def test_hyper_kernel_matches_generic():
+    """Fused hypersolvers (both plans in ONE kernel): trajectory parity
+    and identical NFE vs solvers/hyper.py across kinds, grids, and BOTH
+    time directions (the (sign*dt)^(p+1) residual sign matters in
+    reverse)."""
+    import warnings
+
+    rng = np.random.RandomState(61)
+    W1 = jnp.asarray(rng.randn(2, 24) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.randn(24) * 0.05, jnp.float32)
+    W2 = jnp.asarray(rng.randn(24, 2) * 0.3, jnp.float32)
+    Hw = jnp.asarray(rng.randn(5, 16) * 0.2, jnp.float32)
+    Hv = jnp.asarray(rng.randn(16, 2) * 0.2, jnp.float32)
+
+    def f(tt, yy):
+        return jnp.tanh((yy ** 3) @ W1 + b1) @ W2
+
+    def g(tt, yy, ff):
+        tcol = jnp.broadcast_to(jnp.reshape(tt, (1, 1)),
+                                (yy.shape[0], 1))
+        h = jnp.concatenate([yy, ff, tcol], axis=1)
+        return jnp.tanh(h @ Hw) @ Hv
+
+    y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    cases = [
+        (jnp.linspace(0.0, 2.0, 9, jnp.float32), {}),
+        (jnp.linspace(0.0, 2.0, 5, jnp.float32), {"num_steps": 32}),
+        (jnp.linspace(1.5, 0.0, 7, jnp.float32), {}),          # reverse
+        (jnp.linspace(1.5, 0.0, 4, jnp.float32),
+         {"step_size": 0.125}),                                # reverse+h
+    ]
+    for method in ("hyper_euler", "hyper_midpoint", "hyper_heun"):
+        for t, opts in cases:
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                rf = solve(f, y0, t, method=method,
+                           options={"fuse": True, "hypernet": g, **opts})
+            rg = solve(f, y0, t, method=method,
+                       options={"hypernet": g, **opts})
+            assert int(rf.stats.nfe) == int(rg.stats.nfe), (method, opts)
+            np.testing.assert_allclose(
+                np.asarray(rf.ys), np.asarray(rg.ys), rtol=0, atol=2e-6,
+                err_msg=f"{method} {opts}")
+
+
+def test_hyper_kernel_unfusable_hypernet_falls_back():
+    """A hypernet outside the fusable subset -> warning + generic run."""
+    import warnings
+
+    def f(tt, yy):
+        return -yy
+
+    def g(tt, yy, ff):
+        return jnp.flip(yy, axis=-1) * 0.01      # rev: unfusable
+
+    y0 = jnp.ones((4, 2), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        rf = solve(f, y0, t, method="hyper_euler",
+                   options={"fuse": True, "hypernet": g})
+    assert any("falling back" in str(w.message) for w in wlist)
+    rg = solve(f, y0, t, method="hyper_euler", options={"hypernet": g})
+    np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
+                               rtol=0, atol=0)

@@ -257,10 +257,10 @@ def test_odeint_fuse_option_and_fallback():
     assert any("falling back" in str(w.message) for w in wlog)
     assert ys3["a"].shape == (7, 8, 2)
 
-    # fixed-grid and Adams methods fuse too (tests/test_fixed_fused.py
-    # covers those parity batteries); remaining custom kinds stay a hard
-    # error
-    with pytest.raises(ValueError, match="adaptive"):
+    # Every built-in method now fuses (tests/test_fixed_fused.py covers
+    # the fixed/Adams/hyper parity batteries); a hypersolver without its
+    # required hypernet still errors loudly rather than falling back.
+    with pytest.raises(ValueError, match="hypernet"):
         odeint(spiral, Y0, T, method="hyper_euler",
                options={"fuse": True})
 

@@ -722,6 +722,102 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     return SolveResult(ys, st, None, dense)
 
 
+#: hypersolver method name -> kind
+_HYPER_METHODS = {"hyper_euler": "euler", "hyper_midpoint": "midpoint",
+                  "hyper_heun": "heun"}
+
+
+def solve_hyper(func, hypernet, y0: Array, t, *, method: str = "hyper_euler",
+                num_steps=None, step_size=None, matmul: str = "auto",
+                interpret: Optional[bool] = None) -> SolveResult:
+    """Whole-solve fused hypersolver (Poli et al. 2020) for ARBITRARY
+    fusable dynamics AND correction nets: both `func(t, y)` and
+    `hypernet(t, y, f)` (plain jnp over [B, D] arrays) are compiled into
+    ONE kernel via the jaxpr bridge — the learned-correction fixed-grid
+    walk with zero launches per step. Unfusable funcs raise FusionError
+    (odeint(options={'fuse': True}) catches it and falls back to the
+    generic `solvers/hyper.py` engine). Inference tier: training the
+    hypernet differentiates the generic fixed-grid scan.
+    """
+    from .ops import jaxpr_bridge as jb
+    from .ops.pallas_kernels import _LANE, _round_up
+
+    kind = _HYPER_METHODS[method]
+    y0 = jnp.asarray(y0)
+    squeeze = False
+    if y0.ndim == 1:
+        inner_f, inner_g = func, hypernet
+        func = lambda tt, yy: jax.vmap(lambda y_: inner_f(tt, y_))(yy)
+        hypernet = lambda tt, yy, ff: jax.vmap(
+            lambda y_, f_: inner_g(tt, y_, f_))(yy, ff)
+        y0 = y0[None]
+        squeeze = True
+    y0, t = _check_spec_inputs(y0, t)
+    interpret = _auto_interpret(interpret)
+    dtype = y0.dtype
+    if t.shape[0] == 1:
+        z = jnp.asarray(0, jnp.int32)
+        res = SolveResult(y0[None], SolverStats(z, z, z, z))
+        return SolveResult(res.ys[:, 0], res.stats) if squeeze else res
+    T_out, (B, D) = int(t.shape[0]), y0.shape
+    B_orig = B
+
+    n_blocks = 1
+    if not interpret and _fused_vmem_bytes(T_out, D, B, 1) > _VMEM_BUDGET:
+        b_blk = 1024
+        while _fused_vmem_bytes(T_out, D, 2 * b_blk, 2) <= _VMEM_BUDGET:
+            b_blk *= 2
+        if _fused_vmem_bytes(T_out, D, b_blk, 2) > _VMEM_BUDGET:
+            raise jb.FusionError(
+                "even a single 1024-sample block exceeds the fused "
+                "kernel's VMEM budget (T x D too large)")
+        n_blocks = -(-B // b_blk)
+        y0 = jnp.pad(y0, ((0, n_blocks * b_blk - B), (0, 0)), mode="wrap")
+        B = y0.shape[0]
+
+    t = t.astype(dtype)
+    sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
+    tau = sign * t
+    grid_is_t = num_steps is None and step_size is None
+    grid = _fixed_grid_tau(tau, t, num_steps, step_size, dtype)
+
+    plan_f, consts_f = jb.build_plan(func, t[0], y0, matmul=matmul)
+    f0u = func(t[0], y0)
+    plan_g, consts_g = jb.build_plan(
+        lambda tt, ss: hypernet(tt, ss[:, :D], ss[:, D:]), t[0],
+        jnp.concatenate([y0, f0u], axis=1), matmul=matmul, out_dim=D)
+    if n_blocks > 1 and any(
+            l[0] in ("batch", "bvec")
+            for p in (plan_f, plan_g) for l in p.const_layouts):
+        raise jb.FusionError(
+            "per-sample consts are not block-shardable (grid programs "
+            "replicate const refs); batch exceeds the VMEM budget")
+
+    yT = y0.T
+    Bb = B // n_blocks
+    BP = _round_up(max(Bb, _LANE), _LANE) if n_blocks == 1 else Bb
+    y0p = (jnp.pad(yT, ((0, 0), (0, n_blocks * BP - B)))
+           if n_blocks * BP != B else yT)
+    packed_f = tuple(jb.pack_consts(plan_f, consts_f, dtype,
+                                    n_blocks * BP))
+    packed_g = tuple(jb.pack_consts(plan_g, consts_g, dtype,
+                                    n_blocks * BP))
+
+    out, stats = _pf.plan_solve_hyper(
+        plan_f, plan_g, packed_f, packed_g, y0p, tau, grid, sign,
+        kind=kind, grid_is_t=grid_is_t, interpret=interpret,
+        n_blocks=n_blocks)
+    if n_blocks > 1:
+        stats = jnp.concatenate(
+            [stats[0, :3], stats[:, 3].max(keepdims=True)])
+    if out.shape[-1] != B:
+        out = out[:, :, :Bb]
+    ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
+    if squeeze:
+        ys = ys[:, 0]
+    return SolveResult(ys, SolverStats(*stats))
+
+
 def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                        atol=1e-8, adjoint_rtol=None, adjoint_atol=None,
                        method: str = "dopri5",

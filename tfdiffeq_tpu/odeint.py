@@ -105,6 +105,12 @@ _FUSABLE_ADAMS_OPTIONS = frozenset({"step_size", "num_steps", "max_order",
 _FUSABLE_VCABM_OPTIONS = frozenset({"max_order", "first_step", "safety",
                                     "ifactor", "dfactor", "max_num_steps"})
 
+#: hypersolver whole-solve kernel options (ops/pallas_fixed; the hypernet
+#: itself must be fusable or the generic engine runs).
+_FUSABLE_HYPER_METHODS = frozenset({"hyper_euler", "hyper_midpoint",
+                                    "hyper_heun"})
+_FUSABLE_HYPER_OPTIONS = frozenset({"hypernet", "step_size", "num_steps"})
+
 
 def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
     """Attempt the jaxpr->Pallas fused solve; None => use the generic
@@ -120,6 +126,8 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
             allowed = _FUSABLE_VCABM_OPTIONS
         elif method in _FUSABLE_ADAMS_METHODS:
             allowed = _FUSABLE_ADAMS_OPTIONS
+        elif method in _FUSABLE_HYPER_METHODS:
+            allowed = _FUSABLE_HYPER_OPTIONS
         else:
             allowed = _FUSABLE_FIXED_OPTIONS
         unsupported = set(options) - allowed
@@ -134,6 +142,16 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
                 raise FusionError("per-leaf tolerance pytrees are not "
                                   "supported by the fused kernel")
         from .fast import solve_fused
+        if method in _FUSABLE_HYPER_METHODS:
+            from .fast import solve_hyper
+            hypernet = options.get("hypernet")
+            if hypernet is None:
+                raise ValueError(
+                    f"method {method!r} requires options={{'hypernet': g}}")
+            return solve_hyper(
+                func, hypernet, y0, t, method=method,
+                num_steps=options.get("num_steps"),
+                step_size=options.get("step_size"))
         if method == "adams":
             return solve_fused(
                 func, y0, t, rtol=rtol, atol=atol, method=method,
@@ -194,12 +212,13 @@ def solve(
         allowed = _CUSTOM_ALLOWED.get(method)  # None -> global set
     if ((options or {}).get("fuse") and kind not in ("adaptive", "fixed")
             and method not in _FUSABLE_ADAMS_METHODS
+            and method not in _FUSABLE_HYPER_METHODS
             and method != "adams"):
-        raise ValueError("options={'fuse': True} requires an adaptive "
-                         "(dopri5/bosh3/adaptive_heun/tsit5/dopri8), "
-                         "fixed-grid (euler/midpoint/rk4/rk4_38), or "
-                         "Adams (explicit_adams/fixed_adams/adams) "
-                         "method")
+        raise ValueError("options={'fuse': True} is not supported for "
+                         f"method {method!r} (every built-in method — "
+                         "adaptive RK, fixed-grid, Adams, hypersolvers — "
+                         "has a whole-solve kernel; custom registered "
+                         "solvers run the generic engine)")
     options = check_options(options, allowed)
 
     # jaxpr -> Pallas auto-fusion (options={'fuse': True}): compile the

@@ -170,6 +170,14 @@ class FusedPlan:
     batch: int
     dim: int
     matmul: str = "auto"
+    #: output feature rows; == dim for ODE right-hand sides (the usual
+    #: square case), smaller for rectangular auxiliary plans such as a
+    #: hypersolver correction net g(t, [y; f]) -> dy (ops/pallas_fixed).
+    dim_out: int = -1
+
+    @property
+    def out_rows(self) -> int:
+        return self.dim if self.dim_out < 0 else self.dim_out
 
 
 def _kind(shape: Tuple[int, ...], B: int):
@@ -545,13 +553,15 @@ def _trace_dot(builder: _PlanBuilder, env, eqn, out_id):
     builder.instrs.append(("dot", out_id(), la[1], cidx, din, dout, mxu))
 
 
-def build_plan(func: Callable, t0, y0, matmul: str = "auto"
-               ) -> Tuple[FusedPlan, list]:
+def build_plan(func: Callable, t0, y0, matmul: str = "auto",
+               out_dim: int = None) -> Tuple[FusedPlan, list]:
     """Trace func(t, y) on [B, D] batch-major state into a FusedPlan.
 
     Returns (plan, consts) where consts are the traced closure arrays (in
     plan order; possibly tracers when called under jit). Raises FusionError
-    when the dynamics fall outside the fusable subset.
+    when the dynamics fall outside the fusable subset. `out_dim` permits a
+    RECTANGULAR plan (output [B, out_dim] from input [B, D]) for auxiliary
+    in-kernel functions; ODE right-hand sides stay square (default).
     """
     y0 = jnp.asarray(y0) if not isinstance(y0, jax.core.Tracer) else y0
     if y0.ndim != 2:
@@ -571,10 +581,11 @@ def build_plan(func: Callable, t0, y0, matmul: str = "auto"
     if len(outs) != 1:
         raise FusionError(f"func must return one array, got {len(outs)}")
     out_aval = closed.jaxpr.outvars[0].aval
-    if tuple(out_aval.shape) != (B, D):
+    D_out = D if out_dim is None else int(out_dim)
+    if tuple(out_aval.shape) != (B, D_out):
         raise FusionError(
-            f"func output shape {tuple(out_aval.shape)} != y shape "
-            f"{(B, D)}")
+            f"func output shape {tuple(out_aval.shape)} != expected "
+            f"{(B, D_out)}")
 
     used = {outs[0]}
     for ins in builder.instrs:
@@ -597,7 +608,7 @@ def build_plan(func: Callable, t0, y0, matmul: str = "auto"
         const_layouts=tuple(builder.const_layouts),
         const_val_ids=tuple(builder.const_ids),
         t_id=t_id, y_id=y_id, out_id=outs[0], batch=B, dim=D,
-        matmul=matmul,
+        matmul=matmul, dim_out=(-1 if out_dim is None else D_out),
     )
     return plan, builder.consts
 
@@ -782,7 +793,7 @@ def make_plan_f(plan: FusedPlan, wrefs):
     def f(t, y):
         cvals = read_const_refs(plan, wrefs)
         env = eval_plan(plan, cvals, t, y)
-        return _materialize(env[plan.out_id], plan.dim, y.shape[1],
+        return _materialize(env[plan.out_id], plan.out_rows, y.shape[1],
                             y.dtype)
 
     return f
@@ -796,7 +807,8 @@ def eval_plan_xla(plan: FusedPlan, consts_packed: Sequence, t, yT):
     not the original user closure."""
     cvals = read_const_refs(plan, list(consts_packed))
     env = eval_plan(plan, cvals, t, yT)
-    return _materialize(env[plan.out_id], plan.dim, yT.shape[1], yT.dtype)
+    return _materialize(env[plan.out_id], plan.out_rows, yT.shape[1],
+                        yT.dtype)
 
 
 # ---------------------------------------------------------------------------

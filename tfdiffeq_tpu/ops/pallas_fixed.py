@@ -317,6 +317,227 @@ def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
     return out, stats
 
 
+#: hypersolver kinds: (base-step power p+1, func evals per step)
+_HYPER_KINDS = {"euler": (2, 1), "midpoint": (3, 2), "heun": (3, 2)}
+
+
+def _make_hyper_solve_kernel(kind: str, G: int, T: int, make_f, make_g,
+                             n_f: int, n_g: int, grid_is_t: bool,
+                             per_block_io: bool = False):
+    """Whole-solve hypersolver kernel (Poli et al. 2020): per grid step,
+    base explicit update of order p plus the learned correction
+
+        y1 = y + dt*base(t, y) + (sign*dt)^(p+1) * g(t_user, y, f_user)
+
+    with BOTH the dynamics f and the correction net g interpreted as
+    fused plans in-kernel (`make_f` square, `make_g` rectangular over the
+    stacked [y; f] rows). Mirrors `solvers/hyper._hyper_step` +
+    `solve_fixed_grid`'s step_fn path exactly, including NFE accounting
+    (g evaluations are not func evaluations) and the
+    output-interpolation-from-node-derivatives convention — the Hermite
+    drain runs one step DELAYED so each interval's end derivative is the
+    next step's (free) start derivative; the final interval pays the same
+    single f_end evaluation the generic path does.
+
+    Ref layout:
+      SMEM in : grid [1,G], tau [1,T], sign [1,1], valid [1,1]
+      VMEM in : y0 [D,B], *f-consts (n_f), *g-consts (n_g)
+      outputs : out [T,D,B], stats [n_blocks,4] (SMEM)
+      scratch : y_s, yp_s, fp_s (all [D,B])
+    """
+    power, evals = _HYPER_KINDS[kind]
+
+    def kernel(*refs):
+        (grid_ref, tau_ref, sign_ref, valid_ref, y0_ref) = refs[:5]
+        frefs = refs[5:5 + n_f]
+        grefs = refs[5 + n_f:5 + n_f + n_g]
+        out_ref, stats_ref, y_s, yp_s, fp_s, oi_s = refs[5 + n_f + n_g:]
+        pid = pl.program_id(0) if per_block_io else 0
+        sign = sign_ref[0, 0]
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[0] = y0_ref[:]
+        y_s[:] = y0_ref[:]
+        yp_s[:] = y0_ref[:]
+        fp_s[:] = jnp.zeros_like(fp_s)
+        oi_s[0, 0] = jnp.int32(1)
+
+        raw_f = make_f(frefs)
+        raw_g = make_g(grefs)
+
+        def f(s, y):
+            return sign * raw_f(sign * s, y)
+
+        def drain(t0, t1, y0, y1, f0u, f1u, last):
+            """Hermite output drain over (t0, t1] from user-space node
+            derivatives (the generic hermite_interp_at convention);
+            cursor lives in SMEM scratch."""
+            dt = t1 - t0
+            df0 = dt * (sign * f0u)
+            df1 = dt * (sign * f1u)
+            cb = 2.0 * (y0 - y1) + df0 + df1
+            cc = 3.0 * (y1 - y0) - 2.0 * df0 - df1
+
+            def wcond(o):
+                within = tau_ref[0, jnp.minimum(o, T - 1)] <= t1
+                return (o < T) & (within | last)
+
+            def wbody(o):
+                tj = tau_ref[0, o]
+                x = (tj - t0) / dt
+                val = ((cb * x + cc) * x + df0) * x + y0
+                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y1, val)[None]
+                return o + 1
+
+            oi_s[0, 0] = jax.lax.while_loop(wcond, wbody, oi_s[0, 0])
+
+        def body(i, carry):
+            t0 = grid_ref[0, i]
+            t1 = grid_ref[0, i + 1]
+            dt = t1 - t0
+            y = y_s[:]
+            f0 = f(t0, y)                     # tau-space
+            f0u = sign * f0                   # user-space derivative
+
+            if not grid_is_t:
+                # Delayed drain of the PREVIOUS interval, whose end
+                # derivative is this step's start derivative.
+                @pl.when(i > 0)
+                def _():
+                    drain(grid_ref[0, jnp.maximum(i - 1, 0)], t0,
+                          yp_s[:], y, sign * fp_s[:], f0u,
+                          jnp.asarray(False))
+                yp_s[:] = y
+                fp_s[:] = f0                  # stored tau-space
+
+            if kind == "euler":
+                base = f0
+            elif kind == "midpoint":
+                base = f(t0 + 0.5 * dt, y + (0.5 * dt) * f0)
+            else:                             # heun
+                k2 = f(t1, y + dt * f0)
+                base = 0.5 * (f0 + k2)
+
+            # Correction in USER space: g(t_user, [y; f_user]).
+            s_stack = jnp.concatenate([y, f0u], axis=0)
+            corr = raw_g(sign * t0, s_stack)
+            sdt = sign * dt
+            sdt_p = sdt * sdt
+            for _ in range(power - 2):
+                sdt_p = sdt_p * sdt
+            y1 = y + dt * base + sdt_p * corr
+            y_s[:] = y1
+
+            if grid_is_t:
+                out_ref[pl.ds(i + 1, 1)] = y1[None]
+            return carry
+
+        ok = valid_ref[0, 0] != 0
+        nfe = jnp.int32(evals * (G - 1))
+
+        @pl.when(ok)
+        def _():
+            jax.lax.fori_loop(0, G - 1, body, jnp.int32(0))
+            if not grid_is_t:
+                # Final interval: pay one f_end evaluation (generic
+                # parity) and flush every remaining requested time.
+                t0 = grid_ref[0, G - 2]
+                t1 = grid_ref[0, G - 1]
+                y1 = y_s[:]
+                f_end = f(t1, y1)
+                drain(t0, t1, yp_s[:], y1, sign * fp_s[:],
+                      sign * f_end, jnp.asarray(True))
+
+        if not grid_is_t:
+            nfe = nfe + 1
+        stats_ref[pid, 0] = jnp.where(ok, nfe, jnp.int32(0))
+        stats_ref[pid, 1] = jnp.where(ok, jnp.int32(G - 1), jnp.int32(0))
+        stats_ref[pid, 2] = jnp.int32(0)
+        stats_ref[pid, 3] = jnp.where(ok, jnp.int32(0), jnp.int32(3))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan_f", "plan_g", "kind", "grid_is_t", "interpret",
+                     "n_blocks"))
+def plan_solve_hyper(plan_f, plan_g, consts_f, consts_g, y0: Array,
+                     tau: Array, grid: Array, sign, *, kind: str,
+                     grid_is_t: bool, interpret: bool = False,
+                     n_blocks: int = 1):
+    """Whole-solve fused hypersolver over two FusedPlans: `plan_f` (the
+    dynamics, square) and `plan_g` (the correction net over stacked
+    [y; f] rows, rectangular via build_plan(out_dim=D)). y0 [D, B]
+    lane-padded feature-major; consts pre-packed. Returns
+    (out [T, D, B], stats)."""
+    from .jaxpr_bridge import make_plan_f
+
+    D, B = y0.shape
+    T = int(tau.shape[0])
+    G = int(grid.shape[0])
+    dtype = y0.dtype
+
+    if B % n_blocks:
+        raise ValueError(f"lane count {B} not divisible by n_blocks "
+                         f"{n_blocks}")
+    NB = B // n_blocks
+    make_f = lambda wrefs: make_plan_f(plan_f, wrefs)    # noqa: E731
+    make_g = lambda wrefs: make_plan_f(plan_g, wrefs)    # noqa: E731
+    kernel = _make_hyper_solve_kernel(kind, G, T, make_f, make_g,
+                                      len(consts_f), len(consts_g),
+                                      bool(grid_is_t),
+                                      per_block_io=n_blocks > 1)
+
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    tau = tau.astype(dtype)
+    grid = grid.astype(dtype)
+    valid_t = jnp.all(jnp.diff(tau) > 0) if T > 1 else jnp.asarray(True)
+    valid_g = jnp.all(jnp.diff(grid) > 0) if G > 1 else jnp.asarray(True)
+    valid = (valid_t & valid_g).astype(jnp.int32)
+    scalar_ins = (grid.reshape(1, G), tau.reshape(1, T),
+                  jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+                  jnp.reshape(valid, (1, 1)))
+    aux = list(consts_f) + list(consts_g)
+    scratch = [pltpu.VMEM((D, NB), dtype)] * 3 + [
+        pltpu.SMEM((1, 1), jnp.int32)]
+
+    if n_blocks == 1:
+        out, stats = pl.pallas_call(
+            kernel,
+            in_specs=[smem_t] * 4 + [vmem] * (1 + len(aux)),
+            out_specs=[vmem, smem_t],
+            out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                       jax.ShapeDtypeStruct((1, 4), jnp.int32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*scalar_ins, y0, *aux)
+        return out, stats[0]
+
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    out, stats = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=([smem_t] * 4 + [state_spec]
+                  + [rep(np.shape(w)) for w in aux]),
+        out_specs=[out_spec, smem_t],
+        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                   jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*scalar_ins, y0, *aux)
+    return out, stats
+
+
 def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
                              max_order: int, max_iters: int, implicit: bool,
                              B_true: int, per_block_io: bool = False):

@@ -104,7 +104,8 @@ def _make(kind: str):
 
 from ..odeint import register_solver  # noqa: E402
 
-_HYPER_OPTIONS = {"hypernet", "step_size", "num_steps", "grid_constructor"}
+_HYPER_OPTIONS = {"hypernet", "step_size", "num_steps", "grid_constructor",
+                  "fuse"}
 register_solver("hyper_euler", "custom", _make("euler"),
                 allowed=_HYPER_OPTIONS)
 register_solver("hyper_midpoint", "custom", _make("midpoint"),
