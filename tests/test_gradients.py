@@ -454,3 +454,28 @@ def test_adjoint_method_adams_gradient_parity():
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b))) + 1e-12
         assert d / m < 1e-4, (d, m)
+
+
+def test_second_order_gradients_through_direct_loop():
+    """Hessian of a loss through odeint's bounded differentiable loop
+    (the reference lineage's taped double-backward capability): for the
+    linear ODE dy/dt = y A, loss = |y(1)|^2 is quadratic in y0 with
+    Hessian 2 expm(A) expm(A)^T."""
+    import scipy.linalg as sla
+
+    A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+
+    def f(t, y):
+        return y @ A
+
+    y0 = jnp.asarray([1.0, 0.5], jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+
+    def loss(y0_):
+        ys = odeint(f, y0_, t, rtol=1e-6, atol=1e-8)
+        return jnp.sum(ys[-1] ** 2)
+
+    H = jax.hessian(loss)(y0)
+    M = jnp.asarray(sla.expm(np.asarray(A, np.float64)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(2.0 * M @ M.T),
+                               rtol=0, atol=1e-5)
