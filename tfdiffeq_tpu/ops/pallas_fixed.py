@@ -550,7 +550,7 @@ def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
                 rtol [1,1], atol [1,1], sign [1,1], valid [1,1]
       VMEM in : y0 [D,B], f0 [D,B], *wrefs
       outputs : out [T,D,B], stats [n_blocks,4] (SMEM)
-      scratch : y_s [D,B], hist_s [MO*D, B] (hist row-block j =
+      scratch : y_s [D,B], hist_s [MO, D, B] (hist slab j =
                 f_{current-j}), comp_s [D,B]
 
     Startup mirrors the generic engine: the first max_order-1 steps run
@@ -579,7 +579,7 @@ def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
         out_ref[0] = y0_ref[:]
         y_s[:] = y0_ref[:]
         hist_s[:] = jnp.zeros_like(hist_s)
-        hist_s[pl.ds(0, D)] = f0_ref[:]
+        hist_s[0] = f0_ref[:]
         comp_s[:] = jnp.zeros_like(comp_s)
 
         raw_f = make_f(wrefs)
@@ -596,7 +596,7 @@ def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
             t1 = grid_ref[0, i + 1]
             dt = t1 - t0
             y0 = y_s[:]
-            f_head = hist_s[pl.ds(0, D)]
+            f_head = hist_s[0]
             n = i                      # steps completed so far
 
             def adams_step():
@@ -606,7 +606,7 @@ def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
                 acc = None
                 for j in range(MO):
                     beta = jnp.where(j < k_eff, ab_ref[k_eff - 1, j], 0.0)
-                    term = beta * hist_s[pl.ds(j * D, D)]
+                    term = beta * hist_s[j]
                     acc = term if acc is None else acc + term
                 y_pred = y0 + dt * acc
                 if not implicit:
@@ -617,7 +617,7 @@ def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
                 for j in range(MO - 1):
                     gam = jnp.where(j + 1 < k_eff,
                                     am_ref[k_eff - 1, j + 1], 0.0)
-                    term = gam * hist_s[pl.ds(j * D, D)]
+                    term = gam * hist_s[j]
                     hist_part = term if hist_part is None \
                         else hist_part + term
                 g0 = am_ref[k_eff - 1, 0]
@@ -656,8 +656,8 @@ def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
             y_s[:] = y_new
 
             # Shift history: row-block j becomes f_{new - j}.
-            hist_s[pl.ds(D, (MO - 1) * D)] = hist_s[pl.ds(0, (MO - 1) * D)]
-            hist_s[pl.ds(0, D)] = f1
+            hist_s[pl.ds(1, MO - 1)] = hist_s[pl.ds(0, MO - 1)]
+            hist_s[0] = f1
 
             # Hermite drain of requested times in (t0, t1].
             df0 = dt * f_head
@@ -737,7 +737,7 @@ def adams_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
                   jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
                   jnp.reshape(valid, (1, 1)))
     scratch = [pltpu.VMEM((D, NB), dtype),
-               pltpu.VMEM((MO * D, NB), dtype),
+               pltpu.VMEM((MO, D, NB), dtype),
                pltpu.VMEM((D, NB), dtype)]
 
     if n_blocks == 1:

@@ -8,8 +8,9 @@ deque-mutating host loop as masked fixed-size buffers inside one
 the whole Shampine–Gordon machinery in-kernel:
 
 - phi / explicit-phi / predictor-implicit-phi divided-difference stacks as
-  [(MAX_ORDER+2) * D, B] scratch with dynamic row-block reads
-  (`pl.ds(idx * D, D)`) for the order-indexed terms;
+  [MAX_ORDER+2, D, B] scratch with LEADING-axis dynamic reads
+  (`pl.ds(idx, 1)`) for the order-indexed terms (Mosaic-friendly: the
+  sublane/lane tile is never sliced dynamically);
 - the g / beta / c recurrences unrolled at trace time over the static
   MAX_ORDER bound into scalar ops with `where` masking per dynamic order
   (the c "vector" is a Python list of traced scalars — no 1-D vector ops
@@ -77,7 +78,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
         out_ref[0] = y0_ref[:]
         y_s[:] = y0_ref[:]
         phi_s[:] = jnp.zeros_like(phi_s)
-        phi_s[pl.ds(0, D)] = f0_ref[:]
+        phi_s[0] = f0_ref[:]
         ephi_s[:] = jnp.zeros_like(ephi_s)
         phip_s[:] = jnp.zeros_like(phip_s)
         t0 = tau_ref[0, 0]
@@ -101,7 +102,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
             return num / jnp.where(den == 0, jnp.ones_like(den), den)
 
         def read_blk(ref, idx):
-            return ref[pl.ds(idx * D, D)]
+            return ref[pl.ds(idx, 1)][0]
 
         def pick(scalars, idx):
             """Dynamic select from a trace-time list of scalars."""
@@ -129,7 +130,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
                     for x in cvec]
             g = [jnp.asarray(1.0, next_t.dtype) + 0.0 * next_t]
             beta = jnp.asarray(1.0, next_t.dtype) + 0.0 * next_t
-            ephi_s[pl.ds(0, D)] = phi_s[pl.ds(0, D)]
+            ephi_s[0] = phi_s[0]
             for j in range(1, MO + 1):
                 factor = safe_div(dt, next_t - prevt_s[0, j - 1])
                 active_c = j <= order
@@ -144,7 +145,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
                                            curr_t - prevt_s[0, j])
                 active_b = j < order
                 beta = jnp.where(active_b, beta_new, beta)
-                ephi_s[pl.ds(j * D, D)] = jnp.where(
+                ephi_s[j] = jnp.where(
                     active_b, read_blk(phi_s, j) * beta,
                     jnp.zeros((D, y.shape[1]), y.dtype))
             # g entries beyond MO are never selected (order <= MO).
@@ -166,7 +167,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
             for j in range(_K):
                 blk = jnp.where(j < order + 1, f_pred - run,
                                 jnp.zeros_like(f_pred))
-                phip_s[pl.ds(j * D, D)] = blk
+                phip_s[j] = blk
                 if j < _K - 1:
                     run = run + read_blk(ephi_s, j)
             om1 = jnp.maximum(order - 1, 0)
@@ -255,7 +256,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
                     if j < _K - 1:
                         run3 = run3 + read_blk(ephi_s, j)
                 for j in range(_K):
-                    phi_s[pl.ds(j * D, D)] = blks[j]
+                    phi_s[j] = blks[j]
                 # prev_t shift: [next_t, prev_t[:-1]]
                 olds = [prevt_s[0, j] for j in range(_K - 1)]
                 prevt_s[0, 0] = next_t
@@ -339,9 +340,9 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                   jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
                   jnp.reshape(valid, (1, 1)))
     scratch = [pltpu.VMEM((D, NB), dtype),
-               pltpu.VMEM((_K * D, NB), dtype),
-               pltpu.VMEM((_K * D, NB), dtype),
-               pltpu.VMEM((_K * D, NB), dtype),
+               pltpu.VMEM((_K, D, NB), dtype),
+               pltpu.VMEM((_K, D, NB), dtype),
+               pltpu.VMEM((_K, D, NB), dtype),
                pltpu.SMEM((1, _K), dtype)]
 
     if n_blocks == 1:
