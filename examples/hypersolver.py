@@ -90,7 +90,8 @@ def main():
     args = parse_args()
     method = f"hyper_{args.kind}"
     rng = np.random.RandomState(0)
-    t = jnp.linspace(0.0, args.span, args.num_steps + 1, jnp.float32)
+    t = jnp.linspace(0.0, args.span, args.num_steps + 1,
+                     dtype=jnp.float32)
 
     # Ground truth at tight tolerance (the fixed-grid solvers output at
     # every grid node, so supervise every node).

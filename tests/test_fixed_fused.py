@@ -459,11 +459,11 @@ def test_vcabm_kernel_accept_sequence_identical():
     # accept sequences — the same reason the adaptive-RK NFE-parity
     # tests pin first_step (tests/test_fuse.py).
     cases = [
-        (jnp.linspace(0.0, 5.0, 9, jnp.float32), 1e-6, 1e-8,
+        (jnp.linspace(0.0, 5.0, 9, dtype=jnp.float32), 1e-6, 1e-8,
          {"first_step": 0.02}),
-        (jnp.linspace(0.0, 2.0, 5, jnp.float32), 1e-4, 1e-6,
+        (jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32), 1e-4, 1e-6,
          {"max_order": 4, "first_step": 0.05}),
-        (jnp.linspace(3.0, 0.0, 7, jnp.float32), 1e-6, 1e-8,
+        (jnp.linspace(3.0, 0.0, 7, dtype=jnp.float32), 1e-6, 1e-8,
          {"first_step": 0.05}),
     ]
     for t, rtol, atol, opts in cases:
@@ -539,10 +539,10 @@ def test_hyper_kernel_matches_generic():
 
     y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
     cases = [
-        (jnp.linspace(0.0, 2.0, 9, jnp.float32), {}),
-        (jnp.linspace(0.0, 2.0, 5, jnp.float32), {"num_steps": 32}),
-        (jnp.linspace(1.5, 0.0, 7, jnp.float32), {}),          # reverse
-        (jnp.linspace(1.5, 0.0, 4, jnp.float32),
+        (jnp.linspace(0.0, 2.0, 9, dtype=jnp.float32), {}),
+        (jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32), {"num_steps": 32}),
+        (jnp.linspace(1.5, 0.0, 7, dtype=jnp.float32), {}),          # reverse
+        (jnp.linspace(1.5, 0.0, 4, dtype=jnp.float32),
          {"step_size": 0.125}),                                # reverse+h
     ]
     for method in ("hyper_euler", "hyper_midpoint", "hyper_heun"):

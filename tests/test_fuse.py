@@ -376,3 +376,51 @@ def test_interpolated_adjoint_with_fused_forward():
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b))) + 1e-12
         assert d / m < 1e-4, (d, m)
+
+
+def test_fuse_round_half_to_even():
+    """The bridge's `round` lowering must keep jnp.round's
+    round-half-to-even tie semantics (a bare floor(x+0.5) breaks ties
+    upward and diverges from the generic engine)."""
+    def fr(t, y):
+        return jnp.round(y) * -0.1
+
+    y0 = jnp.asarray([[-1.5, 2.5], [1.5, 0.3], [0.5, -2.5], [3.5, -0.5]],
+                     jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 3, dtype=jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        a = solve(fr, y0, t, method="rk4", options={"fuse": True})
+    b = solve(fr, y0, t, method="rk4")
+    np.testing.assert_array_equal(np.asarray(a.ys), np.asarray(b.ys))
+
+
+def test_fuse_adjoint_honors_backward_step_size():
+    """options={'fuse': True} with a fixed adjoint method and
+    adjoint_options={'step_size': h}: the per-interval backward walk must
+    be honored (tier 1 would integrate ONE step per interval; the gate
+    must route to tier 2 — fused forward + generic walk backward)."""
+    rng = np.random.RandomState(0)
+    p = {"w1": jnp.asarray(rng.randn(2, 16) * 0.3, jnp.float32),
+         "w2": jnp.asarray(rng.randn(16, 2) * 0.3, jnp.float32)}
+
+    def f(tt, yy, pp):
+        return jnp.tanh(yy @ pp["w1"]) @ pp["w2"]
+
+    y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    g_out = jnp.asarray(rng.randn(5, 8, 2), jnp.float32)
+
+    def loss(pp, fuse):
+        opts = {"fuse": True} if fuse else {}
+        ys = odeint_adjoint(f, y0, t, params=pp, method="dopri5",
+                            options=opts, adjoint_method="euler",
+                            adjoint_options={"step_size": 0.005})
+        return jnp.sum(ys * g_out)
+
+    gf = jax.grad(lambda pp: loss(pp, True))(p)
+    gg = jax.grad(lambda pp: loss(pp, False))(p)
+    for k in gf:
+        d = float(jnp.max(jnp.abs(gf[k] - gg[k])))
+        m = float(jnp.max(jnp.abs(gg[k]))) + 1e-8
+        assert d / m < 5e-3, (k, d / m)

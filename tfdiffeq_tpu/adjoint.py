@@ -300,8 +300,17 @@ def odeint_adjoint(
                     else _FULL_FUSE_FIXED_OPTS)
     _bwd_allowed = (_FULL_FUSE_OPTS if adj_is_adaptive
                     else _FULL_FUSE_FIXED_OPTS)
+    # Options tier 1 would otherwise silently change: a fixed-adjoint
+    # step_size resolved into a per-interval backward_walk, or a BACKWARD
+    # max_num_steps different from the forward's (the fused front-ends
+    # carry a single budget for both sweeps).
+    _bwd_faithful = (
+        backward_walk is None
+        and bwd_options.get("max_num_steps",
+                            fwd_options.get("max_num_steps"))
+        == fwd_options.get("max_num_steps"))
     if (use_fuse and forward_solver is None and adjoint_mode == "resets"
-            and _fwd_kind_ok and _bwd_kind_ok
+            and _fwd_kind_ok and _bwd_kind_ok and _bwd_faithful
             and hasattr(y0, "ndim") and jnp.ndim(y0) in (1, 2)
             and not (set(fwd_options) - _fwd_allowed)
             and not (set(bwd_options) - _bwd_allowed)
@@ -342,14 +351,29 @@ def odeint_adjoint(
             emit_dense=adjoint_mode == "interpolated")
 
     def _impl(y0_, t_, params_):
+        res = None
         if forward_solver is not None:
-            fs_out = forward_solver(y0_, t_, params_)
-            from .solvers.base import SolveResult
-            if len(fs_out) == 3:
-                res = SolveResult(fs_out[0], fs_out[1], dense=fs_out[2])
-            else:
-                res = SolveResult(*fs_out)
-        else:
+            from .ops.jaxpr_bridge import FusionError
+            try:
+                fs_out = forward_solver(y0_, t_, params_)
+            except FusionError as e:
+                # Late fusion failures (e.g. a per-sample const meeting
+                # the VMEM grid-block limit only at this batch size):
+                # 'fuse' is best-effort, so fall back rather than crash.
+                import warnings
+                warnings.warn(
+                    "odeint_adjoint(options={'fuse': True}): fused "
+                    f"forward unavailable at solve time — {e}; running "
+                    "the generic engine", stacklevel=2)
+                fs_out = None
+            if fs_out is not None:
+                from .solvers.base import SolveResult
+                if len(fs_out) == 3:
+                    res = SolveResult(fs_out[0], fs_out[1],
+                                      dense=fs_out[2])
+                else:
+                    res = SolveResult(*fs_out)
+        if res is None:
             res = solve(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
                         rtol=rtol, atol=atol, method=method,
                         options=fwd_options)
@@ -543,6 +567,9 @@ def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
         if "grid_constructor" in fwd_options:
             raise FusionError("grid_constructor callables are not "
                               "supported by the fused fixed-grid kernel")
+        if fwd_options.get("norm") is not None:
+            raise FusionError("custom error norms are not supported by "
+                              "the fused kernel")
         t0 = jnp.asarray(t).reshape(-1)[0]
         # Validation trace only (the real plan is rebuilt inside the
         # custom_vjp forward, where params are that trace's tracers).
@@ -557,6 +584,9 @@ def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
     max_num_steps = fwd_options.get("max_num_steps")
     num_steps = fwd_options.get("num_steps")
     step_size = fwd_options.get("step_size")
+    safety = float(fwd_options.get("safety", 0.9))
+    ifactor = float(fwd_options.get("ifactor", 10.0))
+    dfactor = float(fwd_options.get("dfactor", 0.2))
 
     def forward_solver(y0_, t_, params_):
         from .fast import solve_fused
@@ -564,6 +594,7 @@ def _build_fused_forward(user_func, y0, t, params, rtol, atol, method,
                           t_, rtol=rtol, atol=atol, method=method,
                           first_step=first_step,
                           max_num_steps=max_num_steps,
+                          safety=safety, ifactor=ifactor, dfactor=dfactor,
                           dense_output=emit_dense, num_steps=num_steps,
                           step_size=step_size)
         if emit_dense:

@@ -302,7 +302,10 @@ def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
             & ~((s.th >= t_end) | (accept & is_last)),
             jnp.asarray(int(Status.MAX_STEPS_REACHED), jnp.int32), status)
 
-        evals = tab.evals_per_step
+        # Every df stage is a primal-plus-JVP PAIR (_df_eval runs the RHS
+        # twice via jax.jvp): report actual function work, not stages,
+        # so nfe is comparable with the plain-f32 engines'.
+        evals = 2 * tab.evals_per_step
         pick = lambda a, b: jax.tree_util.tree_map(
             lambda u, v: jnp.where(accept, u, v), a, b)
         th_n, tl_n = pick(t1, (s.th, s.tl))

@@ -109,7 +109,12 @@ _UN_OPS = {
     "sign": jnp.sign,
     "floor": jnp.floor,
     "ceil": jnp.ceil,
-    "round": lambda x: jnp.floor(x + 0.5),
+    # round-half-to-EVEN (jnp.round semantics; a bare floor(x+0.5) would
+    # break ties away from even and disagree with the generic engine):
+    # ties have x+0.5 exactly representable, odd results get nudged down.
+    "round": lambda x: (lambda r: jnp.where(
+        ((x + 0.5) == r) & (jnp.floor(r * 0.5) * 2.0 != r),
+        r - 1.0, r))(jnp.floor(x + 0.5)),
     "stop_gradient": lambda x: x,
     "copy": lambda x: x,
     "expm1": lambda x: jnp.exp(x) - 1.0,
