@@ -278,6 +278,29 @@ def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int) -> int:
     return 4 * (n_traj_buffers * T * D * BP + 4 * D * BP)
 
 
+def _grid_block_size(T: int, D: int, n_buf: int):
+    """Largest power-of-two batch block (>= 1024, a multiple of 8*LANE so
+    any sublane pack k <= 8 stays aligned) whose n_buf pipelined
+    trajectory buffers fit the VMEM budget; None when even a single
+    1024-sample block cannot fit (T x D too large)."""
+    b_blk = 1024
+    while _fused_vmem_bytes(T, D, 2 * b_blk, n_buf) <= _VMEM_BUDGET:
+        b_blk *= 2
+    if _fused_vmem_bytes(T, D, b_blk, n_buf) > _VMEM_BUDGET:
+        return None
+    return b_blk
+
+
+def _merge_grid_stats(stats, per_block_work: bool):
+    """[n_blocks, 4] per-program stats -> [4]: nfe/acc/rej summed when
+    each block does its own (adaptive) stepping, block-0 when every block
+    walks the same fixed sequence; status is always the max."""
+    if per_block_work:
+        return jnp.concatenate(
+            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+    return jnp.concatenate([stats[0, :3], stats[:, 3].max(keepdims=True)])
+
+
 def _fixed_grid_tau(tau, t, num_steps, step_size, dtype):
     """Resolve the fused fixed-grid step grid in TAU-space (mirrors
     solvers/fixed_grid.build_grid_from_options: num_steps works under
@@ -350,10 +373,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             and _fused_vmem_bytes(T_chk, D_chk, B_orig, 1) > _VMEM_BUDGET):
         # Grid mode pipelines the per-block output window (double-
         # buffered), so budget TWO trajectory buffers per block.
-        b_blk = 1024               # multiple of 8*LANE: any pack k <= 8
-        while _fused_vmem_bytes(T_chk, D_chk, 2 * b_blk, 2) <= _VMEM_BUDGET:
-            b_blk *= 2
-        if _fused_vmem_bytes(T_chk, D_chk, b_blk, 2) > _VMEM_BUDGET:
+        b_blk = _grid_block_size(T_chk, D_chk, 2)
+        if b_blk is None:
             import warnings
             warnings.warn(
                 "solve_mlp_spec: even a single 1024-sample block exceeds "
@@ -561,10 +582,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                 "kernel's VMEM budget (T x D x B too large)")
         # Grid mode pipelines the per-block output window (double-
         # buffered), so budget TWO trajectory buffers per block.
-        b_blk = 1024               # multiple of 8*LANE: any pack k <= 8
-        while _fused_vmem_bytes(T_out, D, 2 * b_blk, 2) <= _VMEM_BUDGET:
-            b_blk *= 2
-        if _fused_vmem_bytes(T_out, D, b_blk, 2) > _VMEM_BUDGET:
+        b_blk = _grid_block_size(T_out, D, 2)
+        if b_blk is None:
             raise jb.FusionError(
                 "even a single 1024-sample block exceeds the fused "
                 "kernel's VMEM budget (T x D too large)")
@@ -640,8 +659,7 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                        else 2 ** 31 - 1),
             interpret=interpret, pack=kpack, n_blocks=n_blocks)
         if n_blocks > 1:
-            stats = jnp.concatenate(
-                [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+            stats = _merge_grid_stats(stats, per_block_work=True)
         if out.shape[-1] != Bk:
             out = out[:, :, :Lb]
         if kpack > 1:
@@ -668,8 +686,7 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         if n_blocks > 1:
             # Every block walks the SAME fixed grid: per-solve stats are
             # block-count-invariant (nfe/steps from block 0, status max).
-            stats = jnp.concatenate(
-                [stats[0, :3], stats[:, 3].max(keepdims=True)])
+            stats = _merge_grid_stats(stats, per_block_work=False)
         if out.shape[-1] != Bk:
             out = out[:, :, :Lb]
         if kpack > 1:
@@ -709,8 +726,7 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                        else 2 ** 31 - 1),
             interpret=interpret, pack=kpack, n_blocks=n_blocks)
     if n_blocks > 1:
-        stats = jnp.concatenate(
-            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+        stats = _merge_grid_stats(stats, per_block_work=True)
     if out.shape[-1] != Bk:
         out = out[:, :, :Lb]       # single-block lane padding
     if kpack > 1:
@@ -764,10 +780,8 @@ def solve_hyper(func, hypernet, y0: Array, t, *, method: str = "hyper_euler",
 
     n_blocks = 1
     if not interpret and _fused_vmem_bytes(T_out, D, B, 1) > _VMEM_BUDGET:
-        b_blk = 1024
-        while _fused_vmem_bytes(T_out, D, 2 * b_blk, 2) <= _VMEM_BUDGET:
-            b_blk *= 2
-        if _fused_vmem_bytes(T_out, D, b_blk, 2) > _VMEM_BUDGET:
+        b_blk = _grid_block_size(T_out, D, 2)
+        if b_blk is None:
             raise jb.FusionError(
                 "even a single 1024-sample block exceeds the fused "
                 "kernel's VMEM budget (T x D too large)")
@@ -808,8 +822,7 @@ def solve_hyper(func, hypernet, y0: Array, t, *, method: str = "hyper_euler",
         kind=kind, grid_is_t=grid_is_t, interpret=interpret,
         n_blocks=n_blocks)
     if n_blocks > 1:
-        stats = jnp.concatenate(
-            [stats[0, :3], stats[:, 3].max(keepdims=True)])
+        stats = _merge_grid_stats(stats, per_block_work=False)
     if out.shape[-1] != B:
         out = out[:, :, :Bb]
     ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
@@ -874,10 +887,8 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         B_chk = y0_arr.shape[0]
         # ys AND g windows are pipelined (double-buffered) per block:
         # budget four trajectory buffers.
-        b_blk = 1024
-        while _fused_vmem_bytes(T_chk, D_chk, 2 * b_blk, 4) <= _VMEM_BUDGET:
-            b_blk *= 2
-        if _fused_vmem_bytes(T_chk, D_chk, b_blk, 4) <= _VMEM_BUDGET:
+        b_blk = _grid_block_size(T_chk, D_chk, 4)
+        if b_blk is not None:
             adj_blocks = -(-B_chk // b_blk)
             adj_bpad = adj_blocks * b_blk - B_chk
     if adj_blocks == 1 and (
@@ -1120,10 +1131,8 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
     n_blocks, B_user = 1, B
     if (not interp_flag
             and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET):
-        b_blk = 1024
-        while _fused_vmem_bytes(T_out, D, 2 * b_blk, 4) <= _VMEM_BUDGET:
-            b_blk *= 2
-        if _fused_vmem_bytes(T_out, D, b_blk, 4) <= _VMEM_BUDGET:
+        b_blk = _grid_block_size(T_out, D, 4)
+        if b_blk is not None:
             n_blocks = -(-B // b_blk)
             y0c = jnp.pad(y0c, ((0, n_blocks * b_blk - B), (0, 0)),
                           mode="wrap")
@@ -1238,17 +1247,14 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
                 interpret=interp_flag, pack=kpack, n_blocks=n_blocks)
             if n_blocks > 1:
                 # Same fixed grid per block: stats block-count-invariant.
-                stats = jnp.concatenate(
-                    [stats[0, :3], stats[:, 3].max(keepdims=True)])
+                stats = _merge_grid_stats(stats, per_block_work=False)
         else:
             out, stats = jb.plan_solve(
                 plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,
                 method=method, max_steps=max_steps, interpret=interp_flag,
                 pack=kpack, n_blocks=n_blocks)
             if n_blocks > 1:
-                stats = jnp.concatenate(
-                    [jnp.sum(stats[:, :3], axis=0),
-                     stats[:, 3:4].max(axis=0)])
+                stats = _merge_grid_stats(stats, per_block_work=True)
         if out.shape[-1] != Bk:
             out = out[:, :, :Lb_f]
         if kpack > 1:
