@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import (_ACTIVATION_GRAD2, _ACTIVATION_GRADS,
+                             rep_spec,
                              _ACTIVATIONS, _LANE, _controller_factor,
                              _input_transform, _layer_uses_mxu, _pad_rows,
                              _round_up, pick_pack, unpack_state,
@@ -763,18 +764,14 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
         # Sequential grid over lane blocks: block-sliced ys/g/ay0,
         # replicated weights, and REVISITED parameter-cotangent windows
         # that accumulate across programs (zeroed at program 0).
-        def rep(shape):
-            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                                memory_space=pltpu.VMEM)
-
         traj_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM)
         ay0_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         in_specs = ([smem_t] * 6 + [traj_spec, traj_spec]
-                    + [rep(w.shape) for w in warrays])
+                    + [rep_spec(w.shape) for w in warrays])
         out_specs = ([ay0_spec]
-                     + [rep(w.shape) for w in warrays]
+                     + [rep_spec(w.shape) for w in warrays]
                      + [smem_t, smem_t])
         grid_kw = {"grid": (n_blocks,)}
 

@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import conv_ode as co
-from .pallas_kernels import _LANE, _make_solve_kernel, _round_up
+from .pallas_kernels import (_LANE, _make_solve_kernel, _round_up,
+                             rep_spec)
 
 Array = jax.Array
 
@@ -189,10 +190,6 @@ def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
     # program_id indexing (Mosaic requires SMEM blocks to equal the array
     # dims). Scratch is reused program-to-program (TPU grids run
     # sequentially).
-    def rep(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
     state_spec = pl.BlockSpec((C, NP), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, C, NP), lambda i: (0, 0, i),
@@ -202,7 +199,7 @@ def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
         grid=(n_blocks,),
         in_specs=([smem_t] * 7
                   + [state_spec, state_spec]
-                  + [rep(w.shape) for w in warrays]),
+                  + [rep_spec(w.shape) for w in warrays]),
         out_specs=[out_spec, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, C, NP_total), dtype),
                    jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],

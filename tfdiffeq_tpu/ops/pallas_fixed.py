@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import (_LANE, _round_up, pack_state_blocks,
+                             rep_spec,
                              packed_make_f, pick_pack, unpack_state_blocks)
 from . import tableaus as _tabs
 
@@ -214,10 +215,6 @@ def fixed_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
         )(*scalar_ins, y0, f0, *aux_arrays)
         return out, stats[0]
 
-    def rep(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
     state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
@@ -226,7 +223,7 @@ def fixed_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 4 + [state_spec, state_spec]
-                  + [rep(np.shape(w)) for w in aux_arrays]),
+                  + [rep_spec(np.shape(w)) for w in aux_arrays]),
         out_specs=[out_spec, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
@@ -516,10 +513,6 @@ def plan_solve_hyper(plan_f, plan_g, consts_f, consts_g, y0: Array,
         )(*scalar_ins, y0, *aux)
         return out, stats[0]
 
-    def rep(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
     state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
@@ -528,7 +521,7 @@ def plan_solve_hyper(plan_f, plan_g, consts_f, consts_g, y0: Array,
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 4 + [state_spec]
-                  + [rep(np.shape(w)) for w in aux]),
+                  + [rep_spec(np.shape(w)) for w in aux]),
         out_specs=[out_spec, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
@@ -752,10 +745,6 @@ def adams_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
         )(*scalar_ins, y0, f0, *aux_arrays)
         return out, stats[0]
 
-    def rep(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
     state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
@@ -764,7 +753,7 @@ def adams_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 8 + [state_spec, state_spec]
-                  + [rep(np.shape(w)) for w in aux_arrays]),
+                  + [rep_spec(np.shape(w)) for w in aux_arrays]),
         out_specs=[out_spec, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
@@ -947,18 +936,14 @@ def _fixed_adjoint_call(aug_factory, const_arrays, out_shape_tail, ys, g,
         out_specs = [vmem] * (1 + n_acc) + [smem_t, smem_t]
         grid_kw = {}
     else:
-        def rep(shape):
-            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                                memory_space=pltpu.VMEM)
-
         traj_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM)
         ay0_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         in_specs = ([smem_t] * 2 + [traj_spec, traj_spec]
-                    + [rep(np.shape(c)) for c in const_arrays])
+                    + [rep_spec(np.shape(c)) for c in const_arrays])
         out_specs = ([ay0_spec]
-                     + [rep(s.shape) for s in out_shape_tail]
+                     + [rep_spec(s.shape) for s in out_shape_tail]
                      + [smem_t, smem_t])
         grid_kw = {"grid": (n_blocks,)}
 

@@ -59,6 +59,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def rep_spec(shape):
+    """BlockSpec replicating a full VMEM operand to every sequential-grid
+    program (weights / plan consts in multi-block whole-solve kernels) —
+    the shared piece of the grid-mode plumbing every kernel family uses."""
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
 # ---------------------------------------------------------------------------
 # Shared in-kernel pieces
 # ---------------------------------------------------------------------------
@@ -569,10 +577,6 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
     tile_spec = pl.BlockSpec((D, tile_b), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
 
-    def rep_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     out_shape = [jax.ShapeDtypeStruct((D, BP), dtype)] * 3 + [
@@ -992,10 +996,6 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
 
     # Sequential grid over lane blocks (one launch; scratch reused
     # program-to-program since TPU grids run sequentially).
-    def rep(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
     state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
@@ -1004,7 +1004,7 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 7 + [state_spec, state_spec]
-                  + [rep(np.shape(w)) for w in aux_arrays]),
+                  + [rep_spec(np.shape(w)) for w in aux_arrays]),
         out_specs=[out_spec, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import (_LANE, _round_up, pack_state_blocks,
+                             rep_spec,
                              packed_make_f, pick_pack, unpack_state_blocks)
 
 Array = jax.Array
@@ -357,10 +358,6 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
         )(*scalar_ins, y0, f0, *aux_arrays)
         return out, stats[0]
 
-    def rep(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
     state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
@@ -369,7 +366,7 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 8 + [state_spec, state_spec]
-                  + [rep(np.shape(w)) for w in aux_arrays]),
+                  + [rep_spec(np.shape(w)) for w in aux_arrays]),
         out_specs=[out_spec, smem_t],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
                    jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .jaxpr_bridge import (FusedPlan, FusionError, _materialize,
                            eval_plan, read_const_refs)
-from .pallas_kernels import _LANE, _pad_rows, _round_up
+from .pallas_kernels import _LANE, _pad_rows, _round_up, rep_spec
 
 Array = jax.Array
 
@@ -513,18 +513,14 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
         # Sequential grid over lane blocks: block-sliced ys/g/ay0,
         # replicated consts, REVISITED cotangent windows accumulating
         # across programs (zeroed at program 0).
-        def rep(shape):
-            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                                memory_space=pltpu.VMEM)
-
         traj_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM)
         ay0_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         in_specs = ([smem_t] * 6 + [traj_spec, traj_spec]
-                    + [rep(c.shape) for c in consts_packed])
+                    + [rep_spec(c.shape) for c in consts_packed])
         out_specs = ([ay0_spec]
-                     + [rep(c.shape) for c in consts_packed]
+                     + [rep_spec(c.shape) for c in consts_packed]
                      + [smem_t, smem_t])
         grid_kw = {"grid": (n_blocks,)}
 
