@@ -579,3 +579,27 @@ def test_hyper_kernel_unfusable_hypernet_falls_back():
     rg = solve(f, y0, t, method="hyper_euler", options={"hypernet": g})
     np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
                                rtol=0, atol=0)
+
+
+def test_vcabm_kernel_failure_statuses():
+    """MAX_STEPS_REACHED surfaces from the VCABM kernel exactly like the
+    generic engine (same counters, status 1)."""
+    rng = np.random.RandomState(71)
+    W = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+
+    def f(tt, yy):
+        return (yy ** 3) @ W
+
+    y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    t = jnp.linspace(0.0, 5.0, 5, dtype=jnp.float32)
+    opts = {"max_num_steps": 3, "first_step": 0.01}
+    rf = solve(f, y0, t, rtol=1e-6, atol=1e-8, method="adams",
+               options={"fuse": True, **opts})
+    rg = solve(f, y0, t, rtol=1e-6, atol=1e-8, method="adams",
+               options=opts)
+    sf = [int(x) for x in (rf.stats.nfe, rf.stats.n_accepted,
+                           rf.stats.n_rejected, rf.stats.status)]
+    sg = [int(x) for x in (rg.stats.nfe, rg.stats.n_accepted,
+                           rg.stats.n_rejected, rg.stats.status)]
+    assert sf == sg
+    assert sf[3] == 1

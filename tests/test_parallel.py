@@ -315,3 +315,36 @@ def test_sharded_plan_fused_solve_and_training():
     with pytest.raises(ValueError, match="unsupported"):
         odeint_adjoint_fused_sharded(dynp, y0, t, mesh, params=params,
                                      return_stats=True)
+
+
+def test_sharded_fixed_and_adams_solves():
+    """Fixed-grid / Adams / VCABM methods through solve_fused_sharded:
+    batch-sharded whole-solve kernels match the unsharded kernel (fixed
+    sequences are deterministic, so parity is roundoff-level)."""
+    from tfdiffeq_tpu.fast import solve_fused, solve_fused_sharded
+    from tfdiffeq_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.RandomState(7)
+    W1 = jnp.asarray(rng.randn(2, 16) * 0.3, jnp.float32)
+    W2 = jnp.asarray(rng.randn(16, 2) * 0.3, jnp.float32)
+    y0 = jnp.asarray(rng.randn(64, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    mesh = make_mesh((8,), ("data",))
+
+    def dyn(tt, yy):
+        return jnp.tanh((yy ** 3) @ W1) @ W2
+
+    cases = [
+        dict(method="rk4", num_steps=32),
+        dict(method="fixed_adams", num_steps=32, max_order=4),
+        dict(method="adams", rtol=1e-5, atol=1e-7, first_step=0.05),
+    ]
+    for kw in cases:
+        r = solve_fused_sharded(dyn, y0, t, mesh, **kw)
+        r1 = solve_fused(dyn, y0, t, **kw)
+        assert int(r.stats.status) == 0, kw
+        np.testing.assert_allclose(np.asarray(r.ys), np.asarray(r1.ys),
+                                   atol=1e-3, err_msg=str(kw))
+        if kw["method"] != "adams":
+            # deterministic step count per shard: 8x the per-solve NFE
+            assert int(r.stats.nfe) == 8 * int(r1.stats.nfe), kw

@@ -1460,7 +1460,9 @@ def solve_fused_sharded(func, y0: Array, t, mesh, *, axis: str = "data",
                         rtol=1e-6, atol=1e-8, method: str = "dopri5",
                         interpret: Optional[bool] = None,
                         max_num_steps=None, first_step=None,
-                        matmul: str = "auto") -> SolveResult:
+                        matmul: str = "auto", num_steps=None,
+                        step_size=None, max_order: Optional[int] = None,
+                        max_iters: int = 4) -> SolveResult:
     """Data-parallel PLAN-DRIVEN whole-solve kernel over a device mesh:
     the sharded counterpart of `solve_fused` — arbitrary plain-jnp
     dynamics in the jaxpr-bridge subset, one kernel per shard, per-shard
@@ -1486,7 +1488,9 @@ def solve_fused_sharded(func, y0: Array, t, mesh, *, axis: str = "data",
         r = solve_fused(func, y_shard, t, rtol=rtol, atol=atol,
                         method=method, interpret=interpret,
                         max_num_steps=max_num_steps,
-                        first_step=first_step, matmul=matmul)
+                        first_step=first_step, matmul=matmul,
+                        num_steps=num_steps, step_size=step_size,
+                        max_order=max_order, max_iters=max_iters)
         return r.ys, jnp.stack([r.stats.nfe, r.stats.n_accepted,
                                 r.stats.n_rejected, r.stats.status])
 
