@@ -152,8 +152,8 @@ def test_cnf_auto_fallback_on_unfusable_flow():
 
     from tfdiffeq_tpu.fast import cnf_log_prob_auto
 
-    def bad_flow(t, z, p):                     # `rev` is outside the subset
-        return jnp.flip(z, axis=1) * p
+    def bad_flow(t, z, p):                     # `sort` is outside the subset
+        return jnp.sort(z, axis=1) * p
 
     x = jnp.asarray(np.random.RandomState(9).randn(5, 2) * 0.5, jnp.float32)
     with warnings.catch_warnings(record=True) as wlist:

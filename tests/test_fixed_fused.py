@@ -567,7 +567,7 @@ def test_hyper_kernel_unfusable_hypernet_falls_back():
         return -yy
 
     def g(tt, yy, ff):
-        return jnp.flip(yy, axis=-1) * 0.01      # rev: unfusable
+        return jnp.sort(yy, axis=-1) * 0.01      # sort: unfusable
 
     y0 = jnp.ones((4, 2), jnp.float32)
     t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)

@@ -234,9 +234,9 @@ def test_odeint_fuse_option_and_fallback():
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ref.ys),
                                atol=5e-6)
 
-    # unfusable primitive (rev) -> warning + generic result
+    # unfusable primitive (sort) -> warning + generic result
     def unfusable(t, y):
-        return jnp.flip(y, axis=-1) * -0.5
+        return jnp.sort(y, axis=-1) * -0.5
 
     with warnings.catch_warnings(record=True) as wlog:
         warnings.simplefilter("always")
@@ -304,7 +304,7 @@ def test_adjoint_fuse_gradient_parity():
 
 def test_adjoint_fuse_fallback_still_trains():
     def fb(tt, yy, p):
-        return jnp.flip(yy, axis=-1) * p
+        return jnp.sort(yy, axis=-1) * p     # sort: outside the plan ISA
 
     with warnings.catch_warnings(record=True) as wlog:
         warnings.simplefilter("always")
@@ -424,3 +424,54 @@ def test_fuse_adjoint_honors_backward_step_size():
         d = float(jnp.max(jnp.abs(gf[k] - gg[k])))
         m = float(jnp.max(jnp.abs(gg[k]))) + 1e-8
         assert d / m < 5e-3, (k, d / m)
+
+
+def test_fuse_feature_axis_flip():
+    """jnp.flip(y, axis=-1) fuses via the `rev` ISA op (forward AND the
+    plan-adjoint transpose); batch-axis flips keep the generic engine."""
+    def frev(t, y):
+        return jnp.flip(y, axis=-1) * -0.5 + 0.1 * y
+
+    y0 = jnp.asarray(np.random.RandomState(2).randn(8, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        a = solve(frev, y0, t, rtol=1e-6, atol=1e-8, method="dopri5",
+                  options={"fuse": True, "first_step": 0.05})
+    b = solve(frev, y0, t, rtol=1e-6, atol=1e-8, method="dopri5",
+              options={"loop": "while", "first_step": 0.05})
+    assert int(a.stats.nfe) == int(b.stats.nfe)
+    np.testing.assert_allclose(np.asarray(a.ys), np.asarray(b.ys),
+                               atol=1e-5)
+
+    # two-kernel training through the rev transpose
+    def frev_p(t, y, p):
+        return jnp.flip(y, axis=-1) @ p["w"] - 0.2 * y
+
+    params = {"w": jnp.asarray(np.random.RandomState(3).randn(2, 2) * 0.4,
+                               jnp.float32)}
+    g_out = jnp.asarray(np.random.RandomState(4).randn(5, 8, 2),
+                        jnp.float32)
+
+    def loss(p, fuse):
+        opts = {"fuse": True} if fuse else {}
+        ys = odeint_adjoint(frev_p, y0, t, params=p, rtol=1e-6, atol=1e-8,
+                            options=opts)
+        return jnp.sum(ys * g_out)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        gf = jax.grad(lambda p: loss(p, True))(params)
+    gg = jax.grad(lambda p: loss(p, False))(params)
+    d = float(jnp.max(jnp.abs(gf["w"] - gg["w"])))
+    m = float(jnp.max(jnp.abs(gg["w"]))) + 1e-8
+    assert d / m < 1e-3, (d, m)
+
+    # batch-axis flip: clean fallback
+    def fbad(t, y):
+        return jnp.flip(y, axis=0) * -0.5
+
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        solve(fbad, y0, t, method="dopri5", options={"fuse": True})
+    assert any("falling back" in str(w.message) for w in wlist)

@@ -490,6 +490,32 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
             raise FusionError("slice of a literal")
         builder.instrs.append(("slice", out_id(), a, r0, r1))
         return
+    if prim == "rev":
+        # jnp.flip along the FEATURE axis (lane-local row reversal in the
+        # feature-major layout); batch-axis reversal is cross-sample and
+        # stays unsupported.
+        shape = tuple(eqn.invars[0].aval.shape)
+        dims = tuple(int(d) for d in eqn.params["dimensions"])
+        k = _kind(shape, B)
+        if k == "scalar" or k == "mat":
+            raise FusionError(f"rev of {shape} unsupported")
+        rows = k[0]
+        if len(shape) == 1:
+            feat_axis = 0 if shape[0] != B or B == 1 else None
+        elif shape[0] == B and B != 1:
+            feat_axis = 1
+        elif shape[1] == 1:
+            feat_axis = 0
+        else:
+            feat_axis = 1
+        if feat_axis is None or dims != (feat_axis,):
+            raise FusionError(f"rev over dims {dims} of {shape} "
+                              "(only feature-axis flips fuse)")
+        a = _atom(builder, env, eqn.invars[0])
+        if a[0] == "l":
+            raise FusionError("rev of a literal")
+        builder.instrs.append(("rev", out_id(), a, rows))
+        return
     if prim == "dot_general":
         _trace_dot(builder, env, eqn, out_id)
         return
@@ -761,6 +787,15 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
         elif op == "slice":
             v = get(ins[2])
             env[ins[1]] = v[ins[3]:ins[4], :]
+        elif op == "rev":
+            # Feature-axis flip as row slices + concat (rows is small and
+            # static; avoids relying on a Mosaic flip lowering).
+            v = get(ins[2])
+            rows = ins[3]
+            v = _materialize(v, rows, v.shape[1] if jnp.ndim(v) else B,
+                             dtype)
+            env[ins[1]] = (v if rows == 1 else jnp.concatenate(
+                [v[i:i + 1, :] for i in range(rows - 1, -1, -1)], axis=0))
         elif op == "reduce":
             v = get(ins[2])
             fn = {"sum": jnp.sum, "max": jnp.max,

@@ -285,6 +285,12 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
                     pieces.append(jnp.zeros((r - r1, cols), dtype))
                 addct(ins[2], pieces[0] if len(pieces) == 1
                       else jnp.concatenate(pieces, axis=0))
+            elif op == "rev":
+                # linear: the transpose of a row flip is the row flip
+                rows = ins[3]
+                addct(ins[2], c if rows == 1 else jnp.concatenate(
+                    [c[i:i + 1, :] for i in range(rows - 1, -1, -1)],
+                    axis=0))
             elif op == "reduce":
                 # max/min rejected by check_plan_adjoint
                 x = getp(ins[2])
