@@ -475,3 +475,39 @@ def test_fuse_feature_axis_flip():
         warnings.simplefilter("always")
         solve(fbad, y0, t, method="dopri5", options={"fuse": True})
     assert any("falling back" in str(w.message) for w in wlist)
+
+
+def test_fuse_trig_inverse_hyperbolics():
+    """tan / asinh / acosh / atanh lower via sin-cos and log/sqrt
+    compositions; forward NFE parity and adjoint gradients match."""
+    def f(t, y):
+        return (jnp.tan(0.3 * y) - 0.5 * jnp.arcsinh(y)
+                + 0.1 * jnp.arctanh(jnp.tanh(y))
+                + 0.01 * jnp.arccosh(y * y + 2.0))
+
+    y0 = jnp.asarray(np.random.RandomState(5).randn(8, 2) * 0.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        a = solve(f, y0, t, rtol=1e-6, atol=1e-8,
+                  options={"fuse": True, "first_step": 0.02})
+    b = solve(f, y0, t, rtol=1e-6, atol=1e-8,
+              options={"loop": "while", "first_step": 0.02})
+    assert int(a.stats.nfe) == int(b.stats.nfe)
+    np.testing.assert_allclose(np.asarray(a.ys), np.asarray(b.ys),
+                               atol=1e-5)
+
+    def fp(tt, yy, p):
+        return jnp.tan(p * yy) - 0.5 * jnp.arcsinh(yy)
+
+    def loss(p, fuse):
+        opts = {"fuse": True} if fuse else {}
+        return jnp.sum(odeint_adjoint(fp, y0, t, params=p, rtol=1e-6,
+                                      atol=1e-8, options=opts))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        gf = jax.grad(lambda p: loss(p, True))(jnp.float32(0.3))
+    gg = jax.grad(lambda p: loss(p, False))(jnp.float32(0.3))
+    assert abs(float(gf - gg)) / abs(float(gg)) < 1e-4

@@ -123,6 +123,11 @@ _UN_OPS = {
     "not": jnp.logical_not,
     "erf": _erf_approx,
     "erfc": _erfc_approx,
+    "tan": lambda x: jnp.sin(x) / jnp.cos(x),
+    # inverse hyperbolics via log/sqrt (all lower in Mosaic)
+    "asinh": lambda x: jnp.log(x + jnp.sqrt(x * x + 1.0)),
+    "acosh": lambda x: jnp.log(x + jnp.sqrt(x * x - 1.0)),
+    "atanh": lambda x: 0.5 * (jnp.log1p(x) - jnp.log1p(-x)),
 }
 
 _BIN_OPS = {

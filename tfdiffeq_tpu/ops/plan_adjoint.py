@@ -113,6 +113,10 @@ _UN_GRADS = {
     # simpler and more accurate than differentiating the approximation)
     "erf": lambda x, o: 1.1283791670955126 * jnp.exp(-x * x),
     "erfc": lambda x, o: -1.1283791670955126 * jnp.exp(-x * x),
+    "tan": lambda x, o: 1.0 + o * o,
+    "asinh": lambda x, o: jax.lax.rsqrt(x * x + 1.0),
+    "acosh": lambda x, o: jax.lax.rsqrt(x * x - 1.0),
+    "atanh": lambda x, o: 1.0 / (1.0 - x * x),
 }
 
 #: binary comparison / logical ops: no gradient flows
