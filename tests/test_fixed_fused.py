@@ -603,3 +603,57 @@ def test_vcabm_kernel_failure_statuses():
                            rg.stats.n_rejected, rg.stats.status)]
     assert sf == sg
     assert sf[3] == 1
+
+
+def test_every_builtin_method_fuses():
+    """Registry-wide invariant: options={'fuse': True} engages a
+    whole-solve kernel (NO fallback warning) for EVERY built-in method in
+    SOLVERS, and the result matches the generic engine."""
+    import warnings
+
+    from tfdiffeq_tpu.odeint import SOLVERS
+
+    rng = np.random.RandomState(81)
+    W1 = jnp.asarray(rng.randn(2, 16) * 0.3, jnp.float32)
+    W2 = jnp.asarray(rng.randn(16, 2) * 0.3, jnp.float32)
+    # hidden width 12: distinct from batch 8 (the bridge rejects
+    # batch==feature-dim ambiguity)
+    Hw = jnp.asarray(rng.randn(5, 12) * 0.2, jnp.float32)
+    Hv = jnp.asarray(rng.randn(12, 2) * 0.2, jnp.float32)
+
+    def f(tt, yy):
+        return jnp.tanh((yy ** 3) @ W1) @ W2
+
+    def g(tt, yy, ff):
+        tcol = jnp.broadcast_to(jnp.reshape(tt, (1, 1)),
+                                (yy.shape[0], 1))
+        return jnp.tanh(jnp.concatenate([yy, ff, tcol], axis=1)
+                        @ Hw) @ Hv
+
+    y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+
+    per_method = {
+        "dopri5": {}, "bosh3": {}, "adaptive_heun": {}, "tsit5": {},
+        "dopri8": {},
+        "euler": {"num_steps": 32}, "midpoint": {}, "rk4": {},
+        "rk4_38": {},
+        "explicit_adams": {"num_steps": 16}, "fixed_adams": {},
+        "adams": {"first_step": 0.05},
+        "hyper_euler": {"hypernet": g}, "hyper_midpoint": {"hypernet": g},
+        "hyper_heun": {"hypernet": g},
+    }
+    assert set(per_method) == set(SOLVERS), (
+        "a new registered method lacks fuse coverage: "
+        f"{set(SOLVERS) ^ set(per_method)}")
+
+    for method, opts in per_method.items():
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")      # any fallback = FAIL
+            rf = solve(f, y0, t, rtol=1e-5, atol=1e-7, method=method,
+                       options={"fuse": True, **opts})
+        rg = solve(f, y0, t, rtol=1e-5, atol=1e-7, method=method,
+                   options=opts)
+        assert int(rf.stats.status) == 0, method
+        np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
+                                   rtol=0, atol=5e-4, err_msg=method)
