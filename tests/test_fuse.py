@@ -511,3 +511,97 @@ def test_fuse_trig_inverse_hyperbolics():
         gf = jax.grad(lambda p: loss(p, True))(jnp.float32(0.3))
     gg = jax.grad(lambda p: loss(p, False))(jnp.float32(0.3))
     assert abs(float(gf - gg)) / abs(float(gg)) < 1e-4
+
+
+def test_fuse_b1_reduce_and_edge_plans():
+    """Edge plans from the bridge review: B==1 scalar reduces must mask
+    pad lanes; size-1-axis reduces are squeezes; scalar concat pieces
+    materialize; dual-role (dot-weight AND elementwise) consts fall back
+    cleanly; max-tie gradients split 0.5/0.5 like jax.lax."""
+    y0 = jnp.asarray([[0.5, -0.3]], jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+
+    def f1(tt, yy):
+        return -yy * jnp.mean(jnp.exp(yy))
+
+    def f2(tt, yy):
+        return yy * 0.1 + 0.1 * jnp.sum(yy, axis=0)
+
+    for f in (f1, f2):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            a = solve(f, y0, t, rtol=1e-6, atol=1e-8,
+                      options={"fuse": True, "first_step": 0.02})
+        b = solve(f, y0, t, rtol=1e-6, atol=1e-8,
+                  options={"loop": "while", "first_step": 0.02})
+        np.testing.assert_allclose(np.asarray(a.ys), np.asarray(b.ys),
+                                   atol=1e-5)
+
+    rng = np.random.RandomState(0)
+    y04 = jnp.asarray(rng.rand(4, 2) + 1.0, jnp.float32)
+    bvec = jnp.asarray([0.3], jnp.float32)
+
+    def f4(tt, yy):
+        feat = jnp.concatenate([jnp.reshape(tt, (1,)), bvec])
+        return yy * feat
+
+    a4 = solve(f4, y04, t, rtol=1e-6, atol=1e-8,
+               options={"fuse": True, "first_step": 0.02})
+    b4 = solve(f4, y04, t, rtol=1e-6, atol=1e-8,
+               options={"loop": "while", "first_step": 0.02})
+    np.testing.assert_allclose(np.asarray(a4.ys), np.asarray(b4.ys),
+                               atol=1e-5)
+
+    Wd = jnp.asarray(rng.randn(2, 2) * 0.2, jnp.float32)
+
+    def f5(tt, yy):
+        return (yy @ Wd) * jnp.sum(Wd)
+
+    with warnings.catch_warnings(record=True) as wl:
+        warnings.simplefilter("always")
+        a5 = solve(f5, y04, t, options={"fuse": True})
+    assert any("falling back" in str(w.message) for w in wl)
+    b5 = solve(f5, y04, t)
+    np.testing.assert_array_equal(np.asarray(a5.ys), np.asarray(b5.ys))
+
+
+def test_fuse_adjoint_log_dynamics_and_max_ties():
+    """Pad-lane primals can be non-finite (log of the pinned-zero pad
+    state): the plan-adjoint weight quadrature must mask BOTH factors.
+    Max ties split 0.5/0.5 like jax.lax's balanced_eq."""
+    rng = np.random.RandomState(0)
+    t = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+    W = jnp.asarray(rng.randn(2, 2) * 0.1, jnp.float32)
+    y0 = jnp.asarray(rng.rand(4, 2) + 1.0, jnp.float32)
+
+    def f(tt, yy, p):
+        return jnp.log(yy) @ p
+
+    def loss(p, fuse):
+        opts = {"fuse": True} if fuse else {}
+        return jnp.sum(odeint_adjoint(f, y0, t, params=p, rtol=1e-6,
+                                      atol=1e-8, options=opts))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        gf = jax.grad(lambda p: loss(p, True))(W)
+    gg = jax.grad(lambda p: loss(p, False))(W)
+    assert bool(jnp.all(jnp.isfinite(gf)))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gg), atol=5e-6)
+
+    def f6(tt, yy, p):
+        return jnp.maximum(yy * p, 0.0) - 0.5 * yy
+
+    y06 = jnp.asarray([[0.0, 1.0], [-1.0, 0.0], [0.0, 0.0], [0.5, -0.5]],
+                      jnp.float32)
+
+    def loss6(p, fuse):
+        opts = {"fuse": True} if fuse else {}
+        return jnp.sum(odeint_adjoint(f6, y06, t, params=p, rtol=1e-6,
+                                      atol=1e-8, options=opts))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        gf6 = jax.grad(lambda p: loss6(p, True))(jnp.float32(1.0))
+    gg6 = jax.grad(lambda p: loss6(p, False))(jnp.float32(1.0))
+    assert abs(float(gf6 - gg6)) < 1e-5

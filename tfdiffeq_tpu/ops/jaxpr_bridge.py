@@ -452,10 +452,17 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
         if k == "scalar" or k == "mat":
             raise FusionError(f"reduce over {shape}")
         r, c = k
-        if c == B and B != 1 and 0 in axes:
+        # Size-1 axes reduce to the identity at block level (e.g. the
+        # axis-0 "reduce" of a (1, d) value is a squeeze) — without this,
+        # the generic reduce instr would wrongly fold the FEATURE rows.
+        eff_axes = tuple(ax for ax in axes if shape[ax] != 1)
+        a = _atom(builder, env, eqn.invars[0])
+        if not eff_axes:
+            builder.instrs.append(("un", out_id(), a, "copy"))
+            return
+        if c == B and B != 1 and 0 in eff_axes:
             raise FusionError("reduction over the batch axis couples "
                               "samples; not fusable")
-        a = _atom(builder, env, eqn.invars[0])
         to_scalar = _kind(tuple(eqn.outvars[0].aval.shape), B) == "scalar"
         fn = {"reduce_sum": "sum", "reduce_max": "max",
               "reduce_min": "min"}[prim]
@@ -637,6 +644,16 @@ def build_plan(func: Callable, t0, y0, matmul: str = "auto",
                             if (isinstance(y, tuple) and len(y) == 2
                                     and y[0] == "v"):
                                 used.add(y[1])
+    # A const consumed BOTH as a dot_general weight (wT layout, read via
+    # its const index) and elementwise (read via its val id) would leave
+    # eval_plan's env unbound for the elementwise read — reject up front
+    # so callers get the guaranteed FusionError fallback, not a crash.
+    for ci, lay in enumerate(builder.const_layouts):
+        if (lay is not None and lay[0] == "wT"
+                and builder.const_ids[ci] in used):
+            raise FusionError(
+                "const used both as a dot_general weight and "
+                "elementwise; not fusable")
     builder.finalize_default_layouts(used)
     plan = FusedPlan(
         instrs=tuple(builder.instrs),
@@ -775,6 +792,14 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
                 rows, cols = to_k
                 cols = B if cols == plan.batch and plan.batch != 1 \
                     else cols
+                if (jnp.ndim(v) == 2 and cols == 1
+                        and v.shape[1] > 1):
+                    # lane-resolved operand broadcast to a [r, 1] layout
+                    # (B == 1 squeeze results stay lane-resolved; valid
+                    # because cross-sample paths are rejected at trace):
+                    # keep the lane width, downstream elementwise ops
+                    # broadcast against it.
+                    cols = v.shape[1]
                 env[ins[1]] = _materialize(v, rows, cols, dtype)
         elif op == "reshape":
             env[ins[1]] = get(ins[2])
@@ -782,6 +807,9 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
             blocks = []
             for a in ins[2]:
                 v = get(a)
+                if jnp.ndim(v) == 0:
+                    # scalar piece (e.g. jnp.reshape(t, (1,))): one row
+                    v = jnp.reshape(v, (1, 1))
                 blocks.append(v)
             # lane-dims must agree: broadcast [r,1] pieces to the
             # widest lane count present
@@ -806,6 +834,16 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
             fn = {"sum": jnp.sum, "max": jnp.max,
                   "min": jnp.min}[ins[3]]
             if ins[4]:                       # -> scalar
+                if jnp.ndim(v) == 2 and v.shape[1] > 1:
+                    # lane-padded batched block (B == 1 plans only —
+                    # larger batches reject cross-sample reduces): mask
+                    # the pad lanes with the reduction's neutral element
+                    # or they leak into the true lane's scalar.
+                    neutral = {"sum": 0.0, "max": -jnp.inf,
+                               "min": jnp.inf}[ins[3]]
+                    lane2 = jax.lax.broadcasted_iota(jnp.int32, v.shape,
+                                                     1)
+                    v = jnp.where(lane2 < plan.batch, v, neutral)
                 env[ins[1]] = fn(v)
             else:                            # feature-axis reduce
                 env[ins[1]] = fn(v, axis=0, keepdims=True)

@@ -80,7 +80,6 @@ def plan_uses_t(plan: FusedPlan) -> bool:
     """True when the plan output depends on the time input (the adjoint
     then integrates the a_t quadrature)."""
     live = {plan.t_id}
-    dep = set()
     for ins in plan.instrs:
         if any(v in live for v in _instr_in_vids(ins)):
             live.add(ins[1])
@@ -133,6 +132,10 @@ def check_plan_adjoint(plan: FusedPlan) -> None:
             raise FusionError(
                 "fused adjoint through reduce_max/reduce_min is "
                 "unsupported (argmax routing); use the generic backward")
+        if op == "reduce" and ins[4]:
+            raise FusionError(
+                "fused adjoint through a full (to-scalar) reduction is "
+                "unsupported; use the generic backward")
         if op == "un" and ins[3] not in _UN_GRADS \
                 and ins[3] not in _ZERO_GRAD_UN:
             raise FusionError(
@@ -226,12 +229,15 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
                 elif name == "div":
                     addct(ins[2], c / bv)
                     addct(ins[3], -c * av / (bv * bv))
-                elif name == "max":
-                    addct(ins[2], jnp.where(av >= bv, c, 0.0))
-                    addct(ins[3], jnp.where(av >= bv, 0.0, c))
-                elif name == "min":
-                    addct(ins[2], jnp.where(av <= bv, c, 0.0))
-                    addct(ins[3], jnp.where(av <= bv, 0.0, c))
+                elif name in ("max", "min"):
+                    # balanced ties (0.5/0.5), matching jax.lax's
+                    # _balanced_eq so fused gradients agree with the
+                    # generic adjoint at exact ties
+                    win = (av > bv) if name == "max" else (av < bv)
+                    w_a = jnp.where(av == bv, 0.5,
+                                    jnp.where(win, 1.0, 0.0))
+                    addct(ins[2], c * w_a)
+                    addct(ins[3], c * (1.0 - w_a))
                 elif name == "pow":
                     o = env[ins[1]]
                     addct(ins[2], c * bv * o / av)
@@ -304,14 +310,12 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
                 _, out, a_id, cidx, din, dout, mxu = ins
                 wT = cvals[cidx]                   # [doutP, dinP]
                 doutP, dinP = wT.shape
-                h = _materialize(env[a_id], din,
-                                 env[a_id].shape[1]
-                                 if jnp.ndim(env[a_id]) else B, dtype)
-                h = _materialize(h, din, B, dtype)
-                # lane-masked cotangent for the weight outer-product: the
+                h = _materialize(env[a_id], din, B, dtype)
+                # lane-mask BOTH factors of the weight outer-product: the
                 # pad-lane primals can be non-finite (f evaluated at the
-                # pinned-zero pad state), and Inf * 0 = NaN would pollute
-                # the batch reduction.
+                # pinned-zero pad state, e.g. log(0)), and Inf * 0 = NaN
+                # in either operand would pollute the batch reduction.
+                h = jnp.where(lane_ok, h, 0.0)
                 c_m = jnp.where(lane_ok, c, 0.0)
                 if doutP != dout:
                     c_p = jnp.concatenate(
