@@ -1,8 +1,12 @@
-"""Fixed-grid whole-solve Pallas kernels (ops/pallas_fixed.py).
+"""Whole-solve kernels for the non-adaptive-RK method families:
+fixed-grid (ops/pallas_fixed.py), fixed-step Adams (AB/ABM), VCABM
+(ops/pallas_vcabm.py), and hypersolvers — plus the registry-wide
+"every built-in method fuses" invariant.
 
-Parity oracle: the generic fixed-grid engine (`solve(method='rk4', ...)`),
-which itself is matrix-tested against closed forms. Runs in Pallas
-interpret mode on CPU; the same code compiles under Mosaic on TPU.
+Parity oracle: the generic engines (`solve(method=..., ...)`), which are
+matrix-tested against closed forms. Runs in Pallas interpret mode on
+CPU; the same code compiles under Mosaic on TPU
+(tools/validate_kernels_tpu.py drives the on-chip sweep).
 """
 
 import jax
