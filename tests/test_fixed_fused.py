@@ -661,3 +661,25 @@ def test_every_builtin_method_fuses():
         assert int(rf.stats.status) == 0, method
         np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
                                    rtol=0, atol=5e-4, err_msg=method)
+
+
+def test_vcabm_kernel_zero_first_step_terminates():
+    """first_step=0 (or one that underflows f32) must clamp to dt_min
+    like the generic engine — not spin forever on zero-length accepted
+    steps."""
+    rng = np.random.RandomState(91)
+    W = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+
+    def f(tt, yy):
+        return (yy ** 3) @ W
+
+    y0 = jnp.asarray(rng.randn(8, 2) * 0.5, jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 3, dtype=jnp.float32)
+    rf = solve(f, y0, t, rtol=1e-5, atol=1e-7, method="adams",
+               options={"fuse": True, "first_step": 0.0,
+                        "max_num_steps": 5000})
+    rg = solve(f, y0, t, rtol=1e-5, atol=1e-7, method="adams",
+               options={"first_step": 0.0, "max_num_steps": 5000})
+    assert int(rf.stats.status) == 0
+    np.testing.assert_allclose(np.asarray(rf.ys), np.asarray(rg.ys),
+                               rtol=0, atol=2e-4)

@@ -603,10 +603,11 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
 
                 n_att = nacc + nrej + 1
                 status = jnp.where(
-                    (~accept) & (dt_next < dt_min), jnp.int32(2), status)
+                    (~accept) & (dt_next < dt_min) & (status == 0),
+                    jnp.int32(2), status)
                 status = jnp.where(
-                    (n_att >= max_steps) & (s1 < s_end), jnp.int32(1),
-                    status)
+                    (n_att >= max_steps) & (s1 < s_end) & (status == 0),
+                    jnp.int32(1), status)
                 return (jnp.where(accept, s1, s), dt_next,
                         jnp.where(accept, at1, at), nfe + stages,
                         nacc + accept.astype(jnp.int32),

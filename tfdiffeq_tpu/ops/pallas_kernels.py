@@ -752,9 +752,11 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
 
             n_att = nacc + nrej + 1
             status = jnp.where(
-                (~accept) & (dt_next < dt_min), jnp.int32(2), status)
+                (~accept) & (dt_next < dt_min) & (status == 0),
+                jnp.int32(2), status)
             status = jnp.where(
-                (n_att >= max_steps) & (t1 < t_end), jnp.int32(1), status)
+                (n_att >= max_steps) & (t1 < t_end) & (status == 0),
+                jnp.int32(1), status)
             # evals_per_step counts the unconditional f1 for non-FSAL
             # tableaus (same convention as the generic runge_kutta_step).
             si_new = jnp.where(accept & (si < jnp.int32(max(emit_dense, 1))),

@@ -275,9 +275,11 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
             oi_new = oi + hit.astype(jnp.int32)
             n_att = nacc + nrej + 1
             status = jnp.where(
-                (~accept) & (dt_rej < dt_min), jnp.int32(2), status)
+                (~accept) & (dt_rej < dt_min) & (status == 0),
+                jnp.int32(2), status)
             status = jnp.where(
-                (n_att >= max_steps) & (oi_new < T), jnp.int32(1), status)
+                (n_att >= max_steps) & (oi_new < T) & (status == 0),
+                jnp.int32(1), status)
             next_t_new = jnp.where(accept, next_t + dt_acc,
                                    curr_t + dt_rej)
             return (next_t_new, jnp.where(accept, next_order, order),
@@ -331,7 +333,11 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                             1.0)).astype(dtype)
     valid = (jnp.all(jnp.diff(tau) > 0) if T > 1
              else jnp.asarray(True)).astype(jnp.int32)
-    dt0 = jnp.broadcast_to(jnp.asarray(dt0, dtype).reshape(-1),
+    # Clamp to dt_min: dt0 == 0 (e.g. first_step that underflows f32)
+    # would be accepted forever without progress (the generic engine
+    # clamps identically, solvers/adams.py).
+    dt0 = jnp.maximum(jnp.abs(jnp.asarray(dt0, dtype)), dt_min)
+    dt0 = jnp.broadcast_to(dt0.reshape(-1),
                            (n_blocks,)).reshape(1, n_blocks)
     gstar = jnp.asarray(GAMMA_STAR[:_K + 1], dtype).reshape(1, _K + 1)
     scalar_ins = (tau.reshape(1, T), dt0, gstar,
