@@ -37,9 +37,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_LANE, _round_up, pack_state_blocks,
-                             rep_spec,
-                             packed_make_f, pick_pack, unpack_state_blocks)
+from .pallas_kernels import (_LANE, _round_up, merge_grid_stats,
+                             pack_state_blocks, packed_make_f, pick_pack,
+                             prep_state_blocks, rep_spec,
+                             unpack_state_blocks)
 from . import tableaus as _tabs
 
 Array = jax.Array
@@ -69,6 +70,32 @@ def _fixed_stage_walk(tab, f, y0, f0, t0, dt):
         if b != 0.0:
             delta = (dt * b) * kj if delta is None else delta + (dt * b) * kj
     return delta
+
+
+def _hermite_drain(out_ref, tau_ref, T: int, oi, t0, t1, y0, y1, df0, df1,
+                   last):
+    """Cubic-Hermite output drain over (t0, t1]: write every requested
+    time via the output cursor (O(outputs) dynamic row writes total);
+    `last` flushes roundoff-stranded tail times on the final interval.
+    df0/df1 are the dt-scaled endpoint derivatives; returns the advanced
+    cursor. Shared by the fixed-RK, Adams, and hypersolver kernels."""
+    dt = t1 - t0
+    cb = 2.0 * (y0 - y1) + df0 + df1
+    cc = 3.0 * (y1 - y0) - 2.0 * df0 - df1
+
+    def wcond(o):
+        within = tau_ref[0, jnp.minimum(o, T - 1)] <= t1
+        return (o < T) & (within | last)
+
+    def wbody(o):
+        tj = tau_ref[0, o]
+        x = (tj - t0) / dt
+        val = ((cb * x + cc) * x + df0) * x + y0
+        out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y1, val)[None]
+        return o + 1
+
+    return jax.lax.while_loop(wcond, wbody, oi)
+
 
 
 def _make_fixed_solve_kernel(tab, G: int, T: int, make_f, n_wrefs: int,
@@ -126,27 +153,8 @@ def _make_fixed_solve_kernel(tab, G: int, T: int, make_f, n_wrefs: int,
             f1 = f(t1, y1)
             f_s[:] = f1
 
-            # Cubic-Hermite drain of every requested time in (t0, t1]
-            # (output cursor oi — O(outputs) dynamic writes total). The
-            # last interval flushes any roundoff-stranded tail times.
-            df0 = dt * f0
-            df1 = dt * f1
-            cb = 2.0 * (y0 - y1) + df0 + df1
-            cc = 3.0 * (y1 - y0) - 2.0 * df0 - df1
-            last = i == (G - 2)
-
-            def wcond(o):
-                within = tau_ref[0, jnp.minimum(o, T - 1)] <= t1
-                return (o < T) & (within | last)
-
-            def wbody(o):
-                tj = tau_ref[0, o]
-                x = (tj - t0) / dt
-                val = ((cb * x + cc) * x + df0) * x + y0
-                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y1, val)[None]
-                return o + 1
-
-            return jax.lax.while_loop(wcond, wbody, oi)
+            return _hermite_drain(out_ref, tau_ref, T, oi, t0, t1, y0,
+                                  y1, dt * f0, dt * f1, i == (G - 2))
 
         # Invalid (non-monotonic) traced times: status 3, output zero
         # beyond row 0 — same contract as the adaptive kernel.
@@ -269,24 +277,8 @@ def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
                                  final_activation, input_power,
                                  t=sign * grid[0], time_input=time_input)
 
-    if B % n_blocks:
-        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
-    Bb = B // n_blocks
-    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
-    if n_blocks > 1 and (Bb // k) % _LANE:
-        k = 1                      # grid blocks must stay lane-aligned
-    if k > 1:
-        y0 = pack_state_blocks(y0, k, n_blocks)
-        f0 = pack_state_blocks(f0, k, n_blocks)
-    Lb = Bb // k
-    if n_blocks == 1:
-        BP = _round_up(max(Lb, _LANE), _LANE)
-        if BP != Lb:
-            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
-            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
-    elif Lb % _LANE:
-        raise ValueError(f"grid block lanes {Lb} not a multiple of "
-                         f"{_LANE} (pad the batch first)")
+    y0, f0, k, Lb = prep_state_blocks(y0, f0, D, pack, n_blocks)
+    B_true = Lb
 
     if rhs == "mlp":
         def make_f(wrefs):
@@ -304,9 +296,7 @@ def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
         make_f, warrays, y0, tau, grid, sign, f0, tab=tab,
         interpret=interpret, n_blocks=n_blocks)
     if n_blocks > 1:
-        stats = jnp.concatenate(
-            [stats[:1, 0], stats[:1, 1], stats[:1, 2],
-             stats[:, 3].max(keepdims=True)])
+        stats = merge_grid_stats(stats, per_block_work=False)
     if out.shape[-1] != n_blocks * Lb:
         out = out[:, :, :Lb]       # single-block lane padding
     if k > 1:
@@ -366,27 +356,13 @@ def _make_hyper_solve_kernel(kind: str, G: int, T: int, make_f, make_g,
             return sign * raw_f(sign * s, y)
 
         def drain(t0, t1, y0, y1, f0u, f1u, last):
-            """Hermite output drain over (t0, t1] from user-space node
-            derivatives (the generic hermite_interp_at convention);
-            cursor lives in SMEM scratch."""
+            """Hermite output drain from user-space node derivatives
+            (the generic hermite_interp_at convention); cursor lives in
+            SMEM scratch."""
             dt = t1 - t0
-            df0 = dt * (sign * f0u)
-            df1 = dt * (sign * f1u)
-            cb = 2.0 * (y0 - y1) + df0 + df1
-            cc = 3.0 * (y1 - y0) - 2.0 * df0 - df1
-
-            def wcond(o):
-                within = tau_ref[0, jnp.minimum(o, T - 1)] <= t1
-                return (o < T) & (within | last)
-
-            def wbody(o):
-                tj = tau_ref[0, o]
-                x = (tj - t0) / dt
-                val = ((cb * x + cc) * x + df0) * x + y0
-                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y1, val)[None]
-                return o + 1
-
-            oi_s[0, 0] = jax.lax.while_loop(wcond, wbody, oi_s[0, 0])
+            oi_s[0, 0] = _hermite_drain(
+                out_ref, tau_ref, T, oi_s[0, 0], t0, t1, y0, y1,
+                dt * (sign * f0u), dt * (sign * f1u), last)
 
         def body(i, carry):
             t0 = grid_ref[0, i]
@@ -652,26 +628,8 @@ def _make_adams_solve_kernel(G: int, T: int, make_f, n_wrefs: int,
             hist_s[pl.ds(1, MO - 1)] = hist_s[pl.ds(0, MO - 1)]
             hist_s[0] = f1
 
-            # Hermite drain of requested times in (t0, t1].
-            df0 = dt * f_head
-            df1 = dt * f1
-            cb = 2.0 * (y0 - y_new) + df0 + df1
-            cc = 3.0 * (y_new - y0) - 2.0 * df0 - df1
-            last = i == (G - 2)
-
-            def wcond(o):
-                within = tau_ref[0, jnp.minimum(o, T - 1)] <= t1
-                return (o < T) & (within | last)
-
-            def wbody(o):
-                tj = tau_ref[0, o]
-                x = (tj - t0) / dt
-                val = ((cb * x + cc) * x + df0) * x + y0
-                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y_new,
-                                                 val)[None]
-                return o + 1
-
-            oi = jax.lax.while_loop(wcond, wbody, oi)
+            oi = _hermite_drain(out_ref, tau_ref, T, oi, t0, t1, y0,
+                                y_new, dt * f_head, dt * f1, i == (G - 2))
             return oi, nfe + n_evals
 
         ok = valid_ref[0, 0] != 0
@@ -1153,25 +1111,8 @@ def mlp_solve_adams(warrays, dims, y0: Array, tau: Array, grid: Array,
                                  final_activation, input_power,
                                  t=sign * grid[0], time_input=time_input)
 
-    if B % n_blocks:
-        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
-    Bb = B // n_blocks
-    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
-    if n_blocks > 1 and (Bb // k) % _LANE:
-        k = 1
-    if k > 1:
-        y0 = pack_state_blocks(y0, k, n_blocks)
-        f0 = pack_state_blocks(f0, k, n_blocks)
-    Lb = Bb // k
+    y0, f0, k, Lb = prep_state_blocks(y0, f0, D, pack, n_blocks)
     B_true = Lb
-    if n_blocks == 1:
-        BP = _round_up(max(Lb, _LANE), _LANE)
-        if BP != Lb:
-            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
-            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
-    elif Lb % _LANE:
-        raise ValueError(f"grid block lanes {Lb} not a multiple of "
-                         f"{_LANE} (pad the batch first)")
 
     def make_f(wrefs):
         return _make_net(wrefs, dims, activation, final_activation,
@@ -1185,9 +1126,7 @@ def mlp_solve_adams(warrays, dims, y0: Array, tau: Array, grid: Array,
         implicit=bool(implicit), B_true=B_true, interpret=interpret,
         n_blocks=n_blocks)
     if n_blocks > 1:
-        stats = jnp.concatenate(
-            [stats[:1, 0], stats[:1, 1], stats[:1, 2],
-             stats[:, 3].max(keepdims=True)])
+        stats = merge_grid_stats(stats, per_block_work=False)
     if out.shape[-1] != n_blocks * Lb:
         out = out[:, :, :Lb]
     if k > 1:

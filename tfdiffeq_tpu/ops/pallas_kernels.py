@@ -67,6 +67,46 @@ def rep_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
+def prep_state_blocks(y0, f0, D: int, pack, n_blocks: int):
+    """Shared whole-solve state prologue: sublane packing + grid-block
+    lane alignment + single-block lane padding, identical across every
+    kernel family. Returns (y0, f0, k, Lb) with Lb the per-block TRUE
+    lane count (== B_true for the kernel's masks)."""
+    B = y0.shape[1]
+    if B % n_blocks:
+        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
+    Bb = B // n_blocks
+    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
+    if n_blocks > 1 and (Bb // k) % _LANE:
+        k = 1                      # grid blocks must stay lane-aligned
+    if k > 1:
+        y0 = pack_state_blocks(y0, k, n_blocks)
+        f0 = pack_state_blocks(f0, k, n_blocks)
+    Lb = Bb // k                   # per-block lane count
+    if n_blocks == 1:
+        # Pad ANY batch up to a full VPU lane multiple (Mosaic needs
+        # lane-aligned vectors); padded lanes are masked out of the error
+        # norm in-kernel.
+        BP = _round_up(max(Lb, _LANE), _LANE)
+        if BP != Lb:
+            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
+            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
+    elif Lb % _LANE:
+        raise ValueError(f"grid block lanes {Lb} not a multiple of "
+                         f"{_LANE} (pad the batch first)")
+    return y0, f0, k, Lb
+
+
+def merge_grid_stats(stats, per_block_work: bool):
+    """[n_blocks, 4] per-program stats -> [4]: nfe/acc/rej summed when
+    each block does its own (adaptive) stepping, block-0 when every block
+    walks the same fixed sequence; status is always the max."""
+    if per_block_work:
+        return jnp.concatenate(
+            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+    return jnp.concatenate([stats[0, :3], stats[:, 3].max(keepdims=True)])
+
+
 # ---------------------------------------------------------------------------
 # Shared in-kernel pieces
 # ---------------------------------------------------------------------------
@@ -857,29 +897,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
                                  final_activation, input_power,
                                  t=sign * tau[0], time_input=time_input)
 
-    if B % n_blocks:
-        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
-    Bb = B // n_blocks
-    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
-    if n_blocks > 1 and (Bb // k) % _LANE:
-        k = 1                      # grid blocks must stay lane-aligned
-    if k > 1:
-        y0 = pack_state_blocks(y0, k, n_blocks)
-        f0 = pack_state_blocks(f0, k, n_blocks)
-    Lb = Bb // k                   # per-block lane count
+    y0, f0, k, Lb = prep_state_blocks(y0, f0, D, pack, n_blocks)
     B_true = Lb
-
-    if n_blocks == 1:
-        # Pad ANY batch up to a full VPU lane multiple (Mosaic needs
-        # lane-aligned vectors); padded lanes are masked out of the error
-        # norm in-kernel.
-        BP = _round_up(max(Lb, _LANE), _LANE)
-        if BP != Lb:
-            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
-            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
-    elif Lb % _LANE:
-        raise ValueError(f"grid block lanes {Lb} not a multiple of "
-                         f"{_LANE} (pad the batch first)")
 
     if rhs == "mlp":
         def make_f(wrefs):
@@ -900,8 +919,7 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
         max_steps=int(max_steps), B_true=B_true, interpret=interpret,
         n_blocks=n_blocks)
     if n_blocks > 1:
-        stats = jnp.concatenate(
-            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+        stats = merge_grid_stats(stats, per_block_work=True)
     if out.shape[-1] != n_blocks * Lb:
         out = out[:, :, :Lb]       # single-block lane padding
     if k > 1:

@@ -36,9 +36,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_LANE, _round_up, pack_state_blocks,
-                             rep_spec,
-                             packed_make_f, pick_pack, unpack_state_blocks)
+from .pallas_kernels import (_LANE, _round_up, merge_grid_stats,
+                             pack_state_blocks, packed_make_f, pick_pack,
+                             prep_state_blocks, rep_spec,
+                             unpack_state_blocks)
 
 Array = jax.Array
 
@@ -411,25 +412,8 @@ def mlp_solve_vcabm(warrays, dims, y0: Array, tau: Array, dt0, rtol, atol,
                                  final_activation, input_power,
                                  t=sign * tau[0], time_input=time_input)
 
-    if B % n_blocks:
-        raise ValueError(f"batch {B} not divisible by n_blocks {n_blocks}")
-    Bb = B // n_blocks
-    k = pick_pack(D, Bb) if pack == "auto" else int(pack)
-    if n_blocks > 1 and (Bb // k) % _LANE:
-        k = 1
-    if k > 1:
-        y0 = pack_state_blocks(y0, k, n_blocks)
-        f0 = pack_state_blocks(f0, k, n_blocks)
-    Lb = Bb // k
+    y0, f0, k, Lb = prep_state_blocks(y0, f0, D, pack, n_blocks)
     B_true = Lb
-    if n_blocks == 1:
-        BP = _round_up(max(Lb, _LANE), _LANE)
-        if BP != Lb:
-            y0 = jnp.pad(y0, ((0, 0), (0, BP - Lb)))
-            f0 = jnp.pad(f0, ((0, 0), (0, BP - Lb)))
-    elif Lb % _LANE:
-        raise ValueError(f"grid block lanes {Lb} not a multiple of "
-                         f"{_LANE} (pad the batch first)")
 
     def make_f(wrefs):
         return _make_net(wrefs, dims, activation, final_activation,
@@ -443,8 +427,7 @@ def mlp_solve_vcabm(warrays, dims, y0: Array, tau: Array, dt0, rtol, atol,
         dfactor=dfactor, max_steps=int(max_steps), B_true=B_true,
         interpret=interpret, n_blocks=n_blocks)
     if n_blocks > 1:
-        stats = jnp.concatenate(
-            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+        stats = merge_grid_stats(stats, per_block_work=True)
     if out.shape[-1] != n_blocks * Lb:
         out = out[:, :, :Lb]
     if k > 1:
