@@ -291,14 +291,9 @@ def _grid_block_size(T: int, D: int, n_buf: int):
     return b_blk
 
 
-def _merge_grid_stats(stats, per_block_work: bool):
-    """[n_blocks, 4] per-program stats -> [4]: nfe/acc/rej summed when
-    each block does its own (adaptive) stepping, block-0 when every block
-    walks the same fixed sequence; status is always the max."""
-    if per_block_work:
-        return jnp.concatenate(
-            [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
-    return jnp.concatenate([stats[0, :3], stats[:, 3].max(keepdims=True)])
+#: [n_blocks, 4] per-program stats -> [4] (shared with the kernel
+#: modules; see pallas_kernels.merge_grid_stats).
+_merge_grid_stats = _pk.merge_grid_stats
 
 
 def _fixed_grid_tau(tau, t, num_steps, step_size, dtype):
