@@ -605,3 +605,34 @@ def test_fuse_adjoint_log_dynamics_and_max_ties():
         gf6 = jax.grad(lambda p: loss6(p, True))(jnp.float32(1.0))
     gg6 = jax.grad(lambda p: loss6(p, False))(jnp.float32(1.0))
     assert abs(float(gf6 - gg6)) < 1e-5
+
+
+def test_fuse_zero_first_step_clamps():
+    """first_step=0 must clamp to dt_min (generic parity) in the fused
+    forward AND adjoint kernels — not spin on zero-length accepted
+    steps until max_num_steps."""
+    def f(tt, yy):
+        return -yy
+
+    y0 = jnp.asarray(np.random.RandomState(6).randn(4, 2), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 3, dtype=jnp.float32)
+    rf = solve(f, y0, t, rtol=1e-6, atol=1e-8, method="dopri5",
+               options={"fuse": True, "first_step": 0.0,
+                        "max_num_steps": 500})
+    rg = solve(f, y0, t, rtol=1e-6, atol=1e-8, method="dopri5",
+               options={"loop": "while", "first_step": 0.0,
+                        "max_num_steps": 500})
+    assert int(rf.stats.status) == 0
+    assert int(rf.stats.nfe) == int(rg.stats.nfe)
+
+    def fp(tt, yy, p):
+        return -yy * p
+
+    def loss(p):
+        ys = odeint_adjoint(fp, y0, t, params=p, rtol=1e-6, atol=1e-8,
+                            options={"fuse": True, "first_step": 0.0,
+                                     "max_num_steps": 500})
+        return jnp.sum(ys)
+
+    g = jax.grad(loss)(jnp.float32(1.0))
+    assert np.isfinite(float(g))

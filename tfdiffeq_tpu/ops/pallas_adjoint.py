@@ -708,6 +708,8 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
     dt_min = (4.0 * jnp.finfo(dtype).eps
               * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
                             1.0)).astype(dtype)
+    # Clamp: dt0 == 0 would be accepted forever without progress.
+    dt0 = jnp.maximum(jnp.abs(jnp.asarray(dt0, dtype)), dt_min)
 
     # RMS denominator = the number of elements actually in the error sum:
     # seminorm excludes the parameter quadratures from step control

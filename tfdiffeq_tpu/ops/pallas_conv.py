@@ -156,8 +156,10 @@ def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # dt0: per-block row [1, n_blocks] (each grid program reads its own
-    # initial step at program_id) or a scalar broadcast.
-    dt0 = jnp.broadcast_to(jnp.asarray(dt0, dtype).reshape(-1),
+    # initial step at program_id) or a scalar broadcast — clamped to
+    # dt_min (dt0 == 0 would be accepted forever without progress).
+    dt0 = jnp.maximum(jnp.abs(jnp.asarray(dt0, dtype)), dt_min)
+    dt0 = jnp.broadcast_to(dt0.reshape(-1),
                            (n_blocks,)).reshape(1, n_blocks)
 
     tau = tau.astype(dtype)

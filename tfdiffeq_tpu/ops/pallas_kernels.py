@@ -980,8 +980,10 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
     valid = (jnp.all(jnp.diff(tau) > 0) if T > 1
              else jnp.asarray(True)).astype(jnp.int32)
     # dt0: per-block row (each grid program reads column program_id) or a
-    # broadcast scalar.
-    dt0 = jnp.broadcast_to(jnp.asarray(dt0, dtype).reshape(-1),
+    # broadcast scalar — clamped to dt_min (dt0 == 0 would be accepted
+    # forever without progress; the generic engine clamps identically).
+    dt0 = jnp.maximum(jnp.abs(jnp.asarray(dt0, dtype)), dt_min)
+    dt0 = jnp.broadcast_to(dt0.reshape(-1),
                            (n_blocks,)).reshape(1, n_blocks)
     scalar_ins = (tau.reshape(1, T), dt0,
                   jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),

@@ -483,6 +483,8 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
     dt_min = (4.0 * jnp.finfo(dtype).eps
               * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
                             1.0)).astype(dtype)
+    # Clamp: dt0 == 0 would be accepted forever without progress.
+    dt0 = jnp.maximum(jnp.abs(jnp.asarray(dt0, dtype)), dt_min)
 
     denom = (float(2 * D * B_true) if seminorm
              else float(2 * D * B_true + _true_elems(plan)
