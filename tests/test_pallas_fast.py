@@ -183,3 +183,22 @@ def test_fused_solve_other_tableaus(method):
     assert int(r.stats.status) == 0
     np.testing.assert_allclose(np.asarray(r.ys), np.asarray(r2.ys),
                                rtol=2e-2, atol=5e-3)
+
+
+def test_vmem_model_grids_the_onchip_oom_config():
+    """Regression: B=131072/T=8/D=2 landed EXACTLY on the 12 MB budget
+    under the old 1-trajectory-buffer model, ran single-block, and
+    scoped-VMEM-OOMed on-chip at 18.68M/16M (the output window is
+    double-buffered even without a grid). The model must (a) budget two
+    trajectory buffers, (b) account for sublane-padded packed rows, and
+    (c) push this config into >= 2 grid blocks."""
+    from tfdiffeq_tpu.fast import (_VMEM_BUDGET, _fused_vmem_bytes,
+                                   _grid_block_size)
+    assert _fused_vmem_bytes(8, 2, 131072, 2) > _VMEM_BUDGET
+    b_blk = _grid_block_size(8, 2, 2)
+    assert b_blk is not None and -(-131072 // b_blk) >= 2
+    # Sublane padding: D=5 packs at k=1 and allocates 8 rows, not 5.
+    assert _fused_vmem_bytes(8, 5, 1024, 1) == _fused_vmem_bytes(
+        8, 8, 1024, 1)
+    # The headline config (T=64, D=2, B=4096) must stay single-block.
+    assert _fused_vmem_bytes(64, 2, 4096, 2) <= _VMEM_BUDGET

@@ -273,9 +273,20 @@ _CONV_STACK_BUDGET = 14 * 2 ** 20
 
 
 def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int) -> int:
-    from .ops.pallas_kernels import _LANE, _round_up
+    """f32 bytes the whole-solve kernel keeps live in VMEM: n_traj_buffers
+    trajectory windows plus ~4 state-sized scratch rows, at the SUBLANE-
+    PADDED row count the kernel actually allocates. Sublane packing stacks
+    k sample-groups along the feature axis ([k*D, B/k]), then Mosaic pads
+    rows to the 8-sublane tile — for D=2/k=4 that's exact (k*D = 8), but
+    e.g. D=5 (k=1) allocates 8 rows, 1.6x the naive D*B estimate. Measured
+    on-chip: the naive model under-sized B=131072/T=8/D=2 into a scoped-
+    VMEM OOM (18.68M/16M)."""
+    from .ops.pallas_kernels import _LANE, _SUBLANE, _round_up, pick_pack
     BP = _round_up(max(B, _LANE), _LANE)
-    return 4 * (n_traj_buffers * T * D * BP + 4 * D * BP)
+    k = pick_pack(D, BP)
+    rows = _round_up(k * D, _SUBLANE)
+    lanes = _round_up(BP // k, _LANE)
+    return 4 * (n_traj_buffers * T + 4) * rows * lanes
 
 
 def _grid_block_size(T: int, D: int, n_buf: int):
@@ -365,9 +376,12 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     n_blocks, B_orig = 1, y0.shape[0]
     T_chk, D_chk = int(t.shape[0]), y0.shape[1]
     if (not interpret
-            and _fused_vmem_bytes(T_chk, D_chk, B_orig, 1) > _VMEM_BUDGET):
-        # Grid mode pipelines the per-block output window (double-
-        # buffered), so budget TWO trajectory buffers per block.
+            and _fused_vmem_bytes(T_chk, D_chk, B_orig, 2) > _VMEM_BUDGET):
+        # The output window is pipelined (double-buffered) even in
+        # single-block mode, so the threshold budgets TWO trajectory
+        # buffers — same model as the grid block sizing below (the
+        # 1-buffer threshold let a budget-exact B=131072/T=8 config run
+        # single-block and scoped-VMEM-OOM on-chip at 18.68M/16M).
         b_blk = _grid_block_size(T_chk, D_chk, 2)
         if b_blk is None:
             import warnings
@@ -567,10 +581,12 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     T_out, (B, D) = int(t.shape[0]), y0.shape
     B_orig = B
     n_blocks = 1
-    if not interpret and _fused_vmem_bytes(T_out, D, B, 1) > _VMEM_BUDGET:
+    if not interpret and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET:
         # Batches past the VMEM budget run as sequential grid blocks
         # (one launch, per-block controller — the conv tier's recipe);
-        # dense output is single-block only.
+        # dense output is single-block only. Threshold budgets TWO
+        # trajectory buffers: the output window is double-buffered even
+        # single-block (see _fused_vmem_bytes).
         if dense_output:
             raise jb.FusionError(
                 "dense-output trajectory buffer exceeds the fused "
@@ -774,7 +790,7 @@ def solve_hyper(func, hypernet, y0: Array, t, *, method: str = "hyper_euler",
     B_orig = B
 
     n_blocks = 1
-    if not interpret and _fused_vmem_bytes(T_out, D, B, 1) > _VMEM_BUDGET:
+    if not interpret and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET:
         b_blk = _grid_block_size(T_out, D, 2)
         if b_blk is None:
             raise jb.FusionError(
@@ -1627,7 +1643,7 @@ def cnf_log_prob_fused(weights, x: Array, *, t0: float = 0.0,
             f"{D + 1} (concat-t convention, time last)")
 
     if (not interpret_flag
-            and _fused_vmem_bytes(2, D + 1, B, 1) > _VMEM_BUDGET):
+            and _fused_vmem_bytes(2, D + 1, B, 2) > _VMEM_BUDGET):
         import warnings
         warnings.warn("cnf_log_prob_fused: batch exceeds the kernel's "
                       "VMEM budget; falling back to models.cnf.log_prob",
