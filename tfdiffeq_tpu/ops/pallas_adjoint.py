@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_ACTIVATION_GRAD2, _ACTIVATION_GRADS,
+from .pallas_kernels import (solver_pallas_call,  # noqa: F401
+                             _ACTIVATION_GRAD2, _ACTIVATION_GRADS,
                              rep_spec,
                              _ACTIVATIONS, _LANE, _controller_factor,
                              _input_transform, _layer_uses_mxu, _pad_rows,
@@ -778,7 +779,7 @@ def mlp_adjoint_solve(warrays, dims, ys: Array, g: Array, tau: Array,
                      + [smem_t, smem_t])
         grid_kw = {"grid": (n_blocks,)}
 
-    res = pl.pallas_call(
+    res = solver_pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=out_specs,

@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import conv_ode as co
-from .pallas_kernels import (_LANE, _make_solve_kernel, _round_up,
+from .pallas_kernels import (solver_pallas_call,  # noqa: F401
+                             _LANE, _make_solve_kernel, _round_up,
                              rep_spec)
 
 Array = jax.Array
@@ -176,7 +177,7 @@ def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
     if n_blocks == 1:
         # No grid: whole-array refs, zero pipelining machinery (the grid
         # variant measured 5x slower + 5x compile at a single block).
-        out, stats = pl.pallas_call(
+        out, stats = solver_pallas_call(
             kernel,
             in_specs=[smem_t] * 7 + [vmem] * (2 + len(warrays)),
             out_specs=[vmem, smem_t],
@@ -196,7 +197,7 @@ def conv_solve(warrays, spec: co.ConvODESpec, y0: Array, tau: Array,
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, C, NP), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    out, stats = pl.pallas_call(
+    out, stats = solver_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 7

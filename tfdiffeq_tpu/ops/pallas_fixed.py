@@ -37,7 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_LANE, _round_up, merge_grid_stats,
+from .pallas_kernels import (solver_pallas_call,  # noqa: F401
+                             _LANE, _round_up, merge_grid_stats,
                              pack_state_blocks, packed_make_f, pick_pack,
                              prep_state_blocks, rep_spec,
                              unpack_state_blocks)
@@ -212,7 +213,7 @@ def fixed_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
     scratch = [pltpu.VMEM((D, NB), dtype)] * 3
 
     if n_blocks == 1:
-        out, stats = pl.pallas_call(
+        out, stats = solver_pallas_call(
             kernel,
             in_specs=[smem_t] * 4 + [vmem] * (2 + len(aux_arrays)),
             out_specs=[vmem, smem_t],
@@ -227,7 +228,7 @@ def fixed_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    out, stats = pl.pallas_call(
+    out, stats = solver_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 4 + [state_spec, state_spec]
@@ -478,7 +479,7 @@ def plan_solve_hyper(plan_f, plan_g, consts_f, consts_g, y0: Array,
         pltpu.SMEM((1, 1), jnp.int32)]
 
     if n_blocks == 1:
-        out, stats = pl.pallas_call(
+        out, stats = solver_pallas_call(
             kernel,
             in_specs=[smem_t] * 4 + [vmem] * (1 + len(aux)),
             out_specs=[vmem, smem_t],
@@ -493,7 +494,7 @@ def plan_solve_hyper(plan_f, plan_g, consts_f, consts_g, y0: Array,
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    out, stats = pl.pallas_call(
+    out, stats = solver_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 4 + [state_spec]
@@ -692,7 +693,7 @@ def adams_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
                pltpu.VMEM((D, NB), dtype)]
 
     if n_blocks == 1:
-        out, stats = pl.pallas_call(
+        out, stats = solver_pallas_call(
             kernel,
             in_specs=[smem_t] * 8 + [vmem] * (2 + len(aux_arrays)),
             out_specs=[vmem, smem_t],
@@ -707,7 +708,7 @@ def adams_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    out, stats = pl.pallas_call(
+    out, stats = solver_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 8 + [state_spec, state_spec]
@@ -905,7 +906,7 @@ def _fixed_adjoint_call(aug_factory, const_arrays, out_shape_tail, ys, g,
                      + [smem_t, smem_t])
         grid_kw = {"grid": (n_blocks,)}
 
-    res = pl.pallas_call(
+    res = solver_pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=out_specs,

@@ -52,6 +52,31 @@ Array = jax.Array
 
 _LANE = 128
 _SUBLANE = 8
+
+#: Raised per-kernel scoped-VMEM limit for every solver pallas_call.
+#: The Mosaic default (16 MB) is a compiler budget, not the hardware
+#: ceiling; XLA's memory-space-assignment pass can't see a kernel's
+#: scoped window usage and sometimes promotes the kernel's own HBM
+#: output into VMEM on top of it (measured on-chip: a B=131072/T=8
+#: grid solve OOMed at 17.18M/16M with the full 8.39M trajectory
+#: promoted alongside its double-buffered block windows; the same
+#: program compiles and runs with the limit raised). Our own block
+#: sizing still targets fast.py's 12 MB budget — this is headroom for
+#: XLA's blind promotions, not license for bigger blocks.
+_VMEM_LIMIT_BYTES = 64 * 2 ** 20
+
+
+def solver_pallas_call(kernel, *, interpret: bool, **kw):
+    """pl.pallas_call with the raised scoped-VMEM limit in compiled mode
+    (interpret mode takes no TPU compiler params). All solver kernel
+    families route their launches through this."""
+    if not interpret:
+        kw.setdefault("compiler_params",
+                      pltpu.CompilerParams(
+                          vmem_limit_bytes=_VMEM_LIMIT_BYTES))
+    return pl.pallas_call(kernel, interpret=interpret, **kw)
+
+
 _DEFAULT_TILE_B = 512
 
 
@@ -623,7 +648,7 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
         jax.ShapeDtypeStruct((1, 1), dtype)]
     ss_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
-    y1, f1, ymid, sumsq = pl.pallas_call(
+    y1, f1, ymid, sumsq = solver_pallas_call(
         _make_step_kernel(B, tile_b),
         grid=grid,
         in_specs=[smem, smem, smem,
@@ -1002,7 +1027,7 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
             out_shape += [jax.ShapeDtypeStruct((S, 3), dtype),
                           jax.ShapeDtypeStruct((5 * S, D, B), dtype)]
             out_specs += [vmem, vmem]
-        res = pl.pallas_call(
+        res = solver_pallas_call(
             kernel,
             in_specs=[smem_t] * 7 + [vmem] * (2 + len(aux_arrays)),
             out_specs=out_specs,
@@ -1022,7 +1047,7 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    out, stats = pl.pallas_call(
+    out, stats = solver_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 7 + [state_spec, state_spec]

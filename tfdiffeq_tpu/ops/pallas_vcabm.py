@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_LANE, _round_up, merge_grid_stats,
+from .pallas_kernels import (solver_pallas_call,  # noqa: F401
+                             _LANE, _round_up, merge_grid_stats,
                              pack_state_blocks, packed_make_f, pick_pack,
                              prep_state_blocks, rep_spec,
                              unpack_state_blocks)
@@ -354,7 +355,7 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                pltpu.SMEM((1, _K), dtype)]
 
     if n_blocks == 1:
-        out, stats = pl.pallas_call(
+        out, stats = solver_pallas_call(
             kernel,
             in_specs=[smem_t] * 8 + [vmem] * (2 + len(aux_arrays)),
             out_specs=[vmem, smem_t],
@@ -369,7 +370,7 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    out, stats = pl.pallas_call(
+    out, stats = solver_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 8 + [state_spec, state_spec]

@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .jaxpr_bridge import (FusedPlan, FusionError, _materialize,
                            eval_plan, read_const_refs)
 from .pallas_kernels import _LANE, _pad_rows, _round_up, rep_spec
+from .pallas_kernels import solver_pallas_call
 
 Array = jax.Array
 
@@ -540,7 +541,7 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
                      + [smem_t, smem_t])
         grid_kw = {"grid": (n_blocks,)}
 
-    res = pl.pallas_call(
+    res = solver_pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=out_specs,
