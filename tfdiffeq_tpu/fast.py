@@ -39,10 +39,17 @@ configs"; the generic `odeint` stays fully general. The tier now covers:
   reduce/spread dots (ops/pallas_conv.py); batches auto-chunk to the
   Mosaic stack budget. Inference tier (`ODEBlock(fused=True)`).
 
-Remaining limitation (by design): the dynamics must be an MLP or the
-conv block above — arbitrary user funcs take the generic
-`odeint`/`odeint_adjoint` path; the fused ADJOINT additionally requires
-autonomous MLP dynamics.
+Arbitrary plain-jnp dynamics ALSO fuse, via the jaxpr->Pallas bridge
+(`ops/jaxpr_bridge.py`): `odeint(..., options={'fuse': True})` traces the
+user func, compiles it to a plan executed inside the whole-solve kernel
+(`solve_fused` below), and `odeint_adjoint(..., options={'fuse': True})`
+runs the ENTIRE backward sweep as one kernel too (`odeint_adjoint_fused`,
+reverse-mode over the plan ISA in `ops/plan_adjoint.py`). Dynamics outside
+the bridge ISA (e.g. `sort`, batch-coupled reductions) fall back to the
+generic path with a warning. The fused adjoint is NOT restricted to
+autonomous dynamics: `MLPSpec(time_input=True)` concat-t MLPs
+differentiate in-kernel (t-column VJP + a_t quadrature,
+ops/pallas_adjoint.py), as do time-dependent bridge plans.
 """
 
 from __future__ import annotations
@@ -85,8 +92,10 @@ class MLPSpec:
     final_activation: str = "identity"
     input_power: int = 1
     # Feed the scalar time as one extra FIRST-layer input feature (last
-    # column), for concat-t MLPs like the CNF flow field. Forward solves
-    # only (the fused adjoint kernel assumes autonomous dynamics).
+    # column), for concat-t MLPs like the CNF flow field. Supported by both
+    # the forward whole-solve kernel and the fused adjoint sweep (the
+    # backward kernel computes the t-column VJP and a_t quadrature
+    # in-kernel, ops/pallas_adjoint.py).
     time_input: bool = False
     # Per-layer contraction engine: 'vpu' (unrolled exact-f32 broadcasts,
     # right for narrow nets), 'mxu' (one systolic-array dot per layer,
@@ -272,7 +281,8 @@ _CONV_STACK_BLOCKS = 60
 _CONV_STACK_BUDGET = 14 * 2 ** 20
 
 
-def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int) -> int:
+def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int,
+                      kpack: Optional[int] = None) -> int:
     """f32 bytes the whole-solve kernel keeps live in VMEM: n_traj_buffers
     trajectory windows plus ~4 state-sized scratch rows, at the SUBLANE-
     PADDED row count the kernel actually allocates. Sublane packing stacks
@@ -280,24 +290,34 @@ def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int) -> int:
     rows to the 8-sublane tile — for D=2/k=4 that's exact (k*D = 8), but
     e.g. D=5 (k=1) allocates 8 rows, 1.6x the naive D*B estimate. Measured
     on-chip: the naive model under-sized B=131072/T=8/D=2 into a scoped-
-    VMEM OOM (18.68M/16M)."""
+    VMEM OOM (18.68M/16M).
+
+    `kpack` is the effective pack factor the LAUNCH will use. None
+    computes pick_pack on the RAW batch — the same gating
+    prep_state_blocks applies (raw divisibility, not the lane-padded
+    count, so e.g. an odd B correctly models as unpacked). Callers whose
+    kernel runs unpacked regardless (dense-output buffers, hypersolvers,
+    plans carrying per-sample consts) pass kpack=1; adjoint sweeps pass
+    their _adjoint_pack result (extra B % (k*128) gating)."""
     from .ops.pallas_kernels import _LANE, _SUBLANE, _round_up, pick_pack
-    BP = _round_up(max(B, _LANE), _LANE)
-    k = pick_pack(D, BP)
+    k = pick_pack(D, B) if kpack is None else int(kpack)
     rows = _round_up(k * D, _SUBLANE)
-    lanes = _round_up(BP // k, _LANE)
+    lanes = _round_up(max(B // k, _LANE), _LANE)
     return 4 * (n_traj_buffers * T + 4) * rows * lanes
 
 
-def _grid_block_size(T: int, D: int, n_buf: int):
+def _grid_block_size(T: int, D: int, n_buf: int,
+                     kpack: Optional[int] = None):
     """Largest power-of-two batch block (>= 1024, a multiple of 8*LANE so
     any sublane pack k <= 8 stays aligned) whose n_buf pipelined
     trajectory buffers fit the VMEM budget; None when even a single
-    1024-sample block cannot fit (T x D too large)."""
+    1024-sample block cannot fit (T x D too large). `kpack` as in
+    `_fused_vmem_bytes` (block sizes from here are 8*LANE multiples, so
+    raw-B pick_pack gating matches the launch's per-block gating)."""
     b_blk = 1024
-    while _fused_vmem_bytes(T, D, 2 * b_blk, n_buf) <= _VMEM_BUDGET:
+    while _fused_vmem_bytes(T, D, 2 * b_blk, n_buf, kpack) <= _VMEM_BUDGET:
         b_blk *= 2
-    if _fused_vmem_bytes(T, D, b_blk, n_buf) > _VMEM_BUDGET:
+    if _fused_vmem_bytes(T, D, b_blk, n_buf, kpack) > _VMEM_BUDGET:
         return None
     return b_blk
 
@@ -581,12 +601,15 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     T_out, (B, D) = int(t.shape[0]), y0.shape
     B_orig = B
     n_blocks = 1
-    if not interpret and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET:
+    if not interpret and _fused_vmem_bytes(
+            T_out, D, B, 2, kpack=1 if dense_output else None
+    ) > _VMEM_BUDGET:
         # Batches past the VMEM budget run as sequential grid blocks
         # (one launch, per-block controller — the conv tier's recipe);
-        # dense output is single-block only. Threshold budgets TWO
-        # trajectory buffers: the output window is double-buffered even
-        # single-block (see _fused_vmem_bytes).
+        # dense output is single-block only (and runs UNPACKED — its
+        # sizing models k=1). Threshold budgets TWO trajectory buffers:
+        # the output window is double-buffered even single-block (see
+        # _fused_vmem_bytes).
         if dense_output:
             raise jb.FusionError(
                 "dense-output trajectory buffer exceeds the fused "
@@ -646,6 +669,17 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         kpack = _pk.pick_pack(D, Bb)
         if n_blocks > 1 and (Bb // kpack) % _LANE:
             kpack = 1              # grid blocks must stay lane-aligned
+    if (not interpret and n_blocks == 1 and kpack == 1
+            and not dense_output
+            and _fused_vmem_bytes(T_out, D, B, 2, kpack=1) > _VMEM_BUDGET):
+        # The initial (packed-layout) threshold passed, but per-sample
+        # consts force the unpacked [T, D, B] layout, whose sublane
+        # padding is up to 4x the packed model — over budget. Fall back
+        # (FusionError routes to the generic engine at the dispatcher).
+        raise jb.FusionError(
+            "per-sample consts force the unpacked [T, D, B] layout, "
+            "whose trajectory buffers exceed the fused kernel's VMEM "
+            "budget")
     Lb = Bb // kpack               # per-block lane count
     Bk = n_blocks * Lb             # total lanes
     yT_k = _pk.pack_state_blocks(yT, kpack, n_blocks) if kpack > 1 else yT
@@ -790,8 +824,11 @@ def solve_hyper(func, hypernet, y0: Array, t, *, method: str = "hyper_euler",
     B_orig = B
 
     n_blocks = 1
-    if not interpret and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET:
-        b_blk = _grid_block_size(T_out, D, 2)
+    # kpack=1: the hypersolver kernel runs UNPACKED (no pick_pack in its
+    # launch path below), so the sizing models the unpacked row padding.
+    if not interpret and _fused_vmem_bytes(T_out, D, B, 2,
+                                           kpack=1) > _VMEM_BUDGET:
+        b_blk = _grid_block_size(T_out, D, 2, kpack=1)
         if b_blk is None:
             raise jb.FusionError(
                 "even a single 1024-sample block exceeds the fused "
@@ -891,9 +928,16 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     y0_arr = jnp.asarray(y0)
     t_arr = jnp.asarray(t)
     adj_blocks, adj_bpad = 1, 0
+    # The backward sweep packs via _adjoint_pack (pick_pack with extra
+    # B % (k*128) gating); the threshold budgets FOUR trajectory buffers
+    # (ys AND g, each pipelined/double-buffered) — the same model as the
+    # grid block sizing, so single-block configs can't silently exceed it.
+    from .ops.pallas_adjoint import _adjoint_pack as _adj_pack
+    adj_k = (_adj_pack("auto", y0_arr.shape[1], y0_arr.shape[0])
+             if y0_arr.ndim == 2 else 1)
     if (not interp_flag and t_arr.ndim >= 1 and _fused_vmem_bytes(
-            int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 2)
-            > _VMEM_BUDGET):
+            int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 4,
+            kpack=adj_k) > _VMEM_BUDGET):
         T_chk, D_chk = int(t_arr.shape[0]), y0_arr.shape[1]
         B_chk = y0_arr.shape[0]
         # ys AND g windows are pipelined (double-buffered) per block:
@@ -904,7 +948,8 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             adj_bpad = adj_blocks * b_blk - B_chk
     if adj_blocks == 1 and (
             not interp_flag and t_arr.ndim >= 1 and _fused_vmem_bytes(
-                int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 2)
+                int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 4,
+                kpack=adj_k)
             > _VMEM_BUDGET):
         import warnings
         warnings.warn(
@@ -1140,8 +1185,14 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
     # single 1024-sample block cannot fit does the generic adjoint take
     # over.
     n_blocks, B_user = 1, B
+    # Threshold budgets FOUR buffers (ys + g, each double-buffered) at
+    # the backward sweep's own pack factor (_adjoint_pack gating) — same
+    # model as the grid block sizing.
+    from .ops.pallas_adjoint import _adjoint_pack as _adj_pack
+    _adj_k = _adj_pack("auto", D, B)
     if (not interp_flag
-            and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET):
+            and _fused_vmem_bytes(T_out, D, B, 4,
+                                  kpack=_adj_k) > _VMEM_BUDGET):
         b_blk = _grid_block_size(T_out, D, 4)
         if b_blk is not None:
             n_blocks = -(-B // b_blk)
@@ -1150,7 +1201,8 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
             B = y0c.shape[0]
     if n_blocks == 1 and (
             not interp_flag
-            and _fused_vmem_bytes(T_out, D, B, 2) > _VMEM_BUDGET):
+            and _fused_vmem_bytes(T_out, D, B, 4,
+                                  kpack=_adj_k) > _VMEM_BUDGET):
         import warnings
         warnings.warn(
             "odeint_adjoint_fused: even a single 1024-sample block "
@@ -1202,6 +1254,15 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         raise jb.FusionError(
             "per-sample consts are not block-shardable (grid programs "
             "replicate const refs); batch exceeds the VMEM budget")
+    if (not interp_flag and n_blocks == 1 and _adj_k > 1
+            and any(l[0] in ("batch", "bvec") for l in plan.const_layouts)
+            and _fused_vmem_bytes(T_out, D, B, 4, kpack=1) > _VMEM_BUDGET):
+        # The packed-layout threshold passed, but per-sample consts force
+        # the backward sweep to run UNPACKED (up to 4x the modeled VMEM).
+        # FusionError routes back to the generic adjoint at the dispatcher.
+        raise jb.FusionError(
+            "per-sample consts force the unpacked adjoint layout, whose "
+            "ys+g buffers exceed the fused kernel's VMEM budget")
     BP = _round_up(max(B, _LANE), _LANE)
     packed = tuple(jb.pack_consts(plan, consts, dtype, BP))
     # Sublane-pack the FORWARD solve for narrow states (the backward

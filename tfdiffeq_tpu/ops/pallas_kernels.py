@@ -69,11 +69,17 @@ _VMEM_LIMIT_BYTES = 64 * 2 ** 20
 def solver_pallas_call(kernel, *, interpret: bool, **kw):
     """pl.pallas_call with the raised scoped-VMEM limit in compiled mode
     (interpret mode takes no TPU compiler params). All solver kernel
-    families route their launches through this."""
+    families route their launches through this. A caller-supplied
+    CompilerParams (e.g. dimension_semantics) is MERGED, not dropped:
+    the raised limit applies unless the caller set its own."""
     if not interpret:
-        kw.setdefault("compiler_params",
-                      pltpu.CompilerParams(
-                          vmem_limit_bytes=_VMEM_LIMIT_BYTES))
+        cp = kw.get("compiler_params")
+        if cp is None:
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+        elif getattr(cp, "vmem_limit_bytes", None) is None:
+            kw["compiler_params"] = dataclasses.replace(
+                cp, vmem_limit_bytes=_VMEM_LIMIT_BYTES)
     return pl.pallas_call(kernel, interpret=interpret, **kw)
 
 

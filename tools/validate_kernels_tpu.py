@@ -1,4 +1,4 @@
-"""On-chip validation of round-3 session kernels (run when tunnel returns).
+"""On-chip validation of the whole-solve kernel families (run on TPU).
 
 Phases (each prints PASS/FAIL; keep going on failure to map breakage):
   1. fixed-grid whole-solve (rk4, grid=t and finer grid, packing)
@@ -6,7 +6,9 @@ Phases (each prints PASS/FAIL; keep going on failure to map breakage):
   3. fixed-step Adams AB/ABM kernel parity + NFE
   4. VCABM whole-solve kernel parity (status + step envelope)
   5. fused hypersolver parity + NFE
-  6. grid-ADJOINT big-batch training parity (the round's earlier drive)
+  6. grid-ADJOINT big-batch training parity
+  7. PLAN-adjoint (arbitrary plain-jnp dynamics, adaptive dopri5)
+     cotangent parity vs the generic continuous adjoint
 """
 import sys
 sys.path.insert(0, '/root/repo')
@@ -22,12 +24,23 @@ import numpy as np
 # (~1e-2 trajectory error on these dynamics — measured, see BASELINE.md).
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# On-chip fused-vs-generic parity tolerance: fixed-grid methods have no
-# step controller, so per-eval implementation divergence (Mosaic vs XLA
-# tanh, unrolled-VPU vs 6-pass-bf16 dots) accumulates linearly over the
-# grid; measured ~7e-4 over 32 evals on the probe dynamics. CPU interpret
-# parity (same XLA ops both sides) is tested at 1e-5 in tests/.
-TRAJ_TOL = 5e-3
+# PER-PHASE on-chip fused-vs-generic parity tolerances, each ~20-100x the
+# parity measured on this hardware 2026-08-18 (BASELINE.md round-3 table)
+# so a genuine ~1e-3-class regression FAILS instead of hiding under one
+# uniform 5e-3 blanket. CPU interpret parity (same XLA ops both sides) is
+# tested tighter (1e-5) in tests/.
+TOL = {
+    "fixed-forward": 2e-5,        # measured 2.4-8.3e-7
+    "fixed-adjoint": 2e-5,        # measured rel 1.7-1.9e-7
+    "adams-abm": 5e-5,            # measured 1.2-1.9e-6
+    "vcabm": 5e-4,                # measured 2.1e-5 (controller ulp cascade)
+    "hyper": 2e-5,                # measured 7-9.5e-7
+    "grid-adjoint-bigbatch": 2e-4,  # measured rel 2-8e-6
+    # Adaptive two-kernel plan adjoint: both sides re-solve at their own
+    # step sequences, so parity is solve-tolerance-noise-bound (~1e-3
+    # worst-element measured on a sensitivity-amplified config).
+    "plan-adjoint": 2e-3,
+}
 
 print("devices:", jax.devices(), flush=True)
 from tfdiffeq_tpu import odeint_adjoint, solve
@@ -68,7 +81,7 @@ def p1():
         assert int(rf.stats.nfe) == int(rg.stats.nfe)
         d = float(jnp.max(jnp.abs(rf.ys - rg.ys)))
         print(f"  {method} {opts}: maxdiff {d:.2e}", flush=True)
-        assert d < TRAJ_TOL, d
+        assert d < TOL["fixed-forward"], d
 
 
 def p2():
@@ -91,7 +104,7 @@ def p2():
         d = float(jnp.max(jnp.abs(gf[k] - gg[k])))
         m = float(jnp.max(jnp.abs(gg[k]))) + 1e-8
         print(f"  d{k}: rel {d/m:.2e}", flush=True)
-        assert d / m < TRAJ_TOL
+        assert d / m < TOL["fixed-adjoint"]
 
 
 def p3():
@@ -103,7 +116,7 @@ def p3():
         d = float(jnp.max(jnp.abs(rf.ys - rg.ys)))
         print(f"  {method}: maxdiff {d:.2e} nfe {int(rf.stats.nfe)}",
               flush=True)
-        assert d < TRAJ_TOL, d
+        assert d < TOL["adams-abm"], d
 
 
 def p4():
@@ -140,7 +153,7 @@ def p5():
         assert int(rf.stats.nfe) == int(rg.stats.nfe), method
         d = float(jnp.max(jnp.abs(rf.ys - rg.ys)))
         print(f"  {method}: maxdiff {d:.2e}", flush=True)
-        assert d < TRAJ_TOL, d
+        assert d < TOL["hyper"], d
 
 
 def p6():
@@ -174,7 +187,41 @@ def p6():
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b))) + 1e-8
         print(f"  {a.shape}: rel {d/m:.2e}", flush=True)
-        assert d / m < 1e-2
+        assert d / m < TOL["grid-adjoint-bigbatch"]
+
+
+def p7():
+    # Plan-driven two-kernel adjoint (ops/plan_adjoint.py): on-chip
+    # cotangent parity for ARBITRARY plain-jnp dynamics with ADAPTIVE
+    # stepping both directions, vs the generic continuous adjoint — the
+    # path `odeint_adjoint(..., options={'fuse': True})` takes. Checks
+    # weight, bias, AND y0 cotangents.
+    g_out = jnp.asarray(rng.randn(9, 256, 2), jnp.float32)
+
+    def loss(p, yy0, fuse):
+        def dyn(tt, yy, pp):
+            return jnp.tanh((yy ** 3) @ pp["w1"] + pp["b1"]) @ pp["w2"]
+        opts = {"first_step": 0.02}
+        if fuse:
+            opts["fuse"] = True
+        ys = odeint_adjoint(dyn, yy0, t, params=p, rtol=1e-6, atol=1e-8,
+                            options=opts)
+        return jnp.sum(ys * g_out)
+
+    p = {"w1": W1, "b1": b1, "w2": W2}
+    gf = jax.jit(jax.grad(lambda pp, yy: loss(pp, yy, True),
+                          argnums=(0, 1)))(p, y0)
+    gg = jax.jit(jax.grad(lambda pp, yy: loss(pp, yy, False),
+                          argnums=(0, 1)))(p, y0)
+    worst = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gg)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        worst = max(worst, d / m)
+        print(f"  {a.shape}: rel {d/m:.2e}", flush=True)
+        assert d / m < TOL["plan-adjoint"]
+    print(f"  plan-adjoint worst rel: {worst:.2e}", flush=True)
 
 
 phase("fixed-forward", p1)
@@ -183,6 +230,7 @@ phase("adams-abm", p3)
 phase("vcabm", p4)
 phase("hyper", p5)
 phase("grid-adjoint-bigbatch", p6)
+phase("plan-adjoint", p7)
 print("SUMMARY:", results, flush=True)
 if all(v == "PASS" for v in results.values()):
     print("ALL KERNELS VALIDATED ON CHIP", flush=True)
