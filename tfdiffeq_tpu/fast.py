@@ -102,6 +102,13 @@ class MLPSpec:
     # right for wide nets), or 'auto' (MXU once a layer's weight block is
     # >= ~32x64 — see ops/pallas_kernels._layer_uses_mxu).
     matmul: str = "auto"
+    # MXU-path dot precision: 'highest' (Mosaic 3-pass bf16 decomposition,
+    # f32-accurate — the default) or 'bf16' (ONE systolic pass, ~2e-3 rel
+    # err, 3x the MXU rate: measured 190 vs 62 TFLOP/s on v5e). 'bf16' is
+    # meant for FIXED-GRID serving (method='rk4' etc.), where there is no
+    # embedded error estimate for the bf16 noise to poison; on adaptive
+    # methods it inflates step counts ~5-9x (measured, BASELINE.md).
+    dot_precision: str = "highest"
 
     def __post_init__(self):
         for a in (self.activation, self.final_activation):
@@ -111,6 +118,9 @@ class MLPSpec:
         if self.matmul not in ("vpu", "mxu", "auto"):
             raise ValueError(f"matmul must be 'vpu', 'mxu' or 'auto', got "
                              f"{self.matmul!r}")
+        if self.dot_precision not in ("highest", "bf16"):
+            raise ValueError(f"dot_precision must be 'highest' or 'bf16', "
+                             f"got {self.dot_precision!r}")
 
 
 def mlp_apply(spec: MLPSpec, weights: Sequence[Tuple[Array, Array]],
@@ -383,6 +393,11 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     fixed = method in _pf.FIXED_TABLEAUS_BY_NAME or adams
     if max_order is None:
         max_order = 12 if vcabm else 4     # generic engines' defaults
+    if spec.dot_precision != "highest" and (vcabm or adams):
+        raise ValueError(
+            "dot_precision='bf16' is not supported on the Adams kernels "
+            "(their corrector/order machinery assumes f32-accurate dots); "
+            "use a fixed-grid RK method for bf16 serving")
 
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
@@ -501,7 +516,7 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                 final_activation=spec.final_activation,
                 input_power=spec.input_power, time_input=spec.time_input,
                 method=method, matmul=spec.matmul, interpret=interpret,
-                n_blocks=n_blocks)
+                n_blocks=n_blocks, dot_precision=spec.dot_precision)
         ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]  # [T, B, D]
         return SolveResult(ys, SolverStats(*stats))
 
@@ -527,7 +542,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         method=method,
         max_steps=(int(max_num_steps) if max_num_steps is not None
                    else 2 ** 31 - 1),
-        matmul=spec.matmul, interpret=interpret, n_blocks=n_blocks)
+        matmul=spec.matmul, interpret=interpret, n_blocks=n_blocks,
+        dot_precision=spec.dot_precision)
     ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]      # [T, B, D]
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
     return SolveResult(ys, st)

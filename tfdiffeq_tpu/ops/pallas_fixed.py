@@ -246,14 +246,14 @@ def fixed_solve_call(make_f, aux_arrays, y0: Array, tau: Array, grid: Array,
     jax.jit,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "time_input", "rhs", "method", "matmul", "interpret",
-                     "pack", "n_blocks"))
+                     "pack", "n_blocks", "dot_precision"))
 def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
                     *, f0: Array = None, activation: str = "tanh",
                     final_activation: str = "identity", input_power: int = 1,
                     time_input: bool = False, rhs: str = "mlp",
                     method: str = "rk4", matmul: str = "vpu",
                     interpret: bool = False, pack: str | int = "auto",
-                    n_blocks: int = 1):
+                    n_blocks: int = 1, dot_precision: str = "highest"):
     """Whole-solve fused FIXED-GRID RK for a general MLP ODE, one kernel.
 
     Mirror of `pallas_kernels.mlp_solve` for the fixed-grid family
@@ -284,7 +284,8 @@ def mlp_solve_fixed(warrays, dims, y0: Array, tau: Array, grid: Array, sign,
     if rhs == "mlp":
         def make_f(wrefs):
             return _make_net(wrefs, dims, activation, final_activation,
-                             input_power, time_input, matmul)
+                             input_power, time_input, matmul,
+                             dot_precision)
     elif rhs == "cnf":
         def make_f(wrefs):
             return _make_cnf_net(wrefs, dims, activation, time_input)

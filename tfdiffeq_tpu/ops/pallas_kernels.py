@@ -335,9 +335,18 @@ def packed_make_f(make_f, k: int, D: int):
     return make
 
 
+#: In-kernel dot precision names -> lax.Precision for the MXU path.
+#: 'highest' = Mosaic's 3-pass bf16 decomposition (f32-accurate, the
+#: default — bf16 noise inflates adaptive step counts ~5-9x);
+#: 'bf16' = one systolic pass (~2e-3 rel err, 3x the MXU rate —
+#: measured 190 vs 62 TFLOP/s on v5e). bf16 is for FIXED-GRID serving,
+#: where there is no embedded error estimate to poison.
+_DOT_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST, "bf16": None}
+
+
 def _make_net(wrefs, dims, activation: str, final_activation: str,
               input_power: int, time_input: bool = False,
-              matmul: str = "vpu"):
+              matmul: str = "vpu", dot_precision: str = "highest"):
     """Build f(t, y): [D, B] -> [D_out, B] from padded VMEM weight refs.
 
     General L-layer MLP: z_l = W_l^T h_{l-1} + b_l, h_l = act(z_l), with
@@ -356,6 +365,7 @@ def _make_net(wrefs, dims, activation: str, final_activation: str,
     """
     acts = ([_ACTIVATIONS[activation]] * (len(dims) - 1)
             + [_ACTIVATIONS[final_activation]])
+    prec = _DOT_PRECISIONS[dot_precision]
 
     def f(t, y):
         h = _input_transform(y, input_power)
@@ -374,13 +384,15 @@ def _make_net(wrefs, dims, activation: str, final_activation: str,
                     hp = h
                 else:
                     hp = _pad_rows(h[:n_state, :], wT.shape[1])
-                # HIGHEST: Mosaic's default dot is a SINGLE bf16 pass
-                # (measured rel err ~2e-3) — noise above the embedded
-                # error estimate that inflates NFE ~5x; the 3-pass f32
-                # path measured the same wall-clock on v5e.
+                # Default HIGHEST: Mosaic lowers it as a 3-pass bf16
+                # decomposition (f32-accurate; measured 62-65 TFLOP/s on
+                # v5e vs 190 for one bf16 pass). Mosaic's DEFAULT dot is
+                # that single bf16 pass (~2e-3 rel err) — noise above the
+                # embedded error estimate that inflates adaptive NFE ~5x,
+                # so 'bf16' is opt-in for fixed-grid serving only.
                 acc = jnp.dot(wT[:, :], hp,
                               preferred_element_type=hp.dtype,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=prec)
             else:
                 acc = None
                 for i in range(n_state):
@@ -880,7 +892,7 @@ def padded_mlp_f(warrays, dims, y: Array, activation: str,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "time_input", "rhs", "method", "safety", "ifactor",
                      "dfactor", "max_steps", "matmul", "interpret", "pack",
-                     "n_blocks"))
+                     "n_blocks", "dot_precision"))
 def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               sign, *, f0: Array = None, activation: str = "tanh",
               final_activation: str = "identity", input_power: int = 1,
@@ -889,7 +901,7 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               ifactor: float = 10.0, dfactor: float = 0.2,
               max_steps: int = 2 ** 31 - 1, matmul: str = "vpu",
               interpret: bool = False, pack: str | int = "auto",
-              n_blocks: int = 1):
+              n_blocks: int = 1, dot_precision: str = "highest"):
     """Whole-solve fused adaptive RK for a GENERAL autonomous MLP ODE, one
     kernel launch: every stage evaluation, combine, error norm, controller
     decision and dense-output write runs in-kernel.
@@ -934,7 +946,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
     if rhs == "mlp":
         def make_f(wrefs):
             return _make_net(wrefs, dims, activation, final_activation,
-                             input_power, time_input, matmul)
+                             input_power, time_input, matmul,
+                             dot_precision)
     elif rhs == "cnf":
         # y0 rows = [z (D_flow); logp]; dims describe the flow MLP.
         def make_f(wrefs):

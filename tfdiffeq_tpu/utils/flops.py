@@ -9,13 +9,17 @@ vector unit), plus the v5e peak numbers to divide by.
 Peak assumptions (documented, single v5e chip):
 
 - ``PEAK_MXU_BF16`` = 197e12 FLOP/s — the published TPU v5e spec
-  (197 TFLOP/s bf16; int8 is 2x that).
-- ``PEAK_MXU_F32`` = PEAK_BF16 / 6 — `Precision.HIGHEST` decomposes each
-  f32 operand into bf16 hi+lo limbs and runs SIX accumulation passes, so
-  a HIGHEST-precision dot's *useful* f32 FLOP rate is 1/6 of peak. All
+  (197 TFLOP/s bf16; int8 is 2x that). Measured on this chip 2026-08-18:
+  a default-precision 2048^3 matmul chain sustains 190 TFLOP/s (96%).
+- ``PEAK_MXU_F32`` = PEAK_BF16 / 3 — MOSAIC's `Precision.HIGHEST` dot is
+  a THREE-pass bf16 decomposition (measured: the wide-MLP whole-solve
+  kernel sustains 42.6 TFLOP/s of HIGHEST-precision dots, above the
+  32.8 TFLOP/s a 6-pass scheme could reach; XLA's own HIGHEST outside
+  Pallas IS 6-pass at 30 TFLOP/s, HIGH is 3-pass at 62). All
   solver-kernel dots pin HIGHEST (bf16 noise inflates adaptive step
   counts ~5-9x, BASELINE.md), so this is the honest MXU denominator for
-  the adaptive tiers; fixed-grid serving may opt down.
+  the adaptive tiers; fixed-grid serving may opt down via
+  ``MLPSpec(dot_precision='bf16')``.
 - ``PEAK_VPU_F32`` ~= 6.0e12 op/s — derived, not published: 8x128 vector
   lanes x 4 independent ALUs x ~1.47 GHz clock (clock inferred from the
   MXU spec: 197e12 / (4 MXUs x 128x128 MACs x 2 FLOP) ~= 1.47e9). Treat
@@ -33,7 +37,7 @@ import dataclasses
 from typing import Sequence, Tuple
 
 PEAK_MXU_BF16 = 197e12
-PEAK_MXU_F32 = PEAK_MXU_BF16 / 6.0          # Precision.HIGHEST = 6 passes
+PEAK_MXU_F32 = PEAK_MXU_BF16 / 3.0   # Mosaic HIGHEST = 3 passes (measured)
 PEAK_VPU_F32 = 6.0e12
 TRANSCENDENTAL_FLOPS = 8
 
