@@ -123,3 +123,101 @@ def test_df_under_jit():
     ref = solve(f64dyn, Y32.astype(jnp.float64), t.astype(jnp.float64),
                 rtol=1e-12, atol=1e-14, options={"loop": "while"}).ys
     assert float(jnp.max(jnp.abs(out.astype(jnp.float64) - ref))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# df continuous adjoint (round-4: 1e-6-grade TRAINING on f32-only hardware)
+# ---------------------------------------------------------------------------
+
+def _mlp_setup():
+    rng = np.random.RandomState(0)
+    p = {"w1": jnp.asarray(rng.randn(2, 16) * 0.3, jnp.float32),
+         "b1": jnp.asarray(rng.randn(16) * 0.05, jnp.float32),
+         "w2": jnp.asarray(rng.randn(16, 2) * 0.3, jnp.float32)}
+    y0 = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    g_out = jnp.asarray(rng.randn(5, 8, 2), jnp.float32)
+
+    def dyn(tt, yy, pp):
+        return jnp.tanh((yy ** 3) @ pp["w1"] + pp["b1"]) @ pp["w2"]
+
+    return p, y0, t, g_out, dyn
+
+
+def test_df_adjoint_matches_f64_oracle():
+    """Every cotangent (weights, y0, t) of the df adjoint matches the f64
+    generic adjoint to ~1e-6 relative — f64-grade training gradients from
+    f32 arithmetic (the north-star bound extended to TRAINING)."""
+    from tfdiffeq_tpu import odeint_adjoint
+    from tfdiffeq_tpu.ops.doublefloat import odeint_adjoint_df
+
+    p, y0, t, g_out, dyn = _mlp_setup()
+
+    def loss_df(pp, yy, tt):
+        ys = odeint_adjoint_df(dyn, yy, tt, params=pp,
+                               rtol=1e-9, atol=1e-11)
+        return jnp.sum(ys * g_out)
+
+    gd = jax.grad(loss_df, argnums=(0, 1, 2))(p, y0, t)
+
+    p64 = jax.tree_util.tree_map(lambda x: x.astype(jnp.float64), p)
+
+    def loss64(pp, yy, tt):
+        ys = odeint_adjoint(dyn, yy, tt, params=pp,
+                            rtol=1e-11, atol=1e-13)
+        return jnp.sum(ys * g_out.astype(jnp.float64))
+
+    g64 = jax.grad(loss64, argnums=(0, 1, 2))(
+        p64, y0.astype(jnp.float64), t.astype(jnp.float64))
+
+    for a, b in zip(jax.tree_util.tree_leaves(gd),
+                    jax.tree_util.tree_leaves(g64)):
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float64) - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert d / m < 2e-6, (a.shape, d / m)
+
+
+def test_df_adjoint_trains():
+    """One SGD step through the df adjoint reduces the loss (end-to-end
+    training viability, pytree params)."""
+    from tfdiffeq_tpu.ops.doublefloat import odeint_adjoint_df
+
+    p, y0, t, _, dyn = _mlp_setup()
+    target = -y0
+
+    def loss(pp):
+        ys = odeint_adjoint_df(dyn, y0, t, params=pp,
+                               rtol=1e-8, atol=1e-10)
+        return jnp.mean((ys[-1] - target) ** 2)
+
+    l0, g = jax.value_and_grad(loss)(p)
+    p1 = jax.tree_util.tree_map(lambda a, b: a - 0.1 * b, p, g)
+    l1 = loss(p1)
+    assert float(l1) < float(l0)
+    assert all(bool(jnp.all(jnp.isfinite(v)))
+               for v in jax.tree_util.tree_leaves(g))
+
+
+def test_df_adjoint_no_params_and_failure_poison():
+    from tfdiffeq_tpu.ops.doublefloat import odeint_adjoint_df
+
+    _, y0, t, _, _ = _mlp_setup()
+
+    def loss(yy):
+        ys = odeint_adjoint_df(lambda tt, zz: -zz, yy, t,
+                               rtol=1e-9, atol=1e-11)
+        return jnp.sum(ys[-1])
+
+    g = jax.grad(loss)(y0)
+    ref = jnp.exp(-(t[-1] - t[0]))
+    assert float(jnp.max(jnp.abs(g - ref))) < 1e-6
+
+    # Forward failure (max_num_steps) must poison gradients, not return
+    # finite-but-wrong ones.
+    def loss_bad(yy):
+        ys = odeint_adjoint_df(lambda tt, zz: -zz * (1 + zz * zz), yy, t,
+                               rtol=1e-12, atol=1e-14, max_num_steps=3)
+        return jnp.sum(ys[-1])
+
+    g_bad = jax.jit(jax.grad(loss_bad))(y0)
+    assert bool(jnp.all(jnp.isnan(g_bad)))

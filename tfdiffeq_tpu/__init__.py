@@ -18,7 +18,8 @@ from .solvers import adams as _adams  # noqa: F401
 from .solvers import hyper as _hyper  # noqa: F401
 
 from .adjoint import odeint_adjoint
-from .ops.doublefloat import odeint_df, solve_df
+from .ops.doublefloat import (odeint_adjoint_df, odeint_df,
+                              solve_df)
 from .utils.device import cast_double, func_cast_double, move_to_device
 from .utils.nfe import NFEMeter
 from .utils.viz import plot_phase_portrait, plot_vector_field
@@ -28,6 +29,7 @@ __version__ = "0.1.0"
 __all__ = [
     "odeint",
     "odeint_adjoint",
+    "odeint_adjoint_df",
     "odeint_df",
     "solve",
     "solve_df",

@@ -371,7 +371,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                    interpret: Optional[bool] = None, max_num_steps=None,
                    first_step=None, num_steps=None, step_size=None,
                    max_order: Optional[int] = None,
-                   max_iters: int = 4) -> SolveResult:
+                   max_iters: int = 4,
+                   per_sample: bool = False) -> SolveResult:
     """Whole-solve fused RK for a GENERAL autonomous MLP neural ODE
     (arbitrary depth/width/activation via `MLPSpec` — covers the
     benchmark tanh-MLP and the latent-ODE ELU dynamics). y0: [B, D]; t may
@@ -398,6 +399,8 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
             "dot_precision='bf16' is not supported on the Adams kernels "
             "(their corrector/order machinery assumes f32-accurate dots); "
             "use a fixed-grid RK method for bf16 serving")
+    if per_sample and (fixed or vcabm):
+        raise ValueError("per_sample applies to adaptive RK methods only")
 
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
@@ -410,7 +413,26 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     # (huge T x D) does the generic engine take over.
     n_blocks, B_orig = 1, y0.shape[0]
     T_chk, D_chk = int(t.shape[0]), y0.shape[1]
-    if (not interpret
+    if per_sample and not interpret and _fused_vmem_bytes(
+            T_chk, D_chk, B_orig, 2, kpack=1) > _VMEM_BUDGET:
+        # Per-lane kernel is single-block; preserve per-sample SEMANTICS
+        # by vmapping the generic engine instead of silently sharing a
+        # controller.
+        import warnings
+        warnings.warn(
+            "solve_mlp_spec(per_sample=True): batch exceeds the fused "
+            "kernel's VMEM budget; falling back to jax.vmap of the "
+            "generic engine", stacklevel=2)
+        from .odeint import _per_sample_vmap
+        opts = {}
+        if max_num_steps is not None:
+            opts["max_num_steps"] = int(max_num_steps)
+        if first_step is not None:
+            opts["first_step"] = first_step
+        return _per_sample_vmap(
+            lambda tt, yy: mlp_apply(spec, weights, yy, tt), y0, t,
+            rtol, atol, method, opts)
+    if (not interpret and not per_sample
             and _fused_vmem_bytes(T_chk, D_chk, B_orig, 2) > _VMEM_BUDGET):
         # The output window is pipelined (double-buffered) even in
         # single-block mode, so the threshold budgets TWO trajectory
@@ -521,7 +543,18 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         return SolveResult(ys, SolverStats(*stats))
 
     order = tableaus.TABLEAUS_BY_NAME[method].order
-    if first_step is None:
+    if per_sample and first_step is None:
+        from .ops.norms import select_initial_step_per_sample
+
+        def g_b(s, yb):
+            return (sign * mlp_apply(spec, weights, yb,
+                                     sign * s)).astype(dtype)
+
+        dt0 = select_initial_step_per_sample(
+            g_b, tau[0], y0, f0.T, order - 1,
+            jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype))
+        extra_nfe = 2
+    elif first_step is None:
         def flat_g(s, yf):
             yb = yf.reshape(D, B).T
             return (sign * mlp_apply(spec, weights, yb,
@@ -534,6 +567,25 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     else:
         dt0 = jnp.abs(jnp.asarray(first_step, dtype))
         extra_nfe = 1
+
+    if per_sample:
+        out, stats, lanes = mlp_solve(
+            warrays, dims, yT, tau, dt0, rtol, atol, sign, f0=f0,
+            activation=spec.activation,
+            final_activation=spec.final_activation,
+            input_power=spec.input_power, time_input=spec.time_input,
+            method=method,
+            max_steps=(int(max_num_steps) if max_num_steps is not None
+                       else 2 ** 31 - 1),
+            matmul=spec.matmul, interpret=interpret,
+            dot_precision=spec.dot_precision, per_sample=True)
+        ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
+        lanes = lanes[:, :B_orig]
+        lane_stats = SolverStats(lanes[0] + extra_nfe, lanes[1],
+                                 lanes[2], lanes[3])
+        st = SolverStats(stats[0] + extra_nfe * B_orig, stats[1],
+                         stats[2], stats[3])
+        return SolveResult(ys, st, None, None, lane_stats)
 
     out, stats = mlp_solve(
         warrays, dims, yT, tau, dt0, rtol, atol, sign, f0=f0,
@@ -556,7 +608,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                 dfactor: float = 0.2, dense_output: bool = False,
                 num_steps=None, step_size=None,
                 max_order: Optional[int] = None,
-                max_iters: int = 4) -> SolveResult:
+                max_iters: int = 4,
+                per_sample: bool = False) -> SolveResult:
     """Whole-solve fused adaptive RK for ARBITRARY plain-jnp dynamics via
     the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py).
 
@@ -610,6 +663,16 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         raise jb.FusionError(
             "dense_output applies to adaptive methods only (the generic "
             "fixed-grid engine has no dense output either)")
+    if per_sample:
+        if fixed or vcabm:
+            raise jb.FusionError(
+                "per_sample applies to adaptive RK methods only (fixed "
+                "grids have no controller; VCABM's order machinery is "
+                "shared)")
+        if dense_output:
+            raise jb.FusionError(
+                "per_sample + dense_output is unsupported (per-lane steps "
+                "have no shared interpolant sequence)")
     if t.shape[0] == 1:
         z = jnp.asarray(0, jnp.int32)
         res = SolveResult(y0[None], SolverStats(z, z, z, z))
@@ -617,7 +680,15 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     T_out, (B, D) = int(t.shape[0]), y0.shape
     B_orig = B
     n_blocks = 1
-    if not interpret and _fused_vmem_bytes(
+    if per_sample and not interpret and _fused_vmem_bytes(
+            T_out, D, B, 2, kpack=1) > _VMEM_BUDGET:
+        # Per-lane controllers are single-block/unpacked; over-budget
+        # batches fall back (the dispatcher preserves per-sample
+        # semantics via vmap of the generic engine).
+        raise jb.FusionError(
+            "per_sample trajectory buffer exceeds the fused kernel's "
+            "VMEM budget (T x D x B too large for a single block)")
+    if not interpret and not per_sample and _fused_vmem_bytes(
             T_out, D, B, 2, kpack=1 if dense_output else None
     ) > _VMEM_BUDGET:
         # Batches past the VMEM budget run as sequential grid blocks
@@ -660,6 +731,20 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     f0 = (sign * func(t[0], y0).T).astype(dtype)
     if fixed:
         dt0, extra_nfe = None, 0   # no controller, no initial-step probe
+    elif per_sample and first_step is None:
+        # Per-lane HNW initial steps: per-sample norms, ONE batched probe
+        # (works for batch-coupled dynamics too — no per-sample func
+        # calls; see norms.select_initial_step_per_sample).
+        from .ops.norms import select_initial_step_per_sample
+
+        def g_b(s, yb):
+            return (sign * func(sign * s, yb)).astype(dtype)
+
+        dt0 = select_initial_step_per_sample(
+            g_b, tau[0], y0, f0.T,
+            tableaus.TABLEAUS_BY_NAME[method].order - 1,
+            jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype))
+        extra_nfe = 2
     elif first_step is None:
         def flat_g(s, yf):
             yb = yf.reshape(D, B).T
@@ -680,7 +765,7 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     # packed layout the per-group RHS walk doesn't slice.
     kpack = 1
     Bb = B // n_blocks
-    if not dense_output and not any(
+    if not dense_output and not per_sample and not any(
             l[0] in ("batch", "bvec") for l in plan.const_layouts):
         kpack = _pk.pick_pack(D, Bb)
         if n_blocks > 1 and (Bb // kpack) % _LANE:
@@ -756,6 +841,25 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         if squeeze:
             ys = ys[:, 0]
         return SolveResult(ys, SolverStats(*stats))
+
+    if per_sample:
+        out, stats, lanes = jb.plan_solve(
+            plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p,
+            method=method, safety=safety, ifactor=ifactor,
+            dfactor=dfactor,
+            max_steps=(int(max_num_steps) if max_num_steps is not None
+                       else 2 ** 31 - 1),
+            interpret=interpret, per_sample=True)
+        ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
+        lanes = lanes[:, :B_orig]
+        if squeeze:
+            ys = ys[:, 0]
+            lanes = lanes[:, 0]
+        lane_stats = SolverStats(lanes[0] + extra_nfe, lanes[1],
+                                 lanes[2], lanes[3])
+        st = SolverStats(stats[0] + extra_nfe * B_orig, stats[1],
+                         stats[2], stats[3])
+        return SolveResult(ys, st, None, None, lane_stats)
 
     dense = None
     if dense_output:

@@ -30,7 +30,8 @@ from .ops.pytree import flatten_state, unravel_trajectory
 from .ops import tableaus
 from .solvers.adaptive import AdaptiveConfig, solve_adaptive
 from .solvers.base import (ADAPTIVE_OPTIONS, FIXED_GRID_OPTIONS,
-                           SolveResult, canonicalize, check_options)
+                           SolveResult, SolverStats, canonicalize,
+                           check_options)
 from .solvers.fixed_grid import build_grid_from_options, solve_fixed_grid
 
 Array = jax.Array
@@ -87,8 +88,11 @@ def _resolve_tolerance(tol, y0) -> Any:
 #: options the fused whole-solve kernel honors; any OTHER adaptive option
 #: present alongside 'fuse' routes the call to the generic engine instead
 #: (the kernel has no telemetry/dense-output/custom-norm machinery).
+#: 'per_sample' runs the PER-LANE controller kernel (each batch element
+#: steps adaptively on its own; SolveResult.lane_stats carries per-sample
+#: nfe/accepted/rejected/status).
 _FUSABLE_OPTIONS = frozenset({"first_step", "max_num_steps", "safety",
-                              "ifactor", "dfactor", "loop"})
+                              "ifactor", "dfactor", "loop", "per_sample"})
 
 #: fixed-grid options the fused fixed kernel honors (arbitrary
 #: `grid_constructor` callables stay on the generic engine).
@@ -179,11 +183,46 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
             first_step=options.get("first_step"),
             safety=float(options.get("safety", 0.9)),
             ifactor=float(options.get("ifactor", 10.0)),
-            dfactor=float(options.get("dfactor", 0.2)))
+            dfactor=float(options.get("dfactor", 0.2)),
+            per_sample=bool(options.get("per_sample", False)))
     except FusionError as e:
+        if (kind == "adaptive" and options.get("per_sample")
+                and hasattr(y0, "ndim") and jnp.ndim(y0) == 2):
+            # Per-sample semantics must survive the fallback: a shared-
+            # controller generic solve is NOT what the user asked for, so
+            # vmap the generic engine instead (slow but exact semantics).
+            warnings.warn(
+                f"odeint(options={{'fuse': True, 'per_sample': True}}): "
+                f"falling back to jax.vmap of the generic engine — {e}",
+                stacklevel=3)
+            return _per_sample_vmap(func, y0, t, rtol, atol, method,
+                                    options)
         warnings.warn(f"odeint(options={{'fuse': True}}): falling back to "
                       f"the generic engine — {e}", stacklevel=3)
         return None
+
+
+def _per_sample_vmap(func, y0, t, rtol, atol, method, options):
+    """jax.vmap of the generic adaptive solve, one controller per sample —
+    the semantic fallback for options={'per_sample': True} when the
+    per-lane kernel is unavailable. Returns a SolveResult whose scalar
+    stats sum the per-sample counts (status = max) and whose lane_stats
+    carry the [B]-shaped per-sample SolverStats."""
+    opts = {k: v for k, v in options.items()
+            if k not in ("fuse", "per_sample")}
+    opts.setdefault("loop", "while")
+
+    def one(yb):
+        res = solve(func, yb[None, :], t, rtol=rtol, atol=atol,
+                    method=method, options=opts)
+        return res.ys[:, 0], res.stats
+
+    ys_b, stats_b = jax.vmap(one)(y0)          # ys_b: [B, T, D]
+    ys = jnp.transpose(ys_b, (1, 0, 2))
+    st = SolverStats(jnp.sum(stats_b.nfe), jnp.sum(stats_b.n_accepted),
+                     jnp.sum(stats_b.n_rejected),
+                     jnp.max(stats_b.status))
+    return SolveResult(ys, st, None, None, stats_b)
 
 
 def solve(
@@ -230,6 +269,17 @@ def solve(
                          kind=kind)
         if res is not None:
             return res
+    if options.pop("per_sample", False):
+        # per_sample without fuse (or after a non-per-sample-preserving
+        # fallback): one controller per sample via vmap of the generic
+        # engine. The fused per-lane kernel is the fast path
+        # (options={'fuse': True, 'per_sample': True}).
+        if kind != "adaptive":
+            raise ValueError("options={'per_sample': True} applies to "
+                             "adaptive methods only")
+        if not (hasattr(y0, "ndim") and jnp.ndim(y0) == 2):
+            raise ValueError("per_sample needs a [B, D] array state")
+        return _per_sample_vmap(func, y0, t, rtol, atol, method, options)
 
     prob = canonicalize(func, y0, t)
     rtol = _resolve_tolerance(rtol, y0)

@@ -332,6 +332,121 @@ def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
     return SolveResult(ys, stats)
 
 
+def odeint_adjoint_df(func: Callable, y0: Any, t, *, params: Any = None,
+                      rtol=1e-8, atol=1e-10, adjoint_rtol=None,
+                      adjoint_atol=None, method: str = "dopri5",
+                      adjoint_method: Optional[str] = None,
+                      max_num_steps: Optional[int] = None,
+                      first_step=None, return_stats: bool = False) -> Any:
+    """O(1)-memory continuous-adjoint gradients at DOUBLE-FLOAT accuracy.
+
+    Both the forward trajectory and every backward augmented solve run on
+    the df engine (`solve_df`), so ~1e-6-grade TRAINING exists on f32-only
+    TPU hardware — the TPU-native equivalent of running `odeint_adjoint`
+    on a `cast_double`'d model (upstream `tfdiffeq/adjoint.py` +
+    `cast_double`, SURVEY.md §2; f64 there needs CPU/GPU ALUs the v5e
+    lacks). Same augmented-ODE walk as `adjoint.py` (reverse scan over
+    observation intervals, cotangent re-injection, t-gradients via the
+    dot(f, g) boundary terms), with the inner integrations df-carried.
+
+    func(t, y, params) -> dy (or func(t, y) when params is None); y0 may
+    be any pytree. Differentiable wrt y0, t, and params. Cost: each
+    backward step evaluates the augmented system's VJP under the df
+    primal+jvp pairing (~4x a plain-f32 adjoint step).
+    """
+    from ..ops.pytree import flatten_state
+
+    adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
+    adjoint_atol = atol if adjoint_atol is None else adjoint_atol
+    adjoint_method = method if adjoint_method is None else adjoint_method
+    if params is None:
+        user_func = lambda tt, yy, pp: func(tt, yy)      # noqa: E731
+        params_in: Any = ()
+    else:
+        user_func = func
+        params_in = params
+
+    @jax.custom_vjp
+    def _odeint(y0_, t_, params_):
+        res = solve_df(lambda tt, yy: user_func(tt, yy, params_), y0_, t_,
+                       rtol=rtol, atol=atol, method=method,
+                       max_num_steps=max_num_steps, first_step=first_step)
+        return res.ys, res.stats
+
+    def _fwd(y0_, t_, params_):
+        ys, stats = _odeint(y0_, t_, params_)
+        return (ys, stats), (ys, t_, params_, stats.status)
+
+    def _bwd(res, g):
+        ys, t_, params_, fwd_status = res
+        g, _ = g                        # stats cotangents: symbolic zeros
+        t_ = jnp.asarray(t_)
+        T = t_.shape[0]
+        fwd_bad = fwd_status != 0
+
+        y_template = jax.tree_util.tree_map(lambda l: l[0], ys)
+        _, unravel = flatten_state(y_template)
+        ys_flat = jax.vmap(lambda tree: flatten_state(tree)[0])(ys)
+        g_flat = jax.vmap(lambda tree: flatten_state(tree)[0])(g)
+        ydtype = ys_flat.dtype
+
+        def f_flat(tt, y_flat, p_):
+            dy = user_func(tt, unravel(y_flat), p_)
+            return flatten_state(dy)[0].astype(ydtype)
+
+        def aug_dynamics(s, aug):
+            y, a_y, a_p, a_t = aug
+            dy, vjp_fn = jax.vjp(lambda y_, t__, p_: f_flat(t__, y_, p_),
+                                 y, s, params_)
+            v_y, v_t, v_p = vjp_fn(a_y)
+            return (dy, -v_y,
+                    jax.tree_util.tree_map(jnp.negative, v_p), -v_t)
+
+        zero_p = jax.tree_util.tree_map(jnp.zeros_like, params_)
+
+        def scan_fun(carry, i):
+            a_y, a_p, a_t0, b_nfe = carry
+            f_i = f_flat(t_[i], ys_flat[i], params_)
+            t_bar = jnp.dot(f_i, g_flat[i]).astype(t_.dtype)
+            a_t0 = a_t0 - t_bar
+            t_pair = jnp.stack([t_[i], t_[i - 1]])
+            aug0 = (ys_flat[i], a_y, a_p, a_t0)
+            res_i = solve_df(aug_dynamics, aug0, t_pair,
+                             rtol=adjoint_rtol, atol=adjoint_atol,
+                             method=adjoint_method,
+                             max_num_steps=max_num_steps)
+            _, a_y, a_p, a_t0 = jax.tree_util.tree_map(
+                lambda l: l[-1], res_i.ys)
+            a_y = a_y + g_flat[i - 1]
+            return (a_y, a_p, a_t0, b_nfe + res_i.stats.nfe + 1), t_bar
+
+        if T > 1:
+            init = (g_flat[-1], zero_p, jnp.zeros((), t_.dtype),
+                    jnp.asarray(0, jnp.int32))
+            idx = jnp.arange(T - 1, 0, -1)
+            (a_y, a_p, a_t0, _), rev_t_bars = jax.lax.scan(
+                scan_fun, init, idx)
+            ts_bar = jnp.concatenate([a_t0[None], rev_t_bars[::-1]])
+        else:
+            a_y, a_p = g_flat[0], zero_p
+            ts_bar = jnp.zeros_like(t_)
+
+        grads = (unravel(a_y), ts_bar.astype(t_.dtype), a_p)
+        # A failed forward must not yield finite-but-wrong gradients.
+        return jax.tree_util.tree_map(
+            lambda x: jnp.where(fwd_bad, jnp.asarray(jnp.nan, x.dtype), x),
+            grads)
+
+    _odeint.defvjp(_fwd, _bwd)
+    t_in = jnp.asarray(t)
+    if t_in.ndim == 0:
+        t_in = t_in[None]
+    ys_out, stats = _odeint(y0, t_in, params_in)
+    if return_stats:
+        return ys_out, SolverStats(*stats)
+    return ys_out
+
+
 def odeint_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
               method: str = "dopri5", options: Optional[dict] = None) -> Any:
     """`odeint`-style front-end for the double-float engine (the TPU-native

@@ -905,13 +905,14 @@ import functools                                           # noqa: E402
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
                      "max_steps", "emit_dense", "interpret", "pack",
-                     "n_blocks"))
+                     "n_blocks", "per_sample"))
 def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
                rtol, atol, sign, f0: Array, *, method: str = "dopri5",
                safety: float = 0.9, ifactor: float = 10.0,
                dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                emit_dense: int = 0, interpret: bool = False,
-               pack: int = 1, n_blocks: int = 1):
+               pack: int = 1, n_blocks: int = 1,
+               per_sample: bool = False):
     """Whole-solve fused adaptive RK over a FusedPlan RHS: the plan is
     interpreted inside ONE Pallas kernel launch (same engine as
     pallas_kernels.mlp_solve; plan is a static arg, so equal-structure
@@ -927,12 +928,27 @@ def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
     coeffs [5*S, D, B]) when emit_dense=S.
     """
     from . import tableaus as _tabs
-    from .pallas_kernels import packed_make_f, whole_solve_call
+    from .pallas_kernels import (packed_make_f, perlane_solve_call,
+                                 whole_solve_call)
 
     tab = _tabs.TABLEAUS_BY_NAME[method]
     make_f = lambda wrefs: make_plan_f(plan, wrefs)      # noqa: E731
     if pack > 1:
         make_f = packed_make_f(make_f, int(pack), plan.dim)
+    if per_sample:
+        # Per-lane controllers (see pallas_kernels._make_perlane_kernel):
+        # unpacked single-block only; dt0 may be a per-lane row. The plan
+        # RHS sees a LANE-RESOLVED [1, B] time row at the stage times —
+        # valid because cross-sample paths are rejected at trace time, so
+        # per-lane t flows through the instrs like any lane-resolved val.
+        if pack > 1 or n_blocks > 1 or emit_dense:
+            raise ValueError("per_sample=True is unpacked single-block "
+                             "only (no emit_dense)")
+        return perlane_solve_call(
+            make_f, list(consts_packed), y0, tau, dt0, rtol, atol, sign,
+            f0, tab=tab, safety=safety, ifactor=ifactor, dfactor=dfactor,
+            max_steps=int(max_steps), B_true=plan.batch,
+            interpret=interpret)
     return whole_solve_call(
         make_f, list(consts_packed),
         y0, tau, dt0, rtol, atol, sign, f0, tab=tab, safety=safety,

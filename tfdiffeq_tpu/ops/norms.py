@@ -55,6 +55,56 @@ def error_ratio(
     return norm(y_err / scale)
 
 
+def select_initial_step_per_sample(
+    func: Callable[[Array, Array], Array],
+    t0: Array,
+    y0: Array,
+    f0: Array,
+    order: int,
+    rtol: Array,
+    atol: Array,
+) -> Array:
+    """HNW initial steps PER SAMPLE over a batch-major [B, D] state, with
+    ONE batched probe evaluation (per-lane adaptive stepping,
+    `options={'per_sample': True}`).
+
+    All norms reduce over the feature axis only (the per-sample RMS the
+    per-lane kernel's controller uses). The Euler probe evaluates the
+    BATCHED func once, at scalar time t0 + min(h0) with per-sample probe
+    states y0 + h0*f0 — exact per-sample probe TIMES would need B separate
+    evaluations and break batch-coupled dynamics (funcs closing over
+    per-sample constants), so strongly time-dependent-at-t0 dynamics get a
+    slightly conservative d2. The controller recovers within a step either
+    way; pass first_step to pin dt0 exactly."""
+    rdt = jnp.finfo(y0.dtype).dtype
+    scale = atol + jnp.abs(y0) * rtol
+
+    def nrm(x):
+        m = jnp.mean(jnp.real(x * jnp.conj(x))
+                     if jnp.issubdtype(x.dtype, jnp.complexfloating)
+                     else x * x, axis=1)
+        safe = jnp.where(m > 0.0, m, 1.0)
+        return jnp.where(m > 0.0, jnp.sqrt(safe), 0.0)
+
+    d0 = nrm(y0 / scale)
+    d1 = nrm(f0 / scale)
+    small = (d0 < 1e-5) | (d1 < 1e-5)
+    h0 = jnp.where(small, jnp.asarray(1e-6, rdt),
+                   0.01 * d0 / jnp.where(d1 > 0.0, d1, 1.0)).astype(rdt)
+
+    y1 = y0 + h0[:, None].astype(y0.dtype) * f0
+    f1 = func(t0 + jnp.min(h0), y1)
+    d2 = nrm((f1 - f0) / scale) / h0
+
+    d_max = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        d_max <= 1e-15,
+        jnp.maximum(jnp.asarray(1e-6, rdt), h0 * 1e-3),
+        (0.01 / jnp.where(d_max > 0.0, d_max, 1.0)) ** (1.0 / (order + 1)),
+    )
+    return jnp.minimum(100.0 * h0, h1).astype(rdt)
+
+
 def select_initial_step(
     func: Callable[[Array, Array], Array],
     t0: Array,

@@ -866,6 +866,237 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
     return kernel
 
 
+def _make_perlane_kernel(tab, T: int, safety: float, ifactor: float,
+                         dfactor: float, max_steps: int, D: int,
+                         B_true: int, make_f, n_wrefs: int):
+    """PER-LANE adaptive whole-solve kernel: every batch lane (sample)
+    carries its own controller state — t, dt, accept/reject decision, NFE
+    count, and status — as [1, B] rows, so one stiff sample no longer
+    throttles the whole block's step size (the capability `jax.vmap(solve)`
+    provides at ~16 us/step on the generic engine, here at kernel speed).
+
+    The torchode-style design, TPU-native: stage evaluations remain fully
+    vectorized over all lanes every iteration (lanes that are done or
+    rejected do wasted-but-free vector work); the error norm reduces over
+    the FEATURE axis only (per-sample RMS, matching the generic norm on a
+    single sample); accepts/state updates are per-lane masked `where`s.
+    Output drain: a global cursor `oi` tracks the first row not yet
+    completed by ALL lanes; each iteration scans rows from `oi` while
+    tau[o] <= max accepted t1, writing each lane's interpolant under the
+    mask (tau[o] in that lane's accepted (t, t1]]) — every lane writes
+    each row exactly once, when its step interval first covers it.
+
+    Controller state lives in VMEM scratch rows (tdt_s f32 [2, B]:
+    t / dt; li_s int32 [4, B]: nfe / accepted / rejected / status), so the
+    while carry stays scalar (cursor + alive flag). Termination: a lane
+    goes inactive at t >= t_end or nonzero status (per-lane DT_UNDERFLOW /
+    MAX_STEPS on its own attempt count); the loop ends when no lane is
+    active. Outputs: out [T, D, B], stats [1, 4] (nfe/acc/rej SUMMED over
+    real lanes — vmap-of-generic semantics — status = max), lane_stats
+    int32 [4, B] per-lane rows."""
+    evals = tab.evals_per_step
+
+    def kernel(*refs):
+        (tau_ref, rtol_ref, atol_ref, dtmin_ref, sign_ref,
+         valid_ref, y0_ref, f0_ref, dt0_ref) = refs[:9]
+        wrefs = refs[9:9 + n_wrefs]
+        (out_ref, stats_ref, lane_ref,
+         y_s, f_s, comp_s, tdt_s, li_s) = refs[9 + n_wrefs:]
+        rtol = rtol_ref[0, 0]
+        atol = atol_ref[0, 0]
+        dt_min = dtmin_ref[0, 0]
+        t_end = tau_ref[0, T - 1]
+        t_start = tau_ref[0, 0]
+        sign = sign_ref[0, 0]
+        B = out_ref.shape[2]
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[0] = y0_ref[:]
+        y_s[:] = y0_ref[:]
+        f_s[:] = f0_ref[:]
+        comp_s[:] = jnp.zeros_like(comp_s)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        is_real = lane < B_true
+        ok = (t_end > t_start) & (valid_ref[0, 0] != 0)
+        # Pad lanes start AT t_end (never active, nfe 0); real lanes carry
+        # status 3 (INVALID_TIMES) when the caller's tau check failed.
+        tdt_s[0:1, :] = jnp.where(is_real, t_start, t_end)
+        tdt_s[1:2, :] = dt0_ref[:]
+        zi = jnp.zeros((1, B), jnp.int32)
+        li_s[0:1, :] = zi
+        li_s[1:2, :] = zi
+        li_s[2:3, :] = zi
+        li_s[3:4, :] = jnp.where(ok | ~is_real, zi, zi + 3)
+
+        raw_f = make_f(wrefs)
+
+        def f(s, y):
+            return sign * raw_f(sign * s, y)
+
+        def cond(c):
+            return c[1]
+
+        def body(c):
+            oi, _ = c
+            t = tdt_s[0:1, :]
+            dt = tdt_s[1:2, :]
+            status_l = li_s[3:4, :]
+            active = (t < t_end) & (status_l == 0)
+            rem = t_end - t
+            dt_eff = jnp.minimum(dt, rem)
+            is_last = dt >= rem
+            t1 = jnp.where(is_last, t_end, t + dt_eff)
+            # Inactive lanes step with a dummy dt=1 so the stage math and
+            # the drain's (tj - t)/dth stay finite; their updates are
+            # masked out below.
+            dth = jnp.where(active, t1 - t, jnp.ones_like(t))
+
+            y0 = y_s[:]
+            k, delta, err, y_mid = _rk_stages(tab, f, y0, f_s[:], dth,
+                                              t0=t)
+            y1 = y0 + delta
+
+            scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+            esc = err / scale
+            ss = jnp.sum(esc * esc, axis=0, keepdims=True)     # [1, B]
+            ratio = jnp.sqrt(ss / float(D))
+            finite = (jnp.isfinite(ss)
+                      & jnp.all(jnp.isfinite(y1), axis=0, keepdims=True))
+            acc_raw = (ratio <= 1.0) & finite
+            accept = acc_raw & active
+
+            fac = _controller_factor(ratio, finite, acc_raw, safety,
+                                     ifactor, dfactor, tab.order)
+            dt_next = jnp.where(active, dth * fac, dt)
+
+            f1 = k[-1] if tab.fsal else f(t1, y1)
+            df0 = dth * k[0]
+            df1 = dth * f1
+            ca, cb, cc = _interp_coeffs(y0, y1, y_mid, df0, df1)
+
+            comp = comp_s[:]
+            adj = delta - comp
+            y_new = y0 + adj
+            comp_s[:] = jnp.where(accept, (y_new - y0) - adj, comp)
+            y_s[:] = jnp.where(accept, y_new, y0)
+            f_s[:] = jnp.where(accept, f1, f_s[:])
+            t_new = jnp.where(accept, t1, t)
+
+            # Drain: rows from the global cursor while some accepted lane
+            # reached them; each lane writes under its own interval mask.
+            t1_acc = jnp.where(accept, t1, -jnp.inf)
+            tmax = jnp.max(t1_acc)
+
+            def wcond(o):
+                return (o < T) & (tau_ref[0, jnp.minimum(o, T - 1)]
+                                  <= tmax)
+
+            def wbody(o):
+                tj = tau_ref[0, o]
+                m = accept & (tj > t) & (tj <= t1)
+                x = (tj - t) / dth
+                val = (((ca * x + cb) * x + cc) * x + df0) * x + y0
+                val = jnp.where(tj == t1, y_new, val)
+                cur = out_ref[pl.ds(o, 1)]
+                out_ref[pl.ds(o, 1)] = jnp.where(m, val, cur[0])[None]
+                return o + 1
+
+            jax.lax.while_loop(wcond, wbody, oi)
+            # Advance the cursor past rows now completed by EVERY lane.
+            t_min = jnp.min(t_new)
+
+            def acond(o):
+                return (o < T) & (tau_ref[0, jnp.minimum(o, T - 1)]
+                                  <= t_min)
+
+            oi_new = jax.lax.while_loop(acond, lambda o: o + 1, oi)
+
+            nfe_l = li_s[0:1, :] + evals * active.astype(jnp.int32)
+            acc_l = li_s[1:2, :] + accept.astype(jnp.int32)
+            rej_l = li_s[2:3, :] + (active & ~accept).astype(jnp.int32)
+            att = acc_l + rej_l
+            status_l = jnp.where(
+                active & ~acc_raw & (dt_next < dt_min) & (status_l == 0),
+                jnp.int32(2), status_l)
+            status_l = jnp.where(
+                (att >= max_steps) & (t_new < t_end) & (status_l == 0),
+                jnp.int32(1), status_l)
+            tdt_s[0:1, :] = t_new
+            tdt_s[1:2, :] = dt_next
+            li_s[0:1, :] = nfe_l
+            li_s[1:2, :] = acc_l
+            li_s[2:3, :] = rej_l
+            li_s[3:4, :] = status_l
+            alive = jnp.any((t_new < t_end) & (status_l == 0))
+            return (oi_new, alive)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(1), ok & (B_true > 0)))
+
+        zi = jnp.zeros((1, B), jnp.int32)
+        stats_ref[0, 0] = jnp.sum(jnp.where(is_real, li_s[0:1, :], zi))
+        stats_ref[0, 1] = jnp.sum(jnp.where(is_real, li_s[1:2, :], zi))
+        stats_ref[0, 2] = jnp.sum(jnp.where(is_real, li_s[2:3, :], zi))
+        stats_ref[0, 3] = jnp.max(jnp.where(is_real, li_s[3:4, :], zi))
+        lane_ref[:] = li_s[0:4, :]
+
+    return kernel
+
+
+def perlane_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0_row,
+                       rtol, atol, sign, f0, *, tab, safety: float,
+                       ifactor: float, dfactor: float, max_steps: int,
+                       B_true: int, interpret: bool):
+    """Launch plumbing for the per-lane whole-solve kernel.
+
+    dt0_row: per-lane initial steps, any shape broadcastable to [1, B]
+    (e.g. a vmapped `select_initial_step` per sample). Returns
+    (out [T, D, B], stats [4] int32 with nfe/acc/rej SUMMED over lanes,
+    lane_stats int32 [4, B]: per-lane nfe/accepted/rejected/status)."""
+    D, B = y0.shape
+    T = int(tau.shape[0])
+    dtype = y0.dtype
+
+    dt_min = (4.0 * jnp.finfo(dtype).eps
+              * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
+                            1.0)).astype(dtype)
+    tau = tau.astype(dtype)
+    valid = (jnp.all(jnp.diff(tau) > 0) if T > 1
+             else jnp.asarray(True)).astype(jnp.int32)
+    dt0_row = jnp.maximum(jnp.abs(jnp.asarray(dt0_row, dtype)),
+                          dt_min).reshape(1, -1)
+    if dt0_row.shape[1] not in (1, B):
+        # Caller passed TRUE-batch per-lane steps; lane-pad with dt_min
+        # (pad lanes start at t_end and never step anyway).
+        dt0_row = jnp.pad(dt0_row, ((0, 0), (0, B - dt0_row.shape[1])),
+                          constant_values=dt_min)
+    dt0_row = jnp.broadcast_to(dt0_row, (1, B))
+
+    kernel = _make_perlane_kernel(tab, T, safety, ifactor, dfactor,
+                                  int(max_steps), D, B_true, make_f,
+                                  len(aux_arrays))
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out, stats, lane_stats = solver_pallas_call(
+        kernel,
+        in_specs=[smem_t] * 6 + [vmem] * (3 + len(aux_arrays)),
+        out_specs=[vmem, smem_t, vmem],
+        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                   jax.ShapeDtypeStruct((1, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((4, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((D, B), dtype)] * 3
+        + [pltpu.VMEM((2, B), dtype), pltpu.VMEM((4, B), jnp.int32)],
+        interpret=interpret,
+    )(tau.reshape(1, T),
+      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+      jnp.reshape(dt_min, (1, 1)),
+      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+      jnp.reshape(valid, (1, 1)),
+      y0, f0, dt0_row, *aux_arrays)
+    return out, stats[0], lane_stats
+
+
 def padded_mlp_f(warrays, dims, y: Array, activation: str,
                  final_activation: str, input_power: int,
                  t=None, time_input: bool = False) -> Array:
@@ -892,7 +1123,7 @@ def padded_mlp_f(warrays, dims, y: Array, activation: str,
     static_argnames=("dims", "activation", "final_activation", "input_power",
                      "time_input", "rhs", "method", "safety", "ifactor",
                      "dfactor", "max_steps", "matmul", "interpret", "pack",
-                     "n_blocks", "dot_precision"))
+                     "n_blocks", "dot_precision", "per_sample"))
 def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               sign, *, f0: Array = None, activation: str = "tanh",
               final_activation: str = "identity", input_power: int = 1,
@@ -901,7 +1132,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
               ifactor: float = 10.0, dfactor: float = 0.2,
               max_steps: int = 2 ** 31 - 1, matmul: str = "vpu",
               interpret: bool = False, pack: str | int = "auto",
-              n_blocks: int = 1, dot_precision: str = "highest"):
+              n_blocks: int = 1, dot_precision: str = "highest",
+              per_sample: bool = False):
     """Whole-solve fused adaptive RK for a GENERAL autonomous MLP ODE, one
     kernel launch: every stage evaluation, combine, error norm, controller
     decision and dense-output write runs in-kernel.
@@ -940,6 +1172,13 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
                                  final_activation, input_power,
                                  t=sign * tau[0], time_input=time_input)
 
+    if per_sample:
+        # Per-lane controllers need unpacked per-sample lanes and a
+        # single block (each lane IS its own controller; grid blocking
+        # adds nothing and packing would merge k samples per controller).
+        if n_blocks != 1:
+            raise ValueError("per_sample=True is single-block only")
+        pack = 1
     y0, f0, k, Lb = prep_state_blocks(y0, f0, D, pack, n_blocks)
     B_true = Lb
 
@@ -956,6 +1195,12 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
         raise ValueError(f"unknown rhs {rhs!r} (expected 'mlp' or 'cnf')")
     if k > 1:
         make_f = packed_make_f(make_f, k, D)
+
+    if per_sample:
+        return perlane_solve_call(
+            make_f, warrays, y0, tau, dt0, rtol, atol, sign, f0, tab=tab,
+            safety=safety, ifactor=ifactor, dfactor=dfactor,
+            max_steps=int(max_steps), B_true=B_true, interpret=interpret)
 
     out, stats = whole_solve_call(
         make_f, warrays, y0, tau, dt0, rtol, atol, sign, f0, tab=tab,

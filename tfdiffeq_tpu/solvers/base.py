@@ -50,6 +50,10 @@ class SolveResult(NamedTuple):
     stats: SolverStats
     telemetry: Any = None  # optional StepTelemetry (options={'telemetry':1})
     dense: Any = None      # optional DenseOutput (options={'dense_output':1})
+    # optional per-sample SolverStats with [B]-shaped leaves
+    # (options={'per_sample': True} on the fused tier: every batch lane
+    # ran its own step controller; see fast.solve_fused)
+    lane_stats: Any = None
 
 
 class DenseOutput(NamedTuple):
@@ -148,7 +152,7 @@ FIXED_GRID_OPTIONS = frozenset({"grid_constructor", "step_size",
 ADAPTIVE_OPTIONS = frozenset({
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "norm",
     "max_steps", "chunk_size", "loop", "pcoeff", "icoeff", "dt_min",
-    "telemetry", "unroll", "dense_output", "fuse",
+    "telemetry", "unroll", "dense_output", "fuse", "per_sample",
 })
 
 _KNOWN_OPTIONS = frozenset({
