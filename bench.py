@@ -292,6 +292,184 @@ def bench_wide_mlp_nfe_per_sec(reps: int = 32):
     return nfe_s, marginal_us, det
 
 
+def _wide_weights():
+    D, H = 128, 256
+    rng = np.random.RandomState(0)
+    return D, H, [
+        (jnp.asarray(rng.randn(D, H) / np.sqrt(D), jnp.float32),
+         jnp.zeros((H,), jnp.float32)),
+        (jnp.asarray(rng.randn(H, H) / np.sqrt(H), jnp.float32),
+         jnp.zeros((H,), jnp.float32)),
+        (jnp.asarray(rng.randn(H, D) / np.sqrt(H), jnp.float32),
+         jnp.zeros((D,), jnp.float32)),
+    ]
+
+
+def bench_bf16_serving(reps: int = 16):
+    """bf16 single-pass MXU serving tier (`MLPSpec(dot_precision='bf16')`)
+    vs the HIGHEST (3-pass) default: fixed-grid rk4 x 128 steps on the wide
+    MLP — fixed-grid has no embedded error estimate for the bf16 noise to
+    poison, so serving may trade ~3e-3 trajectory rel-err for one systolic
+    pass per dot (measured 4.9x / 80% of the v5e bf16 peak, BASELINE.md
+    round-4 table).
+
+    Returns {precision: (marginal_us_per_nfe, mfu_details)}."""
+    from tfdiffeq_tpu.fast import MLPSpec, solve_mlp_spec
+    from tfdiffeq_tpu.utils.flops import mlp_flops_per_nfe
+
+    D, H, weights = _wide_weights()
+    B = 1024
+    y0 = jnp.asarray(np.random.RandomState(1).randn(B, D) * 0.5,
+                     jnp.float32)
+    t = jnp.asarray([0.0, 2.0], jnp.float32)
+    fc = mlp_flops_per_nfe([(D, H), (H, H), (H, D)], B, matmul="mxu")
+
+    out = {}
+    for prec in ("highest", "bf16"):
+        spec = MLPSpec(activation="tanh", matmul="mxu", dot_precision=prec)
+
+        def one(y, spec=spec):
+            r = solve_mlp_spec(spec, weights, y, t, method="rk4",
+                               num_steps=128)
+            return r.ys * 0.5, r.stats.nfe
+
+        nfe_s, marg_us, _, _, _ = _bench_sustained(one, y0, reps, k=5)
+        det = fc.achieved(1e6 / marg_us if marg_us > 0 else nfe_s)
+        out[prec] = (marg_us, det)
+    return out
+
+
+def bench_per_lane(reps: int = 16):
+    """Per-lane adaptive stepping (`options={'fuse': True, 'per_sample':
+    True}`) vs jax.vmap of the generic engine (the semantic oracle path)
+    on a B=4096 battery with a ~100x per-sample stiffness spread (the
+    spiral dynamics time-rescaled per lane). Reported as marginal ns per
+    LANE-NFE (sum of per-sample evals), chain-regressed like the headline.
+
+    Returns (kernel_ns, vmap_ns, kernel_lane_nfe_per_solve)."""
+    from tfdiffeq_tpu import solve
+
+    B = 4096
+    p = _params()
+    base = _spiral_dyn(p)
+    sc = jnp.asarray(np.logspace(0.0, 2.0, B), jnp.float32)
+    y0 = jnp.asarray(np.random.RandomState(1).randn(B, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+
+    def dyn(tt, yy):
+        return sc[:, None] * base(tt, yy)
+
+    def make_one(opts):
+        def one(y):
+            r = solve(dyn, y, t, rtol=RTOL, atol=ATOL, method="dopri5",
+                      options=opts)
+            # Renormalize so every chain link does the same work (the
+            # fast lanes decay to ~0 over one solve; a data dependency on
+            # ys keeps XLA from hoisting).
+            y_next = y0 + 0.0 * r.ys[-1]
+            total = jnp.sum(r.lane_stats.nfe).astype(jnp.int32)
+            return y_next[None], total
+        return one
+
+    kern = make_one({"fuse": True, "per_sample": True})
+    _, k_marg_us, _, _, k_nfe = _bench_sustained(kern, y0, reps, k=5)
+
+    # vmap oracle, written the way a user would (the generic
+    # `options={'per_sample': True}` fallback cannot thread the
+    # per-sample stiffness const through its closure): one generic solve
+    # per sample under jax.vmap, XLA batches the while loop.
+    def one_vmap(y):
+        def single(yb, kb):
+            res = solve(lambda tt, yy: kb * base(tt, yy), yb[None, :], t,
+                        rtol=RTOL, atol=ATOL, method="dopri5",
+                        options={"loop": "while"})
+            return res.ys[:, 0], res.stats.nfe
+        ys_b, nfe_b = jax.vmap(single)(y, sc)
+        y_next = y0 + 0.0 * ys_b[:, -1]
+        return y_next[None], jnp.sum(nfe_b).astype(jnp.int32)
+
+    _, v_marg_us, _, _, _ = _bench_sustained(one_vmap, y0,
+                                             max(reps // 2, 4), k=3)
+    return k_marg_us * 1e3, v_marg_us * 1e3, k_nfe // reps
+
+
+def bench_meanfield_nfe_per_sec(reps: int = 16):
+    """Batch-coupled (mean-field) dynamics — the class that fell back to
+    the generic engine before round 4's `bsum` bridge op: the headline
+    spiral MLP plus an attraction-to-the-batch-mean term, auto-fused at
+    B=4096 vs the generic while-loop on the same dynamics. T=16 output
+    times: batch-coupled plans run unpacked single-block (a group- or
+    block-local sum would silently differ from the global one), so the
+    headline T=64 trajectory buffer would not fit the kernel's VMEM
+    budget at this batch.
+
+    Returns (fused_nfe_per_sec, fused_marginal_us, generic_nfe_per_sec)."""
+    from tfdiffeq_tpu import solve
+
+    p = _params()
+    base = _spiral_dyn(p)
+    y0 = jnp.asarray(np.random.RandomState(1).randn(BATCH, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, 16, dtype=jnp.float32)
+
+    def dyn(tt, yy):
+        m = jnp.mean(yy, axis=0)        # cross-sample coupling (bsum)
+        return base(tt, yy) - 0.1 * (yy - m)
+
+    def make_one(opts):
+        def one(y):
+            r = solve(dyn, y, t, rtol=RTOL, atol=ATOL, method="dopri5",
+                      options=opts)
+            return r.ys, r.stats.nfe
+        return one
+
+    f_nfe_s, f_marg_us, _, _, _ = _bench_sustained(
+        make_one({"fuse": True}), y0, reps, k=5)
+    g_nfe_s, _, _, _, _ = _bench_sustained(
+        make_one({"loop": "while"}), y0, max(reps // 2, 4), k=3)
+    return f_nfe_s, f_marg_us, g_nfe_s
+
+
+def bench_doublefloat():
+    """The double-float accuracy tier ON the bench record (round-3 verdict
+    item 3c): `solve_df` at rtol 1e-10 / atol 1e-12 on the north-star
+    protocol (dopri5 batched spiral, span 25, B=32, 64 output times),
+    trajectory error vs an in-process CPU float64 oracle.
+
+    Returns (max_abs_err_vs_f64, nfe, seconds_per_solve, nfe_per_sec)."""
+    from tfdiffeq_tpu import solve, solve_df
+
+    B = 32
+    A32 = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+    y0 = jnp.asarray(np.random.RandomState(1).randn(B, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, SPAN, T_OUT, dtype=jnp.float32)
+
+    def dyn(tt, yy):
+        return jnp.dot(yy ** 3, A32, precision=jax.lax.Precision.HIGHEST)
+
+    run = jax.jit(lambda y: solve_df(dyn, y, t, rtol=1e-10, atol=1e-12))
+    res = run(y0)
+    jax.block_until_ready(res.ys)
+    med, _ = _median_iqr(lambda: jax.block_until_ready(run(y0).ys), 3)
+    nfe = int(res.stats.nfe)
+
+    # f64 oracle on the host CPU (the chip has no f64 ALU; x64 scoped to
+    # this trace only).
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(), jax.default_device(cpu):
+        A64 = jnp.asarray(np.asarray(A32), jnp.float64)
+        ref = solve(lambda tt, yy: (yy ** 3) @ A64,
+                    jnp.asarray(np.asarray(y0), jnp.float64),
+                    jnp.asarray(np.asarray(t), jnp.float64),
+                    rtol=1e-12, atol=1e-14,
+                    options={"loop": "while"}).ys
+    err = float(np.max(np.abs(np.asarray(res.ys, np.float64)
+                              - np.asarray(ref))))
+    return err, nfe, med, nfe / med
+
+
 def bench_torch_proxy_nfe_per_sec():
     """Minimal torch-eager dopri5 (reference-architecture proxy, CPU)."""
     import torch
@@ -635,6 +813,22 @@ def main():
         wide_nfe_s, wide_marg_us, wide_mfu = bench_wide_mlp_nfe_per_sec()
     except Exception:
         wide_nfe_s = wide_marg_us = wide_mfu = None
+    try:
+        bf16_tiers = bench_bf16_serving()
+    except Exception:
+        bf16_tiers = None
+    try:
+        pl_kern_ns, pl_vmap_ns, pl_lane_nfe = bench_per_lane()
+    except Exception:
+        pl_kern_ns = pl_vmap_ns = pl_lane_nfe = None
+    try:
+        df_err, df_nfe, df_sec, df_nfe_s = bench_doublefloat()
+    except Exception:
+        df_err = df_nfe = df_sec = df_nfe_s = None
+    try:
+        mf_nfe_s, mf_marg_us, mf_gen_nfe_s = bench_meanfield_nfe_per_sec()
+    except Exception:
+        mf_nfe_s = mf_marg_us = mf_gen_nfe_s = None
 
     # FLOPs/MFU accounting (tfdiffeq_tpu/utils/flops.py): achieved FLOP/s
     # and fraction-of-peak for each workload at its measured throughput.
@@ -733,6 +927,35 @@ def main():
             "wide_mlp_mxu_marginal_us_per_step":
                 round(wide_marg_us, 3) if wide_marg_us else None,
             "flops_mfu": mfu or None,
+            "bf16_serving_marginal_us_per_nfe":
+                round(bf16_tiers["bf16"][0], 3) if bf16_tiers else None,
+            "bf16_serving_vs_highest":
+                round(bf16_tiers["highest"][0] / bf16_tiers["bf16"][0], 2)
+                if bf16_tiers else None,
+            "bf16_serving_mfu_bf16_pct":
+                bf16_tiers["bf16"][1]["mfu_mxu_bf16_pct"]
+                if bf16_tiers else None,
+            "per_lane_kernel_ns_per_lane_nfe":
+                round(pl_kern_ns, 3) if pl_kern_ns else None,
+            "per_lane_vmap_generic_ns_per_lane_nfe":
+                round(pl_vmap_ns, 3) if pl_vmap_ns else None,
+            "per_lane_vs_vmap":
+                round(pl_vmap_ns / pl_kern_ns, 2)
+                if pl_kern_ns and pl_vmap_ns else None,
+            "per_lane_lane_nfe_per_solve": pl_lane_nfe,
+            "df_traj_err_vs_f64":
+                float(f"{df_err:.3g}") if df_err is not None else None,
+            "df_nfe": df_nfe,
+            "df_seconds_per_solve":
+                round(df_sec, 3) if df_sec else None,
+            "df_nfe_per_sec":
+                round(df_nfe_s, 1) if df_nfe_s else None,
+            "meanfield_fused_nfe_per_sec":
+                round(mf_nfe_s, 1) if mf_nfe_s else None,
+            "meanfield_fused_marginal_us_per_step":
+                round(mf_marg_us, 3) if mf_marg_us else None,
+            "meanfield_generic_nfe_per_sec":
+                round(mf_gen_nfe_s, 1) if mf_gen_nfe_s else None,
             "batch_sweep_nfe_per_sec":
                 None if "--no-sweep" in sys.argv else batch_sweep(),
             "device": str(jax.devices()[0]),

@@ -314,10 +314,16 @@ def test_adjoint_fuse_fallback_still_trains():
     assert np.isfinite(float(g))
 
 
-def test_build_plan_rejects_batch_reduction_and_computed_weights():
-    # cross-batch coupling must not fuse
+def test_build_plan_batch_reduction_and_computed_weights():
+    # cross-batch SUM coupling fuses since round 4 (mean-field 'bsum',
+    # tests/test_meanfield.py) and marks the plan batch-coupled
+    plan, _ = build_plan(
+        lambda t, y: y - jnp.mean(y, axis=0, keepdims=True), T[0], Y0)
+    assert plan.batch_coupled
+    assert any(ins[0] == "bsum" for ins in plan.instrs)
+    # batch-axis max/min still must not fuse (argmax routing)
     with pytest.raises(FusionError):
-        build_plan(lambda t, y: y - jnp.mean(y, axis=0, keepdims=True),
+        build_plan(lambda t, y: y - jnp.max(y, axis=0, keepdims=True),
                    T[0], Y0)
     # computed (non-const) dot weights must not fuse
     with pytest.raises(FusionError):
@@ -348,13 +354,27 @@ def test_fused_dense_output():
         assert float(jnp.max(jnp.abs(got - want))) < 1e-5
 
 
-def test_interpolated_adjoint_with_fused_forward():
+@pytest.mark.parametrize("B_cfg,S_cfg", [(8, 256), (1024, 64)],
+                         ids=["single_block", "grid_blocked"])
+def test_interpolated_adjoint_with_fused_forward(B_cfg, S_cfg):
     """adjoint_mode='interpolated' driven by the FUSED forward's dense
     output matches the generic interpolated adjoint (the fastest forward
-    now feeds the cheapest backward)."""
+    now feeds the cheapest backward). The grid_blocked config exceeds the
+    dense VMEM model, so the forward runs as sequential lane-block
+    programs and the interpolants come back as a per-block
+    BlockDenseOutput (round-4 verdict item 5)."""
     t5 = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
-    g_out = jnp.asarray(np.random.RandomState(4).randn(5, 8, 2),
-                        jnp.float32)
+    rng = np.random.RandomState(4)
+    y0 = (Y0 if B_cfg == Y0.shape[0]
+          else jnp.asarray(rng.randn(B_cfg, 2) * 1.2, jnp.float32))
+    g_out = jnp.asarray(rng.randn(5, B_cfg, 2), jnp.float32)
+
+    if B_cfg > 128:
+        # The honest dense sizing must actually route this config to the
+        # grid (otherwise the test silently re-covers single-block).
+        from tfdiffeq_tpu.fast import (_VMEM_BUDGET, _fused_vmem_bytes)
+        assert _fused_vmem_bytes(5 + 5 * S_cfg, 2, B_cfg, 2,
+                                 kpack=1) > _VMEM_BUDGET
 
     def fp(tt, yy, p):
         return jnp.tanh(yy @ p[0] + p[1]) @ p[2]
@@ -363,9 +383,9 @@ def test_interpolated_adjoint_with_fused_forward():
 
     def loss(p, fuse):
         ys = odeint_adjoint(
-            fp, Y0, t5, params=p, rtol=1e-6, atol=1e-8,
+            fp, y0, t5, params=p, rtol=1e-6, atol=1e-8,
             adjoint_mode="interpolated",
-            options={"fuse": True, "max_num_steps": 256} if fuse
+            options={"fuse": True, "max_num_steps": S_cfg} if fuse
             else {"max_steps": 2048})
         return jnp.sum(ys * g_out)
 
@@ -376,6 +396,35 @@ def test_interpolated_adjoint_with_fused_forward():
         d = float(jnp.max(jnp.abs(a - b)))
         m = float(jnp.max(jnp.abs(b))) + 1e-12
         assert d / m < 1e-4, (d, m)
+
+
+def test_grid_blocked_dense_output_eval():
+    """dense_output past the VMEM budget: the solve runs as lane-block
+    grid programs, each emitting its OWN interpolant window; the
+    assembled BlockDenseOutput evaluates anywhere in the span at solver
+    accuracy (round-4 verdict item 5)."""
+    from tfdiffeq_tpu.solvers.base import BlockDenseOutput
+
+    B = 1024
+    y0 = jnp.asarray(np.random.RandomState(7).randn(B, 2) * 1.2,
+                     jnp.float32)
+    t5 = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    r = solve_fused(mlp, y0, t5, rtol=1e-6, atol=1e-8,
+                    dense_output=True, max_num_steps=64)
+    assert isinstance(r.dense, BlockDenseOutput)
+    assert int(r.stats.status) == 0
+    probes = jnp.asarray([0.13, 0.77, 1.31, 1.99], jnp.float32)
+    # oracle: integrate FROM t=0 (solve treats t[0] as the initial time)
+    ref = solve(lambda tt, yy: mlp(tt, yy), y0,
+                jnp.concatenate([jnp.zeros((1,), jnp.float32), probes]),
+                rtol=1e-9, atol=1e-11, options={"loop": "while"}).ys[1:]
+    vals = r.dense.eval_flat(probes)
+    assert float(jnp.max(jnp.abs(vals - ref.reshape(4, -1)))) < 5e-5
+    # exact at the endpoint (the kernel writes y1 there, not the
+    # interpolant)
+    v_end = r.dense.eval_flat(t5[-1])
+    assert float(jnp.max(jnp.abs(
+        v_end - r.ys[-1].reshape(-1)))) < 1e-6
 
 
 def test_fuse_round_half_to_even():

@@ -45,7 +45,7 @@ user func, compiles it to a plan executed inside the whole-solve kernel
 (`solve_fused` below), and `odeint_adjoint(..., options={'fuse': True})`
 runs the ENTIRE backward sweep as one kernel too (`odeint_adjoint_fused`,
 reverse-mode over the plan ISA in `ops/plan_adjoint.py`). Dynamics outside
-the bridge ISA (e.g. `sort`, batch-coupled reductions) fall back to the
+the bridge ISA (e.g. `sort`, batch-axis max/min) fall back to the
 generic path with a warning. The fused adjoint is NOT restricted to
 autonomous dynamics: `MLPSpec(time_input=True)` concat-t MLPs
 differentiate in-kernel (t-column VJP + a_t quadrature,
@@ -317,14 +317,17 @@ def _fused_vmem_bytes(T: int, D: int, B: int, n_traj_buffers: int,
 
 
 def _grid_block_size(T: int, D: int, n_buf: int,
-                     kpack: Optional[int] = None):
-    """Largest power-of-two batch block (>= 1024, a multiple of 8*LANE so
-    any sublane pack k <= 8 stays aligned) whose n_buf pipelined
-    trajectory buffers fit the VMEM budget; None when even a single
-    1024-sample block cannot fit (T x D too large). `kpack` as in
-    `_fused_vmem_bytes` (block sizes from here are 8*LANE multiples, so
-    raw-B pick_pack gating matches the launch's per-block gating)."""
-    b_blk = 1024
+                     kpack: Optional[int] = None,
+                     min_block: int = 1024):
+    """Largest power-of-two batch block (>= min_block, default 1024 — a
+    multiple of 8*LANE so any sublane pack k <= 8 stays aligned) whose
+    n_buf pipelined trajectory buffers fit the VMEM budget; None when even
+    a single min_block-sample block cannot fit (T x D too large). `kpack`
+    as in `_fused_vmem_bytes` (block sizes from here are 8*LANE multiples,
+    so raw-B pick_pack gating matches the launch's per-block gating).
+    Paths that always run unpacked (dense output) may pass
+    min_block=_LANE: their blocks only need lane (128) alignment."""
+    b_blk = int(min_block)
     while _fused_vmem_bytes(T, D, 2 * b_blk, n_buf, kpack) <= _VMEM_BUDGET:
         b_blk *= 2
     if _fused_vmem_bytes(T, D, b_blk, n_buf, kpack) > _VMEM_BUDGET:
@@ -688,22 +691,30 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         raise jb.FusionError(
             "per_sample trajectory buffer exceeds the fused kernel's "
             "VMEM budget (T x D x B too large for a single block)")
-    if not interpret and not per_sample and _fused_vmem_bytes(
-            T_out, D, B, 2, kpack=1 if dense_output else None
-    ) > _VMEM_BUDGET:
+    # Dense output persists a per-accepted-step interpolant buffer of
+    # 5 * S_dense extra state planes next to the T output rows — include
+    # it in the sizing (dense kernels run unpacked, kpack=1).
+    S_dense = 0
+    if dense_output:
+        S_dense = int(max_num_steps) if max_num_steps is not None else 1024
+    T_eff = T_out + 5 * S_dense
+    # Dense-output sizing applies in interpret mode too, so CPU tests
+    # exercise the SAME block decisions the chip makes (the honest model:
+    # sublane-padded rows, double-buffered out + interpolant windows —
+    # the old 4*5*S*D*B check under-counted both and would scoped-OOM).
+    if (not per_sample and (dense_output or not interpret)
+            and _fused_vmem_bytes(
+                T_eff, D, B, 2, kpack=1 if dense_output else None
+            ) > _VMEM_BUDGET):
         # Batches past the VMEM budget run as sequential grid blocks
-        # (one launch, per-block controller — the conv tier's recipe);
-        # dense output is single-block only (and runs UNPACKED — its
-        # sizing models k=1). Threshold budgets TWO trajectory buffers:
-        # the output window is double-buffered even single-block (see
-        # _fused_vmem_bytes).
-        if dense_output:
-            raise jb.FusionError(
-                "dense-output trajectory buffer exceeds the fused "
-                "kernel's VMEM budget (T x D x B too large)")
-        # Grid mode pipelines the per-block output window (double-
-        # buffered), so budget TWO trajectory buffers per block.
-        b_blk = _grid_block_size(T_out, D, 2)
+        # (one launch, per-block controller — the conv tier's recipe).
+        # Threshold budgets TWO trajectory buffers: the output (and
+        # dense) windows are double-buffered even single-block (see
+        # _fused_vmem_bytes). With dense_output each block emits its own
+        # interpolant window (BlockDenseOutput).
+        b_blk = _grid_block_size(T_eff, D, 2,
+                                 kpack=1 if dense_output else None,
+                                 min_block=_LANE if dense_output else 1024)
         if b_blk is None:
             raise jb.FusionError(
                 "even a single 1024-sample block exceeds the fused "
@@ -722,6 +733,19 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         raise jb.FusionError(
             "per-sample consts are not block-shardable (grid programs "
             "replicate const refs); batch exceeds the VMEM budget")
+    if plan.batch_coupled:
+        if n_blocks > 1:
+            raise jb.FusionError(
+                "batch-coupled dynamics (cross-sample reduction) need the "
+                "whole batch in one block — a block-local sum would "
+                "silently differ from the global one; batch exceeds the "
+                "VMEM budget")
+        if per_sample:
+            raise ValueError(
+                "per_sample=True with batch-coupled dynamics (a "
+                "cross-sample reduction like jnp.mean(y, axis=0)) is "
+                "unsupported: per-lane stepping would mix samples at "
+                "different times")
 
     t = t.astype(dtype)
     sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(dtype)
@@ -765,8 +789,9 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     # packed layout the per-group RHS walk doesn't slice.
     kpack = 1
     Bb = B // n_blocks
-    if not dense_output and not per_sample and not any(
-            l[0] in ("batch", "bvec") for l in plan.const_layouts):
+    if (not dense_output and not per_sample and not plan.batch_coupled
+            and not any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts)):
         kpack = _pk.pick_pack(D, Bb)
         if n_blocks > 1 and (Bb // kpack) % _LANE:
             kpack = 1              # grid blocks must stay lane-aligned
@@ -774,13 +799,14 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
             and not dense_output
             and _fused_vmem_bytes(T_out, D, B, 2, kpack=1) > _VMEM_BUDGET):
         # The initial (packed-layout) threshold passed, but per-sample
-        # consts force the unpacked [T, D, B] layout, whose sublane
-        # padding is up to 4x the packed model — over budget. Fall back
-        # (FusionError routes to the generic engine at the dispatcher).
+        # consts or a batch-coupled reduction force the unpacked
+        # [T, D, B] layout, whose sublane padding is up to 4x the packed
+        # model — over budget. Fall back (FusionError routes to the
+        # generic engine at the dispatcher).
         raise jb.FusionError(
-            "per-sample consts force the unpacked [T, D, B] layout, "
-            "whose trajectory buffers exceed the fused kernel's VMEM "
-            "budget")
+            "per-sample consts / batch-coupled reductions force the "
+            "unpacked [T, D, B] layout, whose trajectory buffers exceed "
+            "the fused kernel's VMEM budget")
     Lb = Bb // kpack               # per-block lane count
     Bk = n_blocks * Lb             # total lanes
     yT_k = _pk.pack_state_blocks(yT, kpack, n_blocks) if kpack > 1 else yT
@@ -865,23 +891,34 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     if dense_output:
         # Per-step interpolants persist in-kernel (round-2 verdict item
         # 10): like the bounded loop, a static step budget bounds the
-        # buffer; exceeding it surfaces as MAX_STEPS_REACHED.
-        S = int(max_num_steps) if max_num_steps is not None else 1024
-        if (not interpret
-                and 4 * 5 * S * D * BP > _VMEM_BUDGET):
-            raise jb.FusionError(
-                "dense-output interpolant buffer exceeds the fused "
-                "kernel's VMEM budget (max_num_steps x D x B too large)")
+        # buffer; exceeding it surfaces as MAX_STEPS_REACHED. VMEM sizing
+        # happened above (T_eff includes the 5*S planes); batches past
+        # the budget run as grid blocks, each emitting its own window.
+        S = S_dense
         out, stats, meta, dcoef = jb.plan_solve(
             plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p,
             method=method, safety=safety, ifactor=ifactor,
             dfactor=dfactor, max_steps=S, emit_dense=S,
-            interpret=interpret)
-        from .solvers.base import DenseOutput
-        coeffs = dcoef[:, :, :B].reshape(S, 5, D, B)
-        coeffs = jnp.transpose(coeffs, (0, 1, 3, 2)).reshape(S, 5, B * D)
-        dense = DenseOutput(meta[:, 0], meta[:, 1], meta[:, 2], coeffs,
-                            sign)
+            interpret=interpret, n_blocks=n_blocks)
+        if n_blocks == 1:
+            from .solvers.base import DenseOutput
+            coeffs = dcoef[:, :, :B].reshape(S, 5, D, B)
+            coeffs = jnp.transpose(coeffs, (0, 1, 3, 2)).reshape(
+                S, 5, B * D)
+            dense = DenseOutput(meta[:, 0], meta[:, 1], meta[:, 2],
+                                coeffs, sign)
+        else:
+            # Per-block step grids (each block ran its own controller):
+            # meta rows [g*S, (g+1)*S) and lane slice g belong to block g.
+            from .solvers.base import BlockDenseOutput
+            Bb = B // n_blocks
+            meta3 = meta.reshape(n_blocks, S, 3)
+            coeffs = dcoef.reshape(S, 5, D, n_blocks, Bb)
+            coeffs = jnp.transpose(coeffs, (3, 0, 1, 4, 2)).reshape(
+                n_blocks, S, 5, Bb * D)
+            dense = BlockDenseOutput(meta3[:, :, 0], meta3[:, :, 1],
+                                     meta3[:, :, 2], coeffs, sign,
+                                     B_orig, D)
     else:
         out, stats = jb.plan_solve(
             plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p,
@@ -974,6 +1011,10 @@ def solve_hyper(func, hypernet, y0: Array, t, *, method: str = "hyper_euler",
         raise jb.FusionError(
             "per-sample consts are not block-shardable (grid programs "
             "replicate const refs); batch exceeds the VMEM budget")
+    if n_blocks > 1 and (plan_f.batch_coupled or plan_g.batch_coupled):
+        raise jb.FusionError(
+            "batch-coupled dynamics are not block-shardable (block-local "
+            "sums); batch exceeds the VMEM budget")
 
     yT = y0.T
     Bb = B // n_blocks
@@ -1374,6 +1415,10 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         raise jb.FusionError(
             "per-sample consts are not block-shardable (grid programs "
             "replicate const refs); batch exceeds the VMEM budget")
+    if plan.batch_coupled and n_blocks > 1:
+        raise jb.FusionError(
+            "batch-coupled dynamics are not block-shardable (block-local "
+            "sums); batch exceeds the VMEM budget")
     if (not interp_flag and n_blocks == 1 and _adj_k > 1
             and any(l[0] in ("batch", "bvec") for l in plan.const_layouts)
             and _fused_vmem_bytes(T_out, D, B, 4, kpack=1) > _VMEM_BUDGET):
@@ -1391,7 +1436,8 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
     # per-group RHS walk doesn't slice them.
     kpack = 1
     Bb_f = B // n_blocks
-    if not any(l[0] in ("batch", "bvec") for l in plan.const_layouts):
+    if not plan.batch_coupled and not any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts):
         kpack = _pk.pick_pack(D, Bb_f)
         if n_blocks > 1 and (Bb_f // kpack) % _LANE:
             kpack = 1

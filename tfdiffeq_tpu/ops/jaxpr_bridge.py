@@ -6,9 +6,10 @@ in-kernel RHS for three hand-written dynamics families (MLP / CNF / conv).
 This module closes that gap (round-2 verdict item 1): a user-written
 ``func(t, y)`` in plain jnp is traced to a jaxpr, a restricted primitive
 subset (elementwise ops, ``dot_general`` against weight constants,
-broadcasts, feature-axis reductions/concats — exactly what neural-ODE
-dynamics use) is compiled into a *plan*, and the plan is interpreted inside
-the kernel in the feature-major ``[D, B]`` layout. Anything outside the
+broadcasts, feature-axis reductions/concats, batch-axis SUMS for
+mean-field couplings — exactly what neural-ODE dynamics use) is compiled
+into a *plan*, and the plan is interpreted inside the kernel in the
+feature-major ``[D, B]`` layout. Anything outside the
 subset raises :class:`FusionError`, which the front-ends catch to fall back
 to the generic XLA engine — fusion is an optimization, never a semantics
 change.
@@ -184,6 +185,13 @@ class FusedPlan:
     #: square case), smaller for rectangular auxiliary plans such as a
     #: hypersolver correction net g(t, [y; f]) -> dy (ops/pallas_fixed).
     dim_out: int = -1
+    #: plan contains a batch-axis ('bsum') reduction — mean-field
+    #: couplings like dy_i/dt = f(y_i) + g(mean_j y_j). Such plans run
+    #: unpacked and single-block (a block-local sum over a batch slice
+    #: would silently differ from the global sum), and refuse per-lane
+    #: stepping (a cross-lane sum over states at different per-lane times
+    #: is not the ODE the user wrote).
+    batch_coupled: bool = False
 
     @property
     def out_rows(self) -> int:
@@ -231,6 +239,7 @@ class _PlanBuilder:
         self.const_ids: List[int] = []     # val id per const
         self.const_layouts: List[Any] = [] # layout per const (None=undecided)
         self.const_of_val = {}             # val id -> const index (aliases)
+        self.batch_coupled = False         # any bsum instr emitted
 
     def new_val(self) -> int:
         self.n_vals += 1
@@ -461,8 +470,22 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
             builder.instrs.append(("un", out_id(), a, "copy"))
             return
         if c == B and B != 1 and 0 in eff_axes:
-            raise FusionError("reduction over the batch axis couples "
-                              "samples; not fusable")
+            # Batch-axis reduction: a mean-field coupling (jnp.mean/sum
+            # over samples). Only SUM fuses (its transpose is a masked
+            # lane broadcast; max/min would need argmax routing across
+            # lanes). Executed as a pad-lane-masked cross-lane reduction;
+            # the plan is marked batch_coupled so front-ends keep it
+            # unpacked/single-block (jaxpr_bridge.FusedPlan.batch_coupled).
+            if prim != "reduce_sum":
+                raise FusionError(
+                    "batch-axis reduce_max/reduce_min couples samples "
+                    "through argmax routing; only reduce_sum/mean "
+                    "(mean-field couplings) fuses")
+            to_scalar = (_kind(tuple(eqn.outvars[0].aval.shape), B)
+                         == "scalar")
+            builder.instrs.append(("bsum", out_id(), a, r, to_scalar))
+            builder.batch_coupled = True
+            return
         to_scalar = _kind(tuple(eqn.outvars[0].aval.shape), B) == "scalar"
         fn = {"reduce_sum": "sum", "reduce_max": "max",
               "reduce_min": "min"}[prim]
@@ -662,6 +685,7 @@ def build_plan(func: Callable, t0, y0, matmul: str = "auto",
         const_val_ids=tuple(builder.const_ids),
         t_id=t_id, y_id=y_id, out_id=outs[0], batch=B, dim=D,
         matmul=matmul, dim_out=(-1 if out_dim is None else D_out),
+        batch_coupled=builder.batch_coupled,
     )
     return plan, builder.consts
 
@@ -847,6 +871,18 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
                 env[ins[1]] = fn(v)
             else:                            # feature-axis reduce
                 env[ins[1]] = fn(v, axis=0, keepdims=True)
+        elif op == "bsum":
+            # Batch-axis sum (mean-field coupling): lanes are samples;
+            # pad lanes (zero-filled single-block fill OR wrap-mode
+            # replicas) are masked to the sum's neutral element so only
+            # the true plan.batch samples contribute. Front-ends keep
+            # batch_coupled plans unpacked and single-block, so lanes
+            # here always cover the whole batch.
+            v = _materialize(get(ins[2]), ins[3], B, dtype)
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            v = jnp.where(lane2 < plan.batch, v, 0.0)
+            s = jnp.sum(v, axis=1, keepdims=True)        # [r, 1]
+            env[ins[1]] = jnp.sum(s) if ins[4] else s
         elif op == "dot":
             _, out, a_id, cidx, din, dout, mxu = ins
             h = env[a_id]                    # [din, B-ish]
@@ -925,7 +961,9 @@ def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
     unpack. n_blocks > 1 runs lane blocks as sequential grid programs
     (per-block controller; stats come back [n_blocks, 4] — see
     whole_solve_call). Returns (out [T, D, B], stats), plus (meta [S, 3],
-    coeffs [5*S, D, B]) when emit_dense=S.
+    coeffs [5*S, D, B]) when emit_dense=S (n_blocks > 1: meta
+    [n_blocks*S, 3] with rows [i*S, (i+1)*S) per block — each block has
+    its own step grid; see solvers/base.BlockDenseOutput).
     """
     from . import tableaus as _tabs
     from .pallas_kernels import (packed_make_f, perlane_solve_call,

@@ -1236,7 +1236,9 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
     index maps (the conv tier's recipe, ops/pallas_conv.py; bounds the
     per-program VMEM trajectory buffer for batches past the budget).
     B_true is then the per-block true lane count and stats come back
-    [n_blocks, 4]. Incompatible with emit_dense.
+    [n_blocks, 4]. With emit_dense, every block writes its OWN interpolant
+    window: meta comes back [n_blocks*S, 3] (rows [i*S, (i+1)*S) belong to
+    block i) and coeffs [5*S, D, B] lane-sliced per block.
     """
     D, B = y0.shape
     T = int(tau.shape[0])
@@ -1250,8 +1252,6 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
     if emit_dense and int(max_steps) > int(emit_dense):
         raise ValueError("emit_dense buffer smaller than max_steps "
                          "(accepted steps could overflow it)")
-    if emit_dense and n_blocks > 1:
-        raise ValueError("emit_dense is single-block only")
     if B % n_blocks:
         raise ValueError(f"lane count {B} not divisible by n_blocks "
                          f"{n_blocks}")
@@ -1311,17 +1311,36 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    out, stats = solver_pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((T, D, B), dtype),
+                 jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)]
+    out_specs = [out_spec, smem_t]
+    if emit_dense:
+        # Per-block dense windows: every grid program persists its OWN
+        # accepted-step interpolant sequence — meta rows [i*S, (i+1)*S)
+        # and the lane slice of the coefficient planes (each block has
+        # its own controller, hence its own step grid; consumers evaluate
+        # per block — solvers/base.BlockDenseOutput).
+        S = int(emit_dense)
+        out_shape += [jax.ShapeDtypeStruct((n_blocks * S, 3), dtype),
+                      jax.ShapeDtypeStruct((5 * S, D, B), dtype)]
+        out_specs += [pl.BlockSpec((S, 3), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((5 * S, D, NB), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)]
+    res = solver_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=([smem_t] * 7 + [state_spec, state_spec]
                   + [rep_spec(np.shape(w)) for w in aux_arrays]),
-        out_specs=[out_spec, smem_t],
-        out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
-                   jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*scalar_ins, y0, f0, *aux_arrays)
+    if emit_dense:
+        out, stats, meta, dcoef = res
+        return out, stats, meta, dcoef
+    out, stats = res
     return out, stats
 
 

@@ -307,6 +307,21 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
                 x = getp(ins[2])
                 r = _rows_of(x)
                 addct(ins[2], jnp.broadcast_to(c, (r, c.shape[1])))
+            elif op == "bsum":
+                # Transpose of a masked batch-axis (lane) sum: collapse
+                # the (possibly lane-resolved) output cotangent the same
+                # way the col-const quadrature does, then broadcast it
+                # back across the TRUE lanes (pad lanes get zero, exactly
+                # mirroring the forward mask).
+                r = ins[3]
+                cc = c
+                if jnp.ndim(cc) == 2 and cc.shape[1] > 1:
+                    cc = jnp.sum(jnp.where(lane_ok, cc, 0.0), axis=1,
+                                 keepdims=True)
+                if ins[4] and jnp.ndim(cc) == 2:       # to-scalar bsum
+                    cc = jnp.sum(cc)
+                cb = _materialize(cc, r, B, dtype)
+                addct(ins[2], jnp.where(lane_ok, cb, 0.0))
             elif op == "dot":
                 _, out, a_id, cidx, din, dout, mxu = ins
                 wT = cvals[cidx]                   # [doutP, dinP]
@@ -454,12 +469,17 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
     if n_blocks > 1 and any(
             l[0] in ("batch", "bvec") for l in plan.const_layouts):
         raise ValueError("per-sample consts are not block-shardable")
+    if n_blocks > 1 and plan.batch_coupled:
+        raise ValueError("batch-coupled plans are not block-shardable "
+                         "(block-local sums)")
 
     # Sublane packing (see pallas_adjoint._adjoint_pack): skipped for
     # plans with per-sample consts — their cotangent blocks are
-    # lane-resolved at the FULL batch width.
+    # lane-resolved at the FULL batch width — and for batch-coupled
+    # plans (the masked lane sum assumes lanes == samples).
     kpk = 1
-    if not any(l[0] in ("batch", "bvec") for l in plan.const_layouts):
+    if not plan.batch_coupled and not any(
+            l[0] in ("batch", "bvec") for l in plan.const_layouts):
         kpk = _adjoint_pack(pack, D, Bb)
     if n_blocks > 1 and (Bb // kpk) % _LANE:
         kpk = 1                    # grid blocks must stay lane-aligned

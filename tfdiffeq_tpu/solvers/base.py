@@ -82,6 +82,63 @@ class DenseOutput(NamedTuple):
         return out if jnp.ndim(t) else out[0]
 
 
+@jax.tree_util.register_pytree_node_class
+class BlockDenseOutput:
+    """Dense output from a GRID-BLOCKED fused solve (batches past the
+    kernel's VMEM budget run as sequential lane-block programs, each with
+    its own controller and therefore its own accepted-step grid).
+
+    Same `eval_flat` contract as :class:`DenseOutput` — evaluate the flat
+    solution anywhere in [t[0], t[-1]] — but the interpolant search runs
+    PER BLOCK (vmapped searchsorted over the block axis) and the flat
+    state is reassembled from the block lane slices, dropping wrap-pad
+    samples. Registered as a pytree (arrays are children; the static
+    true-batch/dim are aux) so it crosses jit / custom_vjp boundaries.
+
+    t0s/t1s/dts: [G, S] per-block step metadata (+inf t1 tail rows);
+    coeffs: [G, S, 5, Nb] per-block flat interpolants (Nb = Bb * D,
+    batch-major like DenseOutput); sign: tau = sign * t.
+    """
+
+    def __init__(self, t0s, t1s, dts, coeffs, sign, b_orig: int, d: int):
+        self.t0s, self.t1s, self.dts = t0s, t1s, dts
+        self.coeffs = coeffs
+        self.sign = sign
+        self.b_orig = int(b_orig)
+        self.d = int(d)
+
+    def tree_flatten(self):
+        return ((self.t0s, self.t1s, self.dts, self.coeffs, self.sign),
+                (self.b_orig, self.d))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def eval_flat(self, t):
+        """Evaluate the FLAT solution ([b_orig * d]) at time(s) t."""
+        import jax
+        import jax.numpy as jnp
+        tau = (self.sign * jnp.asarray(t)).reshape(-1)
+
+        def one_block(t0s, t1s, dts, coeffs):
+            idx = jnp.clip(jnp.searchsorted(t1s, tau, side="left"), 0,
+                           t1s.shape[0] - 1)
+            x = ((tau - t0s[idx]) / dts[idx])[:, None]
+            x = x.astype(coeffs.dtype)
+            c = coeffs[idx]
+            return ((((c[:, 0] * x + c[:, 1]) * x + c[:, 2]) * x
+                     + c[:, 3]) * x + c[:, 4])      # [Q, Nb]
+
+        per_block = jax.vmap(one_block)(self.t0s, self.t1s, self.dts,
+                                        self.coeffs)   # [G, Q, Nb]
+        G, Q, Nb = per_block.shape
+        full = jnp.transpose(per_block, (1, 0, 2)).reshape(
+            Q, G * (Nb // self.d), self.d)             # [Q, B_pad, D]
+        out = full[:, :self.b_orig].reshape(Q, self.b_orig * self.d)
+        return out if jnp.ndim(t) else out[0]
+
+
 class CanonicalProblem(NamedTuple):
     func: Callable[[Array, Array], Array]   # g(tau, y_flat) -> dy_flat
     y0: Array                               # [N] flat initial state
