@@ -311,16 +311,26 @@ def odeint_adjoint(
         == fwd_options.get("max_num_steps"))
     if (use_fuse and forward_solver is None and adjoint_mode == "resets"
             and _fwd_kind_ok and _bwd_kind_ok and _bwd_faithful
-            and hasattr(y0, "ndim") and jnp.ndim(y0) in (1, 2)
             and not (set(fwd_options) - _fwd_allowed)
             and not (set(bwd_options) - _bwd_allowed)
             and all(isinstance(tol, (int, float)) or jnp.ndim(tol) == 0
                     for tol in (rtol, atol, adjoint_rtol, adjoint_atol))):
         from .ops.jaxpr_bridge import FusionError
         try:
-            from .fast import odeint_adjoint_fused
-            return odeint_adjoint_fused(
-                user_func, y0, t, params=params_in, rtol=rtol, atol=atol,
+            from .fast import odeint_adjoint_fused, tree_state_parts
+            # Pytree states ride the two-kernel path via the feature-
+            # concat adapter (fast.tree_state_parts); the to_bd / rebuild
+            # wrappers are plain traced JAX, so y0-pytree cotangents flow
+            # through them automatically.
+            _f3, _y0f, _rebuild = user_func, y0, None
+            _parts = tree_state_parts(y0)
+            if _parts is not None:
+                _y0f, _to_bd, _from_bd, _rebuild = _parts
+                _uf = user_func
+                _f3 = (lambda tt, yy, pp:
+                       _to_bd(_uf(tt, _from_bd(yy), pp)))
+            out = odeint_adjoint_fused(
+                _f3, _y0f, t, params=params_in, rtol=rtol, atol=atol,
                 adjoint_rtol=adjoint_rtol, adjoint_atol=adjoint_atol,
                 method=method or "dopri5", adjoint_method=adjoint_method,
                 adjoint_seminorm=adjoint_seminorm,
@@ -331,6 +341,10 @@ def odeint_adjoint(
                 step_size=fwd_options.get("step_size"),
                 adjoint_num_steps=bwd_options.get("num_steps"),
                 nfe_meter=nfe_meter, return_stats=return_stats)
+            if _rebuild is not None:
+                out = ((_rebuild(out[0]),) + tuple(out[1:])
+                       if return_stats else _rebuild(out))
+            return out
         except FusionError as e:
             import warnings
             warnings.warn(

@@ -44,9 +44,11 @@ Arbitrary plain-jnp dynamics ALSO fuse, via the jaxpr->Pallas bridge
 user func, compiles it to a plan executed inside the whole-solve kernel
 (`solve_fused` below), and `odeint_adjoint(..., options={'fuse': True})`
 runs the ENTIRE backward sweep as one kernel too (`odeint_adjoint_fused`,
-reverse-mode over the plan ISA in `ops/plan_adjoint.py`). Dynamics outside
-the bridge ISA (e.g. `sort`, batch-axis max/min) fall back to the
-generic path with a warning. The fused adjoint is NOT restricted to
+reverse-mode over the plan ISA in `ops/plan_adjoint.py`). PYTREE states
+(tuple/dict leaves sharing a leading batch axis) ride the same path via
+`tree_state_adapter` (feature-axis concat). Dynamics outside the bridge
+ISA (e.g. `sort`, batch-axis max/min, rank-3 intermediates) fall back to
+the generic path with a warning. The fused adjoint is NOT restricted to
 autonomous dynamics: `MLPSpec(time_input=True)` concat-t MLPs
 differentiate in-kernel (t-column VJP + a_t quadrature,
 ops/pallas_adjoint.py), as do time-dependent bridge plans.
@@ -367,6 +369,91 @@ def _fixed_grid_tau(tau, t, num_steps, step_size, dtype):
 #: fixed-step Adams methods the fused tier covers (kind 'custom' in the
 #: SOLVERS registry; their whole-solve kernel lives in ops/pallas_fixed).
 _ADAMS_METHODS = frozenset({"explicit_adams", "fixed_adams"})
+
+
+def tree_state_parts(y0):
+    """Conversion pieces for adapting a PYTREE state to the fused tier's
+    [B, D] layout (see `tree_state_adapter` for the design).
+
+    Returns ``None`` when y0 is already a plain [B, D] / [D] array, else
+    ``(y_bd, to_bd, from_bd, rebuild)``: to_bd maps a state pytree to the
+    [B, D] concat, from_bd inverts it, rebuild maps a fused trajectory
+    ``[..., B, D]`` back to the pytree with leaves ``[..., B, *rest]``.
+    Non-conforming trees raise FusionError (front-ends fall back).
+    """
+    from .ops import jaxpr_bridge as jb
+
+    leaves, treedef = jax.tree_util.tree_flatten(y0)
+    if len(leaves) == 1 and leaves[0] is y0 and jnp.ndim(y0) in (1, 2):
+        return None
+    if not leaves:
+        raise jb.FusionError("empty pytree state")
+    if any(jnp.ndim(l) < 1 for l in leaves):
+        raise jb.FusionError(
+            "pytree state with scalar leaves is not fusable (the fused "
+            "tier needs a shared leading batch axis)")
+    B = int(np.shape(leaves[0])[0])
+    if any(int(np.shape(l)[0]) != B for l in leaves):
+        raise jb.FusionError(
+            "pytree state leaves disagree on the leading (batch) axis; "
+            "not fusable")
+    shapes = [tuple(np.shape(l)) for l in leaves]
+    ds = [int(np.prod(s[1:])) if len(s) > 1 else 1 for s in shapes]
+    offs = np.concatenate([[0], np.cumsum(ds)]).tolist()
+    dtype = jnp.result_type(*leaves)
+
+    def to_bd(tree):
+        ls = jax.tree_util.tree_leaves(tree)
+        if len(ls) != len(shapes):
+            raise jb.FusionError("dynamics returned a different pytree "
+                                 "structure than the state")
+        return jnp.concatenate(
+            [jnp.reshape(l, (B, d)).astype(dtype)
+             for l, d in zip(ls, ds)], axis=1)
+
+    def from_bd(y):
+        parts = [jnp.reshape(y[:, o:o + d], s)
+                 for o, d, s in zip(offs, ds, shapes)]
+        return jax.tree_util.tree_unflatten(treedef, parts)
+
+    def rebuild(ys):
+        lead = ys.shape[:-2]
+        parts = [jnp.reshape(ys[..., o:o + d], lead + s)
+                 for o, d, s in zip(offs, ds, shapes)]
+        return jax.tree_util.tree_unflatten(treedef, parts)
+
+    return to_bd(y0), to_bd, from_bd, rebuild
+
+
+def tree_state_adapter(func, y0):
+    """Adapt a PYTREE state to the fused tier's [B, D] layout.
+
+    The reference supports tuple-of-tensors state (SURVEY.md §2 "Input
+    checking"); the generic engine generalizes that to any pytree by
+    raveling to a flat [N] vector. This adapter puts pytree states on the
+    FUSED path too: leaves sharing a leading batch axis B are reshaped to
+    [B, d_i] and concatenated along the feature axis into one [B, D]
+    array, and the user func is wrapped so the kernel-side plan sees
+    (t, y[B, D]) -> dy[B, D]. The wrapper's slices / reshapes / concat
+    trace into the jaxpr and lower through the bridge's existing `slice` /
+    `reshape` / `concat` ISA ops (ops/jaxpr_bridge.py) — no new kernel
+    machinery. Anything non-conforming raises FusionError so front-ends
+    fall back to the generic engine (fusion never changes semantics).
+
+    Returns ``None`` when y0 is already a plain [B, D] / [D] array (caller
+    uses the existing path), else ``(wrapped_func, y_bd, rebuild)`` where
+    ``rebuild(ys[..., B, D])`` maps fused trajectories back to the user's
+    pytree with leaves ``[..., B, *leaf_shape[1:]]``.
+    """
+    parts = tree_state_parts(y0)
+    if parts is None:
+        return None
+    y_bd, to_bd, from_bd, rebuild = parts
+
+    def wrapped(t, y):
+        return to_bd(func(t, from_bd(y)))
+
+    return wrapped, y_bd, rebuild
 
 
 def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,

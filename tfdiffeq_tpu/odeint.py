@@ -138,13 +138,26 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
         if unsupported:
             raise FusionError(f"options {sorted(unsupported)} are not "
                               "supported by the fused kernel")
-        if not (hasattr(y0, "ndim") and jnp.ndim(y0) in (1, 2)):
-            raise FusionError("fused solves need a single [B, D] (or [D]) "
-                              "array state, not a pytree")
         for tol in (rtol, atol):
             if not (isinstance(tol, (int, float)) or jnp.ndim(tol) == 0):
                 raise FusionError("per-leaf tolerance pytrees are not "
                                   "supported by the fused kernel")
+        # Pytree (tuple/dict) states ride the fused tier via the
+        # feature-concat adapter (fast.tree_state_adapter) — the
+        # reference's tuple-of-tensors capability on the fast path.
+        # Hypersolvers are array-only (the correction net's [y; f] input
+        # contract is defined on the flat feature axis).
+        rebuild = None
+        if method in _FUSABLE_HYPER_METHODS:
+            if not (hasattr(y0, "ndim") and jnp.ndim(y0) in (1, 2)):
+                raise FusionError(
+                    "fused hypersolvers need a [B, D] (or [D]) array "
+                    "state")
+        else:
+            from .fast import tree_state_adapter
+            adapted = tree_state_adapter(func, y0)
+            if adapted is not None:
+                func, y0, rebuild = adapted
         from .fast import solve_fused
         if method in _FUSABLE_HYPER_METHODS:
             from .fast import solve_hyper
@@ -157,7 +170,7 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
                 num_steps=options.get("num_steps"),
                 step_size=options.get("step_size"))
         if method == "adams":
-            return solve_fused(
+            res = solve_fused(
                 func, y0, t, rtol=rtol, atol=atol, method=method,
                 max_num_steps=options.get("max_num_steps"),
                 first_step=options.get("first_step"),
@@ -165,26 +178,30 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
                 ifactor=float(options.get("ifactor", 10.0)),
                 dfactor=float(options.get("dfactor", 0.2)),
                 max_order=int(options.get("max_order", 12)))
-        if method in _FUSABLE_ADAMS_METHODS:
-            return solve_fused(
+        elif method in _FUSABLE_ADAMS_METHODS:
+            res = solve_fused(
                 func, y0, t, rtol=rtol, atol=atol, method=method,
                 num_steps=options.get("num_steps"),
                 step_size=options.get("step_size"),
                 max_order=int(options.get("max_order", 4)),
                 max_iters=int(options.get("max_iters", 4)))
-        if kind == "fixed":
-            return solve_fused(
+        elif kind == "fixed":
+            res = solve_fused(
                 func, y0, t, method=method,
                 num_steps=options.get("num_steps"),
                 step_size=options.get("step_size"))
-        return solve_fused(
-            func, y0, t, rtol=rtol, atol=atol, method=method,
-            max_num_steps=options.get("max_num_steps"),
-            first_step=options.get("first_step"),
-            safety=float(options.get("safety", 0.9)),
-            ifactor=float(options.get("ifactor", 10.0)),
-            dfactor=float(options.get("dfactor", 0.2)),
-            per_sample=bool(options.get("per_sample", False)))
+        else:
+            res = solve_fused(
+                func, y0, t, rtol=rtol, atol=atol, method=method,
+                max_num_steps=options.get("max_num_steps"),
+                first_step=options.get("first_step"),
+                safety=float(options.get("safety", 0.9)),
+                ifactor=float(options.get("ifactor", 10.0)),
+                dfactor=float(options.get("dfactor", 0.2)),
+                per_sample=bool(options.get("per_sample", False)))
+        if rebuild is not None:
+            res = res._replace(ys=rebuild(res.ys))
+        return res
     except FusionError as e:
         if (kind == "adaptive" and options.get("per_sample")
                 and hasattr(y0, "ndim") and jnp.ndim(y0) == 2):
