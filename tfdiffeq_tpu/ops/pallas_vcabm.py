@@ -53,14 +53,19 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
                        B_true: int, make_f, n_wrefs: int,
                        per_block_io: bool = False):
     """Ref layout:
-      SMEM in : tau [1,T], dt0 [1,n_blocks], gstar [1,_K+1], rtol, atol,
+      SMEM in : tau [1,T], dt0 [1,n_blocks], gstar [1,max_order+3], rtol, atol,
                 dtmin, sign, valid (all [1,1])
       VMEM in : y0 [D,B], f0 [D,B], *wrefs
       outputs : out [T,D,B] (VMEM), stats [n_blocks,4] (SMEM)
-      scratch : y_s [D,B], phi_s/ephi_s/phip_s [(MAX_ORDER+2)*D, B],
-                prevt_s SMEM [1, _K]
+      scratch : y_s [D,B], phi_s/ephi_s/phip_s [(max_order+2)*D, B],
+                prevt_s SMEM [1, max_order+2]
     """
     MO = int(max_order)
+    # Unroll bounds + phi-row counts are tied to the STATIC max_order:
+    # rows j >= MO+2 are masked to zero at MO=12 and simply don't exist
+    # at lower caps — a max_order=5 kernel does 7-row phi machinery
+    # instead of 14 (exact, since those rows were always zero).
+    K = MO + 2                  # phi slots: indices 0 .. order+1 used
 
     def kernel(*refs):
         (tau_ref, dt0_ref, gstar_ref, rtol_ref, atol_ref, dtmin_ref,
@@ -86,7 +91,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
         phip_s[:] = jnp.zeros_like(phip_s)
         t0 = tau_ref[0, 0]
         # Sentinel times (t0 - 1 - slot): masked safe-divides never see 0/0.
-        for j in range(_K):
+        for j in range(K):
             prevt_s[0, j] = t0 - float(j) if j else t0
 
         raw_f = make_f(wrefs)
@@ -128,7 +133,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
 
             # ---- g / beta / explicit phi (unrolled scalar recurrences,
             # solvers/adams._g_and_explicit_phi) ----
-            cvec = [1.0 / float(i) for i in range(1, _K + 2)]
+            cvec = [1.0 / float(i) for i in range(1, K + 2)]
             cvec = [jnp.asarray(x, next_t.dtype) + 0.0 * next_t
                     for x in cvec]
             g = [jnp.asarray(1.0, next_t.dtype) + 0.0 * next_t]
@@ -152,7 +157,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
                     active_b, read_blk(phi_s, j) * beta,
                     jnp.zeros((D, y.shape[1]), y.dtype))
             # g entries beyond MO are never selected (order <= MO).
-            g = g + [jnp.asarray(0.0, next_t.dtype)] * (_K - len(g))
+            g = g + [jnp.asarray(0.0, next_t.dtype)] * (K - len(g))
 
             # ---- explicit predictor over max(1, order-1) terms ----
             n_pred = jnp.maximum(order - 1, 1)
@@ -167,11 +172,11 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
             f_pred = f(next_t, p_next)
             # phip[j] = f_pred - sum_{i<j} ephi[i], masked j < order+1
             run = jnp.zeros_like(p_next)
-            for j in range(_K):
+            for j in range(K):
                 blk = jnp.where(j < order + 1, f_pred - run,
                                 jnp.zeros_like(f_pred))
                 phip_s[j] = blk
-                if j < _K - 1:
+                if j < K - 1:
                     run = run + read_blk(ephi_s, j)
             om1 = jnp.maximum(order - 1, 0)
             cidx = jnp.maximum(order - 1, 1)
@@ -218,7 +223,7 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
                 # so row `order` is live): f_next - sum_{i<order} ephi[i].
                 run2 = jnp.zeros_like(f_next)
                 phi_ord = jnp.zeros_like(f_next)
-                for j in range(_K - 1):
+                for j in range(K - 1):
                     phi_ord = jnp.where(j == order, f_next - run2,
                                         phi_ord)
                     run2 = run2 + read_blk(ephi_s, j)
@@ -253,17 +258,17 @@ def _make_vcabm_kernel(T: int, max_order: int, safety: float,
                 # f_next). Read ephi BEFORE overwriting phi rows.
                 run3 = jnp.zeros_like(f_next)
                 blks = []
-                for j in range(_K):
+                for j in range(K):
                     blks.append(jnp.where(j < order + 2, f_next - run3,
                                           jnp.zeros_like(f_next)))
-                    if j < _K - 1:
+                    if j < K - 1:
                         run3 = run3 + read_blk(ephi_s, j)
-                for j in range(_K):
+                for j in range(K):
                     phi_s[j] = blks[j]
                 # prev_t shift: [next_t, prev_t[:-1]]
-                olds = [prevt_s[0, j] for j in range(_K - 1)]
+                olds = [prevt_s[0, j] for j in range(K - 1)]
                 prevt_s[0, 0] = next_t
-                for j in range(_K - 1):
+                for j in range(K - 1):
                     prevt_s[0, j + 1] = olds[j]
 
             # ---- output write: accepted step landing on final_t ----
@@ -320,6 +325,7 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
         raise ValueError(f"lane count {B} not divisible by n_blocks "
                          f"{n_blocks}")
     NB = B // n_blocks
+    K = int(max_order) + 2
     kernel = _make_vcabm_kernel(T, int(max_order), float(safety),
                                 float(ifactor), float(dfactor),
                                 int(max_steps), B_true, make_f,
@@ -341,7 +347,7 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
     dt0 = jnp.maximum(jnp.abs(jnp.asarray(dt0, dtype)), dt_min)
     dt0 = jnp.broadcast_to(dt0.reshape(-1),
                            (n_blocks,)).reshape(1, n_blocks)
-    gstar = jnp.asarray(GAMMA_STAR[:_K + 1], dtype).reshape(1, _K + 1)
+    gstar = jnp.asarray(GAMMA_STAR[:K + 1], dtype).reshape(1, K + 1)
     scalar_ins = (tau.reshape(1, T), dt0, gstar,
                   jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
                   jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
@@ -349,10 +355,10 @@ def vcabm_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                   jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
                   jnp.reshape(valid, (1, 1)))
     scratch = [pltpu.VMEM((D, NB), dtype),
-               pltpu.VMEM((_K, D, NB), dtype),
-               pltpu.VMEM((_K, D, NB), dtype),
-               pltpu.VMEM((_K, D, NB), dtype),
-               pltpu.SMEM((1, _K), dtype)]
+               pltpu.VMEM((K, D, NB), dtype),
+               pltpu.VMEM((K, D, NB), dtype),
+               pltpu.VMEM((K, D, NB), dtype),
+               pltpu.SMEM((1, K), dtype)]
 
     if n_blocks == 1:
         out, stats = solver_pallas_call(

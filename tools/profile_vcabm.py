@@ -23,8 +23,6 @@ Measured quantities (chain-regressed marginals, the stable metric):
 Run on the real chip: python tools/profile_vcabm.py
 """
 import sys
-import time
-
 sys.path.insert(0, "/root/repo")
 
 import jax                                                   # noqa: E402
@@ -34,67 +32,50 @@ import numpy as np                                           # noqa: E402
 from tfdiffeq_tpu import solve                               # noqa: E402
 
 
-def _params():
-    A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
-    return A
-
-
-def _chain(fn, y0, n_links):
-    """Run fn n_links times with a data dependency; return seconds."""
-    def chained(y):
-        stats_sum = jnp.int32(0)
-        for _ in range(n_links):
-            r = fn(y)
-            y = y0 + 0.0 * r.ys[-1]
-            stats_sum = stats_sum + r.stats.nfe + r.stats.n_accepted \
-                + r.stats.n_rejected
-        return y, stats_sum
-
-    c = jax.jit(chained)
-    out = c(y0)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(c(y0))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
 def profile_method(method, B, t_span=25.0, t_out=64, rtol=1e-6,
-                   atol=1e-8):
-    A = _params()
+                   atol=1e-8, reps=64, max_order=None):
+    """Chain-regressed marginal cost via bench.py's `_bench_sustained`
+    harness (lax.scan chains of reps and reps//2 solves; the slope
+    regresses out the ~26 ms fixed dispatch latency, which otherwise
+    swamps short-chain deltas on this testbed)."""
+    import bench
+
+    # The bench headline's MLP-spiral dynamics (the workload behind the
+    # 730k-vs-471k NFE/s numbers this profile decomposes). A pure cubic
+    # spiral decays to the y=0 fixed point over span 25, collapsing later
+    # chain links into degenerate near-zero solves whose NFE deltas are
+    # noise; the MLP's bias drift keeps the chain in distribution.
     y0 = jnp.asarray(np.random.RandomState(1).randn(B, 2) * 1.5,
                      jnp.float32)
     t = jnp.linspace(0.0, t_span, t_out, dtype=jnp.float32)
+    dyn = bench._spiral_dyn(bench._params())
 
-    def dyn(tt, yy):
-        return jnp.dot(yy ** 3, A,
-                       precision=jax.lax.Precision.HIGHEST)
+    opts = {"fuse": True}
+    if max_order is not None:
+        opts["max_order"] = int(max_order)
 
     def one(y):
-        return solve(dyn, y, t, rtol=rtol, atol=atol, method=method,
-                     options={"fuse": True})
+        r = solve(dyn, y, t, rtol=rtol, atol=atol, method=method,
+                  options=dict(opts))
+        return r.ys, r.stats.nfe
 
-    r = jax.jit(one)(y0)
-    jax.block_until_ready(r.ys)
-    nfe = int(r.stats.nfe)
-    nacc = int(r.stats.n_accepted)
-    nrej = int(r.stats.n_rejected)
-    attempts = nacc + nrej
+    r = jax.jit(lambda y: solve(dyn, y, t, rtol=rtol, atol=atol,
+                                method=method,
+                                options=dict(opts)).stats)(y0)
+    jax.block_until_ready(r)
+    nfe = int(r.nfe)
+    attempts = int(r.n_accepted) + int(r.n_rejected)
 
-    # chain-regressed marginal: time K1 and K2 links, slope = per-solve
-    k1, k2 = 4, 16
-    t1 = _chain(one, y0, k1)
-    t2 = _chain(one, y0, k2)
-    per_solve = (t2 - t1) / (k2 - k1)
+    nfe_s, marg_us_per_nfe, med, _, _ = bench._bench_sustained(
+        one, y0, reps, k=5)
+    per_solve = marg_us_per_nfe * nfe * 1e-6
     return {
         "method": method, "B": B, "nfe": nfe, "attempts": attempts,
-        "accepted": nacc, "rejected": nrej,
+        "accepted": int(r.n_accepted), "rejected": int(r.n_rejected),
         "per_solve_s": per_solve,
         "us_per_attempt": per_solve / attempts * 1e6,
-        "us_per_nfe": per_solve / nfe * 1e6,
-        "nfe_per_sec": nfe / per_solve,
+        "us_per_nfe": marg_us_per_nfe,
+        "nfe_per_sec": 1e6 / marg_us_per_nfe,
     }
 
 
@@ -123,6 +104,17 @@ def main():
           f"dopri5 {d5[1]['per_solve_s']*1e3:.2f} ms ({d5[1]['nfe']} NFE) "
           f"vs adams {ad[1]['per_solve_s']*1e3:.2f} ms "
           f"({ad[1]['nfe']} NFE)")
+
+    # Static max_order lever: unroll bounds + phi rows shrink with the
+    # user's cap (K = max_order + 2 rows instead of 14).
+    for mo in (5,):
+        r = profile_method("adams", 4096, max_order=mo)
+        print(f"adams(max_order={mo}) B=4096: {r['nfe']} NFE "
+              f"{r['us_per_attempt']:.2f} us/attempt  "
+              f"{r['us_per_nfe']:.2f} us/NFE  "
+              f"{r['nfe_per_sec']/1e3:.1f}k NFE/s "
+              f"(vs {ad[1]['us_per_attempt']:.2f} us/attempt at "
+              f"max_order=12)", flush=True)
 
 
 if __name__ == "__main__":
