@@ -247,15 +247,31 @@ def test_odeint_fuse_option_and_fallback():
     np.testing.assert_allclose(np.asarray(ys2), np.asarray(ref2.ys),
                                atol=1e-6)
 
-    # pytree state -> fallback, not crash
+    # pytree state: rides the fused tier via the feature-concat adapter
+    # (fast.tree_state_adapter) — correct result, NO fallback warning.
     def tree_f(t, y):
         return {"a": -y["a"]}
 
     with warnings.catch_warnings(record=True) as wlog:
         warnings.simplefilter("always")
         ys3 = odeint(tree_f, {"a": Y0}, T, options={"fuse": True})
-    assert any("falling back" in str(w.message) for w in wlog)
+    assert not any("falling back" in str(w.message) for w in wlog)
     assert ys3["a"].shape == (7, 8, 2)
+    ref3 = odeint(tree_f, {"a": Y0}, T)
+    np.testing.assert_allclose(np.asarray(ys3["a"]),
+                               np.asarray(ref3["a"]), atol=5e-6)
+
+    # pytree state whose dynamics are unfusable (sort) -> fallback, not
+    # crash: the adapter wraps, the bridge rejects, the generic engine
+    # serves the dict state.
+    def tree_unfusable(t, y):
+        return {"a": jnp.sort(y["a"], axis=-1) * -0.5}
+
+    with warnings.catch_warnings(record=True) as wlog:
+        warnings.simplefilter("always")
+        ys4 = odeint(tree_unfusable, {"a": Y0}, T, options={"fuse": True})
+    assert any("falling back" in str(w.message) for w in wlog)
+    assert ys4["a"].shape == (7, 8, 2)
 
     # Every built-in method now fuses (tests/test_fixed_fused.py covers
     # the fixed/Adams/hyper parity batteries); a hypersolver without its

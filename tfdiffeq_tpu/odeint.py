@@ -72,8 +72,9 @@ def register_solver(name: str, kind: str, impl, allowed=None) -> None:
 
 def _resolve_tolerance(tol, y0) -> Any:
     """Scalar tolerance passes through; a pytree matching y0's structure is
-    broadcast leaf-wise to y0's leaf shapes, then raveled to align with the
-    flat [N] state (per-leaf scalar tolerances work)."""
+    broadcast leaf-wise to y0's leaf shapes, then aligned with the canonical
+    state (the y0 array's own shape for native single-array states, the
+    raveled flat [N] vector otherwise) — per-leaf scalar tolerances work."""
     if isinstance(tol, (int, float)) or (
             hasattr(tol, "ndim") and jnp.ndim(tol) == 0
             and not isinstance(tol, dict)):
@@ -81,6 +82,8 @@ def _resolve_tolerance(tol, y0) -> Any:
     tol_b = jax.tree_util.tree_map(
         lambda tl, yl: jnp.broadcast_to(jnp.asarray(tl, yl.dtype), yl.shape),
         tol, y0)
+    if jax.tree_util.all_leaves([y0]) and jnp.ndim(y0) >= 1:
+        return tol_b           # canonical state keeps the native shape
     flat, _ = flatten_state(tol_b)
     return flat
 
@@ -362,9 +365,11 @@ def solve(
         stats = stats._replace(status=jnp.where(
             prob.valid, stats.status,
             jnp.asarray(int(_St.INVALID_TIMES), jnp.int32)))
-        keep = prob.valid | (jnp.arange(ys_flat.shape[0]) == 0)[:, None]
+        keep = prob.valid | (jnp.arange(ys_flat.shape[0]) == 0).reshape(
+            (ys_flat.shape[0],) + (1,) * (ys_flat.ndim - 1))
         ys_flat = jnp.where(keep, ys_flat, jnp.zeros_like(ys_flat))
-    ys = unravel_trajectory(prob.unravel, ys_flat)
+    ys = ys_flat if prob.native else unravel_trajectory(prob.unravel,
+                                                        ys_flat)
     dense = result.dense
     if dense is not None:
         # Emissions are in tau space with the solver-local sign (always

@@ -173,7 +173,6 @@ def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
     g, yf, tau = prob.func, prob.y0, prob.tau
     dtype = prob.dtype
     T = tau.shape[0]
-    N = yf.shape[0]
     rtol = jnp.asarray(rtol, dtype)
     atol = jnp.asarray(atol, dtype)
     max_steps = jnp.asarray(max_num_steps if max_num_steps is not None
@@ -183,7 +182,8 @@ def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
 
     if T == 1:
         z = jnp.asarray(0, jnp.int32)
-        ys = unravel_trajectory(prob.unravel, yf[None])
+        ys = (yf[None] if prob.native
+              else unravel_trajectory(prob.unravel, yf[None]))
         return SolveResult(ys, SolverStats(z, z, z,
                                            jnp.asarray(0, jnp.int32)))
 
@@ -200,7 +200,8 @@ def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
     dt_min = 4.0 * jnp.finfo(dtype).eps * span
 
     zeros = jnp.zeros_like(yf)
-    out0 = jnp.zeros((T, N), dtype).at[0].set(yf)
+    out0 = jnp.zeros((T,) + yf.shape, dtype).at[0].set(yf)
+    bshape = (T,) + (1,) * yf.ndim
     init = _DFState(
         th=tau[0], tl=jnp.zeros((), dtype), yh=yf, yl=zeros,
         fh=f0h, fl=zeros, dt=_stop(dt0),
@@ -288,8 +289,9 @@ def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
 
         mask = accept & (tau > s.th) & (tau <= t1[0])
         vals = interp_evaluate(coeffs, s.th, dth, tau)
-        vals = jnp.where((tau == t1[0])[:, None], df_to_f(y1)[None], vals)
-        out = jnp.where(mask[:, None], vals, s.out)
+        vals = jnp.where((tau == t1[0]).reshape(bshape), df_to_f(y1)[None],
+                         vals)
+        out = jnp.where(mask.reshape(bshape), vals, s.out)
 
         n_att = s.n_acc + s.n_rej + 1
         status = s.status
@@ -326,9 +328,10 @@ def solve_df(func: Callable, y0: Any, t, *, rtol=1e-8, atol=1e-10,
         stats = stats._replace(status=jnp.where(
             prob.valid, stats.status,
             jnp.asarray(int(Status.INVALID_TIMES), jnp.int32)))
-        keep = prob.valid | (jnp.arange(T) == 0)[:, None]
+        keep = prob.valid | (jnp.arange(T) == 0).reshape(bshape)
         ys_flat = jnp.where(keep, ys_flat, jnp.zeros_like(ys_flat))
-    ys = unravel_trajectory(prob.unravel, ys_flat)
+    ys = (ys_flat if prob.native
+          else unravel_trajectory(prob.unravel, ys_flat))
     return SolveResult(ys, stats)
 
 

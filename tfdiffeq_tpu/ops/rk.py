@@ -157,13 +157,11 @@ def interp_fit(tableau: ButcherTableau, y0: Array, y1: Array, f0: Array,
 def interp_evaluate(coeffs: Array, t0: Array, dt: Array, t: Array) -> Array:
     """Evaluate dense-output polynomial(s) at time(s) t.
 
-    coeffs: [5, N]; t: scalar or [T]. Returns [N] or [T, N].
+    coeffs: [5, *state]; t: scalar or [T]. Returns [*state] or [T, *state].
     Parity: upstream `_interp_evaluate` (SURVEY.md §2).
     """
     x = ((t - t0) / dt).astype(coeffs.dtype)
-    if jnp.ndim(x) == 0:
-        a, b, c, d, e = coeffs
-        return (((a * x + b) * x + c) * x + d) * x + e
-    x = x[:, None]  # [T, 1]
     a, b, c, d, e = coeffs
+    if jnp.ndim(x) != 0:
+        x = x.reshape(x.shape + (1,) * (coeffs.ndim - 1))  # [T, 1...]
     return (((a * x + b) * x + c) * x + d) * x + e

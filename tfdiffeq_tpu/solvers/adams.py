@@ -116,7 +116,7 @@ def _compute_implicit_phi(explicit_phi: Array, f_next: Array,
     csum = jnp.cumsum(explicit_phi[:-1], axis=0)
     shifted = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
     phi = f_next[None] - shifted
-    rows = jnp.arange(_K)[:, None]
+    rows = jnp.arange(_K).reshape((_K,) + (1,) * (phi.ndim - 1))
     return jnp.where(rows < k, phi, jnp.zeros_like(phi))
 
 
@@ -143,7 +143,6 @@ def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
     dtype = prob.dtype
     rdtype = jnp.finfo(prob.time_dtype).dtype
     T = tau.shape[0]
-    N = y0.shape[0]
 
     max_order = int(options.get("max_order", MAX_ORDER))
     if not 1 <= max_order <= MAX_ORDER:
@@ -185,11 +184,11 @@ def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
     # values (t0 - 1 - slot) so no masked-safe-divide ever sees 0/0.
     init = dict(
         y=y0,
-        phi=jnp.zeros((_K, N), dtype).at[0].set(f0),
+        phi=jnp.zeros((_K,) + y0.shape, dtype).at[0].set(f0),
         prev_t=(t0 - 1.0 - jnp.arange(_K, dtype=rdtype)).at[0].set(t0),
         next_t=t0 + dt0,
         order=jnp.asarray(1, jnp.int32),
-        out=jnp.zeros((T, N), dtype).at[0].set(y0),
+        out=jnp.zeros((T,) + y0.shape, dtype).at[0].set(y0),
         out_idx=jnp.asarray(1, jnp.int32),
         n_acc=jnp.asarray(0, jnp.int32),
         n_rej=jnp.asarray(0, jnp.int32),
@@ -300,9 +299,9 @@ def solve_vcabm(prob: CanonicalProblem, options: dict, rtol, atol
         # Output write: accepted step landing exactly on final_t.
         hit = accept & (next_t >= final_t)
         oi = s["out_idx"]
-        out = jnp.where(
-            (jnp.arange(T) == jnp.minimum(oi, T - 1))[:, None] & hit,
-            y_next[None], s["out"])
+        sel = (jnp.arange(T) == jnp.minimum(oi, T - 1)).reshape(
+            (T,) + (1,) * y_next.ndim)
+        out = jnp.where(sel & hit, y_next[None], s["out"])
         out_idx = oi + hit.astype(jnp.int32)
 
         prev_t_acc = jnp.concatenate([next_t[None], prev_t[:-1]])

@@ -262,13 +262,15 @@ def _solve_while(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
     def cond(s: _WhileState):
         return (s.core.t < tau_end) & (s.core.status == Status.OK)
 
+    bshape = (T,) + (1,) * prob.y0.ndim
+
     def one_attempt(s: _WhileState):
         o = attempt(s.core)
         mask = o.accept & (tau > o.t0) & (tau <= o.t1)
         vals = interp_evaluate(o.coeffs, o.t0, o.dt_step, tau)
         # Exact endpoint: avoid interpolation roundoff at the step's end.
-        vals = jnp.where((tau == o.t1)[:, None], o.y1[None], vals)
-        out = jnp.where(mask[:, None], vals, s.out)
+        vals = jnp.where((tau == o.t1).reshape(bshape), o.y1[None], vals)
+        out = jnp.where(mask.reshape(bshape), vals, s.out)
         return _WhileState(o.core, out)
 
     unroll = max(1, int(cfg.unroll))
@@ -400,7 +402,13 @@ def _solve_bounded(prob: CanonicalProblem, cfg: AdaptiveConfig, rtol, atol,
         from .base import DenseOutput
         # Inactive tail entries replicate the last accepted step's cache;
         # t1s stays non-decreasing, so searchsorted evaluation is exact.
-        dense = DenseOutput(t0s, t1s, dts, coeffs, jnp.asarray(1.0, rdtype))
+        # Native-shape states flatten their coefficients ONCE here (row-major
+        # matches ravel order) so DenseOutput keeps its flat [S, 5, N]
+        # contract for the interpolated adjoint.
+        dcoeffs = coeffs
+        if dcoeffs.ndim > 3:
+            dcoeffs = dcoeffs.reshape(dcoeffs.shape[0], 5, -1)
+        dense = DenseOutput(t0s, t1s, dts, dcoeffs, jnp.asarray(1.0, rdtype))
     return SolveResult(out, stats, telemetry, dense)
 
 
@@ -408,10 +416,11 @@ def interp_evaluate_batched(coeffs: Array, t0: Array, dt: Array, t: Array,
                             dtype) -> Array:
     """Evaluate per-time dense-output polynomials.
 
-    coeffs: [T, 5, N]; t0, dt, t: [T]. Returns [T, N].
+    coeffs: [T, 5, *state]; t0, dt, t: [T]. Returns [T, *state].
     """
-    x = ((t - t0) / dt).astype(dtype)[:, None]
-    a, b, c, d, e = (coeffs[:, i, :] for i in range(5))
+    x = ((t - t0) / dt).astype(dtype)
+    x = x.reshape(x.shape + (1,) * (coeffs.ndim - 2))
+    a, b, c, d, e = (coeffs[:, i] for i in range(5))
     return (((a * x + b) * x + c) * x + d) * x + e
 
 

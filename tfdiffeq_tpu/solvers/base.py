@@ -140,8 +140,10 @@ class BlockDenseOutput:
 
 
 class CanonicalProblem(NamedTuple):
-    func: Callable[[Array, Array], Array]   # g(tau, y_flat) -> dy_flat
-    y0: Array                               # [N] flat initial state
+    func: Callable[[Array, Array], Array]   # g(tau, y_canon) -> dy_canon
+    y0: Array                               # canonical initial state (see
+    #                                         `native`): flat [N], or the
+    #                                         user's own array shape
     tau: Array                              # [T] increasing times
     sign: Array                             # +1/-1 scalar (tau = sign * t)
     unravel: Callable[[Array], Any]
@@ -152,11 +154,24 @@ class CanonicalProblem(NamedTuple):
     valid: Any = None                       # scalar bool: tau increasing
     #   (traced t bypasses the eager monotonicity check; solvers report
     #    Status.INVALID_TIMES when this is False)
+    native: bool = False                    # y0 kept in its NATIVE shape
+    #   (single-array states, ndim >= 1). On TPU, [N] <-> [B, D] reshapes
+    #   are physical tile repacks costing ~60 us per dopri5 attempt at the
+    #   benchmark config (~12 repacks/attempt, measured on v5e); keeping the
+    #   user's shape through the engines removes them. Multi-leaf pytrees
+    #   and rank-0 states still ravel to flat [N].
 
 
 def canonicalize(func: Callable, y0: Any, t: Array) -> CanonicalProblem:
-    """Normalize (func, y0, t) into a flat, forward-time problem."""
-    y_flat, unravel = flatten_state(y0)
+    """Normalize (func, y0, t) into a forward-time problem over a single
+    canonical state array (the user's native array shape when y0 is one
+    array, else the raveled flat [N] pytree vector)."""
+    native = bool(jax.tree_util.all_leaves([y0])) and jnp.ndim(y0) >= 1
+    if native:
+        y_flat = jnp.asarray(y0)
+        unravel = _identity_unravel
+    else:
+        y_flat, unravel = flatten_state(y0)
     if not jnp.issubdtype(y_flat.dtype, jnp.inexact):
         raise TypeError(
             f"y0 must have floating/complex dtype, got {y_flat.dtype}")
@@ -186,13 +201,34 @@ def canonicalize(func: Callable, y0: Any, t: Array) -> CanonicalProblem:
     valid = (jnp.all(jnp.diff(tau) > 0) if t.shape[0] > 1
              else jnp.asarray(True))
 
-    f_flat = flat_ode_func(func, unravel, dtype)
+    if native:
+        shape = y_flat.shape
+
+        def f_flat(tt: Array, y: Array) -> Array:
+            dy = jnp.asarray(func(tt, y))
+            if dy.shape != shape:
+                raise ValueError(
+                    f"func(t, y) returned shape {dy.shape}, expected the "
+                    f"state shape {shape}")
+            return dy.astype(dtype)
+    else:
+        f_flat = flat_ode_func(func, unravel, dtype)
 
     def g(s: Array, y: Array) -> Array:
         return sign.astype(dtype) * f_flat((sign * s).astype(time_dtype), y)
 
     return CanonicalProblem(g, y_flat, tau, sign, unravel, dtype, time_dtype,
-                            user_func=func, user_y0=y0, valid=valid)
+                            user_func=func, user_y0=y0, valid=valid,
+                            native=native)
+
+
+def _identity_unravel(x: Array) -> Array:
+    return x
+
+
+def time_mask_shape(n: int, y_ndim: int):
+    """Broadcast shape for a [T] mask against a [T, *state] buffer."""
+    return (n,) + (1,) * y_ndim
 
 
 def empty_stats(nfe: int = 0) -> SolverStats:
@@ -239,9 +275,10 @@ def check_options(options: Optional[dict], allowed: Optional[set] = None) -> dic
 def linear_interp_at(grid: Array, ys_grid: Array, ts: Array) -> Array:
     """Linearly interpolate a grid trajectory onto requested times.
 
-    grid: [G] increasing; ys_grid: [G, N]; ts: [T] (within [grid[0], grid[-1]]).
-    Parity: the fixed-grid output interpolation in upstream
-    `tfdiffeq/solvers.py` `FixedGridODESolver.integrate` (SURVEY.md §3.2).
+    grid: [G] increasing; ys_grid: [G, *state]; ts: [T] (within
+    [grid[0], grid[-1]]). Parity: the fixed-grid output interpolation in
+    upstream `tfdiffeq/solvers.py` `FixedGridODESolver.integrate`
+    (SURVEY.md §3.2).
     """
     idx = jnp.clip(jnp.searchsorted(grid, ts, side="left"), 1,
                    grid.shape[0] - 1)
@@ -249,7 +286,8 @@ def linear_interp_at(grid: Array, ys_grid: Array, ts: Array) -> Array:
     t_hi = grid[idx]
     span = t_hi - t_lo
     w = jnp.where(span > 0, (ts - t_lo) / jnp.where(span > 0, span, 1.0), 0.0)
-    w = w.astype(ys_grid.dtype)[:, None]
+    w = w.astype(ys_grid.dtype).reshape(
+        time_mask_shape(ts.shape[0], ys_grid.ndim - 1))
     return ys_grid[idx - 1] * (1.0 - w) + ys_grid[idx] * w
 
 
@@ -261,16 +299,17 @@ def hermite_interp_at(grid: Array, ys_grid: Array, fs_grid: Array,
     the derivative values already computed at every grid node for O(h^4)
     output accuracy at zero extra func evaluations.
 
-    grid: [G] increasing; ys_grid, fs_grid: [G, N]; ts: [T].
+    grid: [G] increasing; ys_grid, fs_grid: [G, *state]; ts: [T].
     """
     idx = jnp.clip(jnp.searchsorted(grid, ts, side="left"), 1,
                    grid.shape[0] - 1)
     t_lo = grid[idx - 1]
     t_hi = grid[idx]
     h = t_hi - t_lo
+    bshape = time_mask_shape(ts.shape[0], ys_grid.ndim - 1)
     x = jnp.where(h > 0, (ts - t_lo) / jnp.where(h > 0, h, 1.0), 0.0)
-    x = x.astype(ys_grid.dtype)[:, None]
-    h = h.astype(ys_grid.dtype)[:, None]
+    x = x.astype(ys_grid.dtype).reshape(bshape)
+    h = h.astype(ys_grid.dtype).reshape(bshape)
     y_lo, y_hi = ys_grid[idx - 1], ys_grid[idx]
     f_lo, f_hi = fs_grid[idx - 1], fs_grid[idx]
     x2 = x * x

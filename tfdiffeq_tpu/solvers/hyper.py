@@ -44,11 +44,19 @@ def _wrap_hypernet(prob: CanonicalProblem, hypernet: Callable) -> Callable:
     unravel = prob.unravel
     sign = prob.sign
     dtype = prob.dtype
+    native = prob.native
 
     def g_flat(tau: Array, y_flat: Array, f_flat: Array) -> Array:
         t_user = (sign * tau).astype(prob.time_dtype)
         f_user = unravel((sign.astype(dtype) * f_flat))
         out = hypernet(t_user, unravel(y_flat), f_user)
+        if native:
+            out = jnp.asarray(out)
+            if out.shape != y_flat.shape:
+                raise ValueError(
+                    f"hypernet returned shape {out.shape}, expected the "
+                    f"state shape {y_flat.shape}")
+            return out.astype(dtype)
         out_flat, _ = flatten_state(out)
         return out_flat.astype(dtype)
 
