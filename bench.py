@@ -288,12 +288,17 @@ def bench_fused_nfe_per_sec(reps: int = 64):
     return nfe_s, int(nfe1), best1, marginal_us, med, iqr, resid
 
 
-def bench_wide_mlp_nfe_per_sec(reps: int = 32):
+def bench_wide_mlp_nfe_per_sec(reps: int = 128):
     """MXU-bound tier: a WIDE-state MLP neural ODE (128 -> 256 -> 256 ->
     128, every contraction dim >= 128 so the systolic array can actually
     fill) through the whole-solve kernel. This is the workload whose MFU
     is meaningful — the headline 2-D spiral is inherently VPU-bound
     (contraction dim 2 caps MXU utilization at 2/128).
+
+    reps=128 (round-4 verdict item 6): chain compute must dominate the
+    ~25 ms/dispatch tunnel floor for the marginal fit to be stable — at
+    32 solves/chain the slope moved 2x between sessions (6.30 vs 12.95
+    us/NFE); at 128/64/32 the fit residual lands ~1%.
 
     Returns (nfe_per_sec, marginal_us_per_step, mfu_details)."""
     from tfdiffeq_tpu.fast import MLPSpec, solve_mlp_spec
@@ -381,6 +386,41 @@ def bench_bf16_serving(reps: int = 16):
             one, y0, reps, k=5)
         det = fc.achieved(1e6 / marg_us if marg_us > 0 else nfe_s)
         out[prec] = (marg_us, det)
+    return out
+
+
+def bench_mixed_adaptive(reps: int = 128):
+    """Mixed-precision ADAPTIVE MXU tier (round-4 verdict item 2):
+    `MLPSpec(dot_precision='mixed')` — bf16 weights x hi/lo-split
+    activations, TWO systolic passes per dot vs HIGHEST's three, with the
+    embedded error estimate intact — on the wide-MLP dopri5 workload at
+    the bench tolerances. Reports marginal us/NFE and NFE/solve for both
+    tiers so NFE economics (nfe x passes) are auditable on the record.
+
+    Returns {precision: (marginal_us, nfe_per_solve)}."""
+    import dataclasses as _dc
+
+    from tfdiffeq_tpu.fast import MLPSpec, solve_mlp_spec
+
+    D, H, weights = _wide_weights()
+    B = 1024
+    y0 = jnp.asarray(np.random.RandomState(1).randn(B, D) * 0.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 8, dtype=jnp.float32)
+
+    out = {}
+    for prec in ("highest", "mixed"):
+        spec = MLPSpec(activation="tanh", matmul="mxu",
+                       dot_precision=prec)
+
+        def one(y, spec=spec):
+            r = solve_mlp_spec(spec, weights, y, t, rtol=RTOL, atol=ATOL,
+                               first_step=0.01)
+            return r.ys, r.stats.nfe
+
+        nfe_s, marg_us, _, _, nfe_full, _ = _bench_sustained(
+            one, y0, reps, k=5, chains=3)
+        out[prec] = (marg_us, nfe_full // max(reps, 1))
     return out
 
 
@@ -864,6 +904,10 @@ def main():
     except Exception:
         bf16_tiers = None
     try:
+        mixed_tiers = bench_mixed_adaptive()
+    except Exception:
+        mixed_tiers = None
+    try:
         pl_kern_ns, pl_vmap_ns, pl_lane_nfe = bench_per_lane()
     except Exception:
         pl_kern_ns = pl_vmap_ns = pl_lane_nfe = None
@@ -985,6 +1029,17 @@ def main():
         "bf16_serving_mfu_bf16_pct":
             bf16_tiers["bf16"][1]["mfu_mxu_bf16_pct"]
             if bf16_tiers else None,
+        "mixed_adaptive_marginal_us_per_nfe":
+            round(mixed_tiers["mixed"][0], 3) if mixed_tiers else None,
+        "mixed_adaptive_highest_marginal_us_per_nfe":
+            round(mixed_tiers["highest"][0], 3) if mixed_tiers else None,
+        "mixed_adaptive_nfe_per_solve":
+            mixed_tiers["mixed"][1] if mixed_tiers else None,
+        "mixed_adaptive_highest_nfe_per_solve":
+            mixed_tiers["highest"][1] if mixed_tiers else None,
+        "mixed_adaptive_vs_highest":
+            round(mixed_tiers["highest"][0] / mixed_tiers["mixed"][0], 2)
+            if mixed_tiers and mixed_tiers["mixed"][0] else None,
         "per_lane_kernel_ns_per_lane_nfe":
             round(pl_kern_ns, 3) if pl_kern_ns else None,
         "per_lane_vmap_generic_ns_per_lane_nfe":
@@ -1057,6 +1112,12 @@ def main():
             "bf16_serving_mfu_bf16_pct":
                 bf16_tiers["bf16"][1]["mfu_mxu_bf16_pct"]
                 if bf16_tiers else None,
+            "mixed_adaptive_marginal_us_per_nfe":
+                round(mixed_tiers["mixed"][0], 3) if mixed_tiers else None,
+            "mixed_adaptive_vs_highest":
+                round(mixed_tiers["highest"][0] / mixed_tiers["mixed"][0],
+                      2) if mixed_tiers and mixed_tiers["mixed"][0]
+                else None,
             "per_lane_vs_vmap":
                 round(pl_vmap_ns / pl_kern_ns, 2)
                 if pl_kern_ns and pl_vmap_ns else None,

@@ -23,3 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache (round-4 verdict item 5): the default tier
+# is compile-bound on this single-core box (hundreds of XLA-CPU compiles
+# of near-identical solver programs drove the wall past 35 min). Caching
+# every executable makes warm runs test-bound instead; the cache dir is
+# repo-local and gitignored. min thresholds are zeroed so even sub-second
+# compiles cache (they dominate by count).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -291,8 +291,10 @@ def odeint_adjoint(
     # with the plan's reverse-mode VJP (fast.odeint_adjoint_fused). Only
     # when the option surface maps onto the kernels; FusionError falls
     # through to tier 2 (fused forward + generic backward).
-    _FULL_FUSE_OPTS = {"first_step", "max_num_steps", "loop"}
+    _FULL_FUSE_OPTS = {"first_step", "max_num_steps", "loop", "per_sample"}
     _FULL_FUSE_FIXED_OPTS = {"num_steps", "step_size"}
+    _per_sample = bool(fwd_options.get("per_sample", False))
+    bwd_options.pop("per_sample", None)
     _fwd_kind_ok = (_is_adaptive(method)
                     or SOLVERS.get(method or "dopri5", ("",))[0] == "fixed")
     _bwd_kind_ok = (adj_is_adaptive or adj_kind == "fixed")
@@ -340,13 +342,44 @@ def odeint_adjoint(
                 num_steps=fwd_options.get("num_steps"),
                 step_size=fwd_options.get("step_size"),
                 adjoint_num_steps=bwd_options.get("num_steps"),
-                nfe_meter=nfe_meter, return_stats=return_stats)
+                nfe_meter=nfe_meter, return_stats=return_stats,
+                per_sample=_per_sample)
             if _rebuild is not None:
                 out = ((_rebuild(out[0]),) + tuple(out[1:])
                        if return_stats else _rebuild(out))
             return out
         except FusionError as e:
             import warnings
+            if _per_sample:
+                # Per-sample SEMANTICS must survive the fallback: vmap of
+                # the generic adjoint gives every sample its own
+                # controller in both sweeps (at dispatch-bound speed).
+                warnings.warn(
+                    "odeint_adjoint(options={'fuse': True, 'per_sample': "
+                    f"True}}): per-lane fusion unavailable — {e}; "
+                    "falling back to jax.vmap of the generic adjoint",
+                    stacklevel=2)
+                y0a = jnp.asarray(y0)
+
+                def _one(y0s, t_, p_):
+                    return odeint_adjoint(
+                        lambda tt, yy, pp: user_func(
+                            tt, yy[None], pp)[0], y0s, t_, params=p_,
+                        rtol=rtol, atol=atol, method=method,
+                        adjoint_rtol=adjoint_rtol,
+                        adjoint_atol=adjoint_atol,
+                        adjoint_method=adjoint_method,
+                        adjoint_seminorm=adjoint_seminorm,
+                        adjoint_mode=adjoint_mode, return_stats=True)
+
+                ys, st_b = jax.vmap(_one, in_axes=(0, None, None),
+                                    out_axes=(1, 0))(
+                    y0a, jnp.asarray(t), params_in)
+                if return_stats:
+                    return ys, SolverStats(
+                        jnp.sum(st_b.nfe), jnp.sum(st_b.n_accepted),
+                        jnp.sum(st_b.n_rejected), jnp.max(st_b.status))
+                return ys
             warnings.warn(
                 "odeint_adjoint(options={'fuse': True}): full two-kernel "
                 f"fusion unavailable — {e}; using a fused forward with "

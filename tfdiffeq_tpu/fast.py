@@ -104,12 +104,22 @@ class MLPSpec:
     # right for wide nets), or 'auto' (MXU once a layer's weight block is
     # >= ~32x64 — see ops/pallas_kernels._layer_uses_mxu).
     matmul: str = "auto"
-    # MXU-path dot precision: 'highest' (Mosaic 3-pass bf16 decomposition,
-    # f32-accurate — the default) or 'bf16' (ONE systolic pass, ~2e-3 rel
-    # err, 3x the MXU rate: measured 190 vs 62 TFLOP/s on v5e). 'bf16' is
-    # meant for FIXED-GRID serving (method='rk4' etc.), where there is no
-    # embedded error estimate for the bf16 noise to poison; on adaptive
-    # methods it inflates step counts ~5-9x (measured, BASELINE.md).
+    # MXU-path dot precision:
+    # - 'highest' (default): Mosaic 3-pass bf16 decomposition, f32-accurate.
+    # - 'bf16': ONE systolic pass, ~2e-3 rel err, 3x the MXU rate (measured
+    #   190 vs 62 TFLOP/s on v5e). FIXED-GRID serving only — there is no
+    #   embedded error estimate for the bf16 noise to poison; on adaptive
+    #   methods it inflates step counts ~5-9x (measured, BASELINE.md).
+    # - 'mixed': TWO passes — weights quantized to bf16 (the standard
+    #   serving-time model transform), activations split hi/lo-bf16, f32
+    #   accumulation, ~2^-18 relative dots. Deterministic, so ADAPTIVE
+    #   error control works: NFE parity with 'highest' at serving
+    #   tolerances (rtol >= ~1e-4), ~10% inflation at rtol 1e-6, at 2/3
+    #   the MXU passes — a net MXU-time win either way (measured on the
+    #   wide-MLP bench; tests/test_mixed_precision.py pins the NFE
+    #   economics). The model solved is the bf16-weight net (~2e-3 from
+    #   the f32-weight one); `calibrate_dot_precision` picks the
+    #   cheapest tier by the NFE x passes cost model.
     dot_precision: str = "highest"
 
     def __post_init__(self):
@@ -120,9 +130,9 @@ class MLPSpec:
         if self.matmul not in ("vpu", "mxu", "auto"):
             raise ValueError(f"matmul must be 'vpu', 'mxu' or 'auto', got "
                              f"{self.matmul!r}")
-        if self.dot_precision not in ("highest", "bf16"):
-            raise ValueError(f"dot_precision must be 'highest' or 'bf16', "
-                             f"got {self.dot_precision!r}")
+        if self.dot_precision not in ("highest", "bf16", "mixed"):
+            raise ValueError(f"dot_precision must be 'highest', 'bf16' or "
+                             f"'mixed', got {self.dot_precision!r}")
 
 
 def mlp_apply(spec: MLPSpec, weights: Sequence[Tuple[Array, Array]],
@@ -486,9 +496,10 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
         max_order = 12 if vcabm else 4     # generic engines' defaults
     if spec.dot_precision != "highest" and (vcabm or adams):
         raise ValueError(
-            "dot_precision='bf16' is not supported on the Adams kernels "
-            "(their corrector/order machinery assumes f32-accurate dots); "
-            "use a fixed-grid RK method for bf16 serving")
+            f"dot_precision={spec.dot_precision!r} is not supported on "
+            "the Adams kernels (their corrector/order machinery assumes "
+            "f32-accurate dots); use an RK method for reduced-precision "
+            "serving ('bf16' fixed-grid, 'mixed' fixed-grid or adaptive)")
     if per_sample and (fixed or vcabm):
         raise ValueError("per_sample applies to adaptive RK methods only")
 
@@ -689,6 +700,66 @@ def solve_mlp_spec(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]      # [T, B, D]
     st = SolverStats(stats[0] + extra_nfe, stats[1], stats[2], stats[3])
     return SolveResult(ys, st)
+
+
+#: MXU systolic passes per dot for each `dot_precision` tier — the cost
+#: model behind `calibrate_dot_precision`. 'highest' is Mosaic's 3-pass
+#: f32 emulation; 'mixed' is 2 passes (bf16 weights x hi/lo-split
+#: activations); 'bf16' is one raw pass. Measured MXU rate on v5e tracks
+#: 1/passes (62 vs 190 TFLOP/s for 3 vs 1).
+DOT_PASSES = {"highest": 3, "mixed": 2, "bf16": 1}
+
+
+def calibrate_dot_precision(spec: MLPSpec, weights, y0: Array, t, *,
+                            rtol=1e-6, atol=1e-8, method: str = "dopri5",
+                            candidates=("bf16", "mixed"),
+                            max_nfe_inflation: float = 0.5,
+                            **solve_kw) -> MLPSpec:
+    """One-time MXU-cost gate for the reduced-precision tiers (round-4
+    verdict item 2): run ONE solve per candidate `dot_precision` on a
+    representative (y0, t) and return `spec` rebuilt with the tier that
+    minimizes estimated MXU time = NFE x `DOT_PASSES[tier]`.
+
+    Rationale: reduced-precision noise sits under the embedded error
+    estimate only down to a tolerance floor (the 'mixed' tier's hi/lo
+    activation split leaves ~2^-18-relative dots), so adaptive step
+    counts may inflate a few percent at tight rtol — an NFE-parity gate
+    would reject a tier that is still a clear wall-clock win (e.g. +12%
+    NFE at 2/3 the passes = 25% less MXU time on the wide-MLP benchmark).
+    The pass-cost model charges that inflation its true price; 'bf16' on
+    adaptive methods (5-9x NFE at 1/3 passes) loses automatically. A tier
+    whose NFE exceeds `(1 + max_nfe_inflation) x` the 'highest' reference
+    is rejected outright — cost aside, per-solve latency jitter and the
+    max_num_steps budget both track NFE.
+
+    Fixed-grid methods have no error estimate, so every tier has NFE
+    parity by construction and the fewest-pass candidate wins on cost.
+    Calibration is a host-side loop (one compile per tier) — do it once
+    per deployment, not per solve. The 'mixed'/'bf16' tiers integrate the
+    bf16-weight model (see MLPSpec); the gate is STEP-COUNT economics,
+    not trajectory identity.
+    """
+    ref = solve_mlp_spec(dataclasses.replace(spec, dot_precision="highest"),
+                         weights, y0, t, rtol=rtol, atol=atol,
+                         method=method, **solve_kw)
+    ref_nfe = int(ref.stats.nfe)
+    best, best_cost = "highest", ref_nfe * DOT_PASSES["highest"]
+    for prec in candidates:
+        if prec == "highest":
+            continue
+        try:
+            r = solve_mlp_spec(dataclasses.replace(spec, dot_precision=prec),
+                               weights, y0, t, rtol=rtol, atol=atol,
+                               method=method, **solve_kw)
+        except ValueError:        # tier not supported for this method
+            continue
+        nfe = int(r.stats.nfe)
+        if nfe > ref_nfe * (1.0 + max_nfe_inflation):
+            continue
+        cost = nfe * DOT_PASSES[prec]
+        if cost < best_cost:
+            best, best_cost = prec, cost
+    return dataclasses.replace(spec, dot_precision=best)
 
 
 def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
@@ -1136,7 +1207,8 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                        max_num_steps=None, first_step=None,
                        adjoint_first_step=None, nfe_meter=None,
                        return_stats: bool = False, num_steps=None,
-                       step_size=None, adjoint_num_steps=None):
+                       step_size=None, adjoint_num_steps=None,
+                       per_sample: bool = False):
     """Fully-fused O(1)-memory training path for MLP neural ODEs.
 
     Forward = ONE whole-solve Pallas kernel (`mlp_solve`); backward = ONE
@@ -1152,6 +1224,13 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     the a_t quadrature and the first layer's t-column gradient). Returns
     the trajectory [T, B, D] (with stats when return_stats=True — forward
     stats; backward stats stream to `nfe_meter`).
+
+    per_sample=True (round-4 verdict item 3): BOTH sweeps run per-lane
+    step controllers — the forward via `mlp_solve(per_sample=True)`, the
+    backward via the two-pass per-lane adjoint kernel
+    (`pallas_adjoint.mlp_perlane_adjoint_solve`) — so a stiff sample
+    throttles neither direction of training. Adaptive methods only; the
+    backward step-control norm is always the (y, a_y) seminorm.
     """
     adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
     adjoint_atol = atol if adjoint_atol is None else adjoint_atol
@@ -1160,6 +1239,9 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     max_steps = (int(max_num_steps) if max_num_steps is not None
                  else 2 ** 31 - 1)
     fixed_bwd = adjoint_method in _pf.FIXED_TABLEAUS_BY_NAME
+    if per_sample and (method in _pf.FIXED_TABLEAUS_BY_NAME or fixed_bwd):
+        raise ValueError("per_sample=True training applies to adaptive "
+                         "RK methods only (forward and adjoint)")
     # Fixed backward: steps PER OBSERVATION INTERVAL. Default inherits
     # the forward's num_steps (the generic adjoint's contract: bwd_options
     # copy the forward options filtered to {'num_steps'}), else 1.
@@ -1182,8 +1264,21 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
     # grid block sizing, so single-block configs can't silently exceed it.
     from .ops.pallas_adjoint import _adjoint_pack as _adj_pack
     adj_k = (_adj_pack("auto", y0_arr.shape[1], y0_arr.shape[0])
-             if y0_arr.ndim == 2 else 1)
-    if (not interp_flag and t_arr.ndim >= 1 and _fused_vmem_bytes(
+             if y0_arr.ndim == 2 and not per_sample else 1)
+    if (per_sample and not interp_flag and t_arr.ndim >= 1
+            and _fused_vmem_bytes(
+                int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 4,
+                kpack=1) > _VMEM_BUDGET):
+        # Per-lane lanes are unpacked and single-block (each lane IS its
+        # own controller); grid-blocking the backward would need the
+        # cross-block quadrature plumbing the shared kernel has — not yet
+        # composed with per-lane control.
+        raise ValueError(
+            "odeint_adjoint_mlp(per_sample=True): the batch exceeds the "
+            "per-lane adjoint kernel's VMEM budget (single-block only); "
+            "reduce the batch or use per_sample=False")
+    if (not per_sample
+            and not interp_flag and t_arr.ndim >= 1 and _fused_vmem_bytes(
             int(t_arr.shape[0]), y0_arr.shape[1], y0_arr.shape[0], 4,
             kpack=adj_k) > _VMEM_BUDGET):
         T_chk, D_chk = int(t_arr.shape[0]), y0_arr.shape[1]
@@ -1244,7 +1339,7 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                              method=method, interpret=interpret,
                              max_num_steps=max_num_steps,
                              first_step=first_step, num_steps=num_steps,
-                             step_size=step_size)
+                             step_size=step_size, per_sample=per_sample)
         emit_fwd(nfe_meter, res.stats.nfe, res.stats.n_accepted)
         return res.ys, res.stats
 
@@ -1291,7 +1386,16 @@ def odeint_adjoint_mlp(spec: MLPSpec, weights, y0: Array, t, *, rtol=1e-6,
                           mode="wrap")
             gT = jnp.pad(gT, ((0, 0), (0, 0), (0, adj_bpad)))
         warrays, dims = pad_mlp_weights(weights_, dtype)
-        if fixed_bwd:
+        if per_sample:
+            from .ops.pallas_adjoint import mlp_perlane_adjoint_solve
+            ay0, aws, at_q, bstats, _lane = mlp_perlane_adjoint_solve(
+                warrays, dims, ysT, gT, tau, dt0, adjoint_rtol,
+                adjoint_atol, sign, activation=spec.activation,
+                final_activation=spec.final_activation,
+                input_power=spec.input_power, method=adjoint_method,
+                max_steps=max_steps, matmul=spec.matmul,
+                time_input=spec.time_input, interpret=interp_flag)
+        elif fixed_bwd:
             ay0, aws, at_q, bstats = _pf.mlp_adjoint_solve_fixed(
                 warrays, dims, ysT, gT, tau, sign,
                 num_steps=bwd_num_steps, activation=spec.activation,
@@ -1352,9 +1456,17 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
                          adjoint_first_step=None, matmul: str = "auto",
                          nfe_meter=None, return_stats: bool = False,
                          num_steps=None, step_size=None,
-                         adjoint_num_steps=None):
+                         adjoint_num_steps=None, per_sample: bool = False):
     """Fully-fused O(1)-memory training path for ARBITRARY fusable
     dynamics: the plan-driven counterpart of `odeint_adjoint_mlp`.
+
+    per_sample=True (round-4 verdict item 3): per-lane step controllers
+    in BOTH sweeps (`plan_solve(per_sample=True)` forward, the two-pass
+    per-lane adjoint kernel `plan_adjoint.plan_perlane_adjoint_solve`
+    backward). Adaptive methods only; the backward norm is always the
+    (y, a_y) seminorm; batch-coupled (bsum) dynamics and batches past the
+    single-block VMEM budget raise FusionError (the dispatcher then falls
+    back to vmap-of-generic-adjoint per-sample semantics).
 
     func(t, y, params) (or func(t, y) when params is None): any plain-jnp
     dynamics in the jaxpr-bridge subset (ops/jaxpr_bridge.py). Forward =
@@ -1408,6 +1520,9 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
                 f"method {m!r} has no whole-solve tableau (available: "
                 f"{sorted(tableaus.TABLEAUS_BY_NAME)} adaptive, "
                 f"{sorted(_pf.FIXED_TABLEAUS_BY_NAME)} fixed-grid)")
+    if per_sample and (fixed_fwd or fixed_bwd):
+        raise ValueError("per_sample=True training applies to adaptive "
+                         "RK methods only (forward and adjoint)")
 
     y0 = jnp.asarray(y0)
     squeeze = False
@@ -1437,8 +1552,15 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
     # the backward sweep's own pack factor (_adjoint_pack gating) — same
     # model as the grid block sizing.
     from .ops.pallas_adjoint import _adjoint_pack as _adj_pack
-    _adj_k = _adj_pack("auto", D, B)
-    if (not interp_flag
+    _adj_k = 1 if per_sample else _adj_pack("auto", D, B)
+    if (per_sample and not interp_flag
+            and _fused_vmem_bytes(T_out, D, B, 4, kpack=1) > _VMEM_BUDGET):
+        # Per-lane lanes are unpacked single-block in both sweeps; the
+        # dispatcher falls back to vmap-of-generic per-sample semantics.
+        raise jb.FusionError(
+            "per_sample=True: the batch exceeds the per-lane adjoint "
+            "kernel's single-block VMEM budget")
+    if (not per_sample and not interp_flag
             and _fused_vmem_bytes(T_out, D, B, 4,
                                   kpack=_adj_k) > _VMEM_BUDGET):
         b_blk = _grid_block_size(T_out, D, 4)
@@ -1497,6 +1619,11 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
         lambda tt, yy: user_func(tt, yy, params_in), t_arr[0], y0c,
         matmul=matmul)
     check_plan_adjoint(plan)
+    if per_sample and plan.batch_coupled:
+        raise jb.FusionError(
+            "per_sample=True with batch-coupled dynamics (a bsum makes "
+            "lanes interdependent; per-lane time skew would change the "
+            "dynamics)")
     if n_blocks > 1 and any(
             l[0] in ("batch", "bvec") for l in plan.const_layouts):
         raise jb.FusionError(
@@ -1523,7 +1650,7 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
     # per-group RHS walk doesn't slice them.
     kpack = 1
     Bb_f = B // n_blocks
-    if not plan.batch_coupled and not any(
+    if not per_sample and not plan.batch_coupled and not any(
             l[0] in ("batch", "bvec") for l in plan.const_layouts):
         kpack = _pk.pick_pack(D, Bb_f)
         if n_blocks > 1 and (Bb_f // kpack) % _LANE:
@@ -1573,6 +1700,11 @@ def odeint_adjoint_fused(func, y0: Array, t, *, params=None, rtol=1e-6,
             if n_blocks > 1:
                 # Same fixed grid per block: stats block-count-invariant.
                 stats = _merge_grid_stats(stats, per_block_work=False)
+        elif per_sample:
+            out, stats, _lane = jb.plan_solve(
+                plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,
+                method=method, max_steps=max_steps, interpret=interp_flag,
+                per_sample=True)
         else:
             out, stats = jb.plan_solve(
                 plan, packed_, y0p, tau, dt0, rtol, atol, sign, f0p,

@@ -106,8 +106,16 @@ def packed_aug_factory(base_factory, k: int, D: int):
 
 def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
                    input_power: int, matmul: str = "vpu",
-                   time_input: bool = False):
+                   time_input: bool = False, parts: str = "all"):
     """Build F(t, y, a_y) -> (f, v_y, [dW0, db0, dW1, db1, ...], v_t).
+
+    `parts` trims the evaluator for the per-lane adjoint's two-pass
+    structure (acceptance must be decided BEFORE the lane-reduced weight
+    quadrature may accumulate, so the trial chain and the quadrature run
+    as separate passes): 'dyn' -> (f, v_y) only, skipping every dW/db
+    outer product; 'quad' -> (flat_dparams, v_t) only (the dh chain still
+    runs — it feeds the deeper layers' cotangents). Both are linear in
+    a_y, so the caller folds per-lane quadrature weights into a_y.
 
     f = MLP([y; t]) with y [D, B] feature-major; v_y = (df/dy)^T a_y
     [D, B]; dW [doutP, dinP] (wT layout), db [doutP, 1] are batch-summed
@@ -174,22 +182,24 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
             else:
                 dz_p = dz
             h_in = hs[l]
-            if use_mxu:
-                # dW[o, i] = sum_b dz[o, b] h_in[i, b]: one NT matmul.
-                h_in_p = _pad_rows(h_in[:din, :], dinP)
-                dW = jax.lax.dot_general(
-                    dz_p, h_in_p, (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST)     # [doutP, dinP]
-            else:
-                # Lane reduction per input feature; padded columns stay 0.
-                cols = [jnp.sum(h_in[i:i + 1, :] * dz_p, axis=1,
-                                keepdims=True) for i in range(din)]
-                if dinP != din:
-                    cols.append(jnp.zeros((doutP, dinP - din), dtype))
-                dW = jnp.concatenate(cols, axis=1)           # [doutP, dinP]
-            db = jnp.sum(dz_p, axis=1, keepdims=True)        # [doutP, 1]
-            dparams[l] = (dW, db)
+            if parts != "dyn":
+                if use_mxu:
+                    # dW[o, i] = sum_b dz[o, b] h_in[i, b]: one NT matmul.
+                    h_in_p = _pad_rows(h_in[:din, :], dinP)
+                    dW = jax.lax.dot_general(
+                        dz_p, h_in_p, (((1,), (1,)), ((), ())),
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)  # [doutP,dinP]
+                else:
+                    # Lane reduction per input feature; padded columns
+                    # stay 0.
+                    cols = [jnp.sum(h_in[i:i + 1, :] * dz_p, axis=1,
+                                    keepdims=True) for i in range(din)]
+                    if dinP != din:
+                        cols.append(jnp.zeros((doutP, dinP - din), dtype))
+                    dW = jnp.concatenate(cols, axis=1)       # [doutP,dinP]
+                db = jnp.sum(dz_p, axis=1, keepdims=True)    # [doutP, 1]
+                dparams[l] = (dW, db)
             # dh_in[i, :] = sum_o w[i, o] dz[o, :].
             if use_mxu:
                 dh = jax.lax.dot_general(
@@ -217,7 +227,11 @@ def _make_aug_eval(wrefs, dims, activation: str, final_activation: str,
                     # d(y**p)/dy = p * y**(p-1)
                     yp = _input_transform(y, input_power - 1)
                     v_y = dh * (float(input_power) * yp)
+        if parts == "dyn":
+            return f, v_y
         flat = [blk for pair in dparams for blk in pair]
+        if parts == "quad":
+            return flat, v_t
         return f, v_y, flat, v_t
 
     return aug_eval
@@ -633,6 +647,369 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         stats_ref[pid, 3] = status
 
     return kernel
+
+
+def _make_perlane_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
+                                 dfactor: float, max_steps: int, D: int,
+                                 B_true: int, dyn_factory, quad_factory,
+                                 n_in: int, n_acc: int,
+                                 time_input: bool = False):
+    """PER-LANE adjoint backward sweep (round-4 verdict item 3): every
+    batch lane steps the augmented system (y, a_y) with its OWN
+    controller state, so one stiff sample no longer throttles the whole
+    batch's backward pass — per-sample stepping for TRAINING, the
+    capability `jax.vmap(generic adjoint)` provides at dispatch-bound
+    speed, here in one kernel.
+
+    Structure: the OUTER loop over observation intervals stays globally
+    synchronized (cotangent injections and stored-forward-state resets
+    happen at fixed observation times — the same sync points the
+    vmap-of-generic semantics has), while the INNER while steps lanes
+    independently until every lane reaches the interval end.
+
+    The parameter-cotangent quadrature is lane-REDUCED (a_w is shared by
+    all lanes), so it cannot ride the per-lane trial step: acceptance must
+    be decided first. Hence the TWO-PASS step:
+
+      pass 1 ('dyn'):  the RK trial chain on (y, a_y) only — per-lane
+        seminorm error over the 2D features, per-lane accept/controller
+        (seminorm is forced: a lane-shared quadrature error cannot drive
+        per-lane step control; it is also the recommended adjoint norm,
+        Kidger et al. 2020).
+      pass 2 ('quad'): for each stage, the parameter/time cotangent
+        contributions with the per-lane quadrature weight row
+        w = accept * dth * b_sol[stage] FOLDED INTO a_y — every cotangent
+        is columnwise-linear in a_y (the VJP chain is per-lane until its
+        terminal lane reductions), so quad_eval(t, y_st, a_st * w) returns
+        the exactly-weighted, lane-summed increments. Stage states are
+        rebuilt from the pass-1 k values; the pass is skipped when no lane
+        accepted.
+
+    dyn_factory(wrefs) -> (t, y, ay) -> (f, v_y);
+    quad_factory(wrefs) -> (t, y, ay) -> (flat_dparams[n_acc], v_t [1,B]).
+    Stage times are per-lane [1, B] rows (both factories broadcast row-t).
+
+    Ref layout: SMEM in sigma [1,T], rtol, atol, dtmin, sign; VMEM in
+    ys [T,D,B], g [T,D,B], dt0_row [1,B], wrefs (n_in); outs ay0 [D,B],
+    n_acc accumulators, stats [1,4] (SMEM; nfe/acc/rej summed over real
+    lanes, status max), at [1,1] (SMEM), lane_ref [4,B] int32; scratch
+    y/ay/cy/cay [D,B], at_s [1,B], sdt_s [2,B], li_s [4,B] int32."""
+    stages = tab.stages
+
+    def kernel(*refs):
+        (sigma_ref, rtol_ref, atol_ref, dtmin_ref, sf_ref) = refs[:5]
+        ys_ref, g_ref, dt0_ref = refs[5:8]
+        wrefs = refs[8:8 + n_in]
+        ay0_ref = refs[8 + n_in]
+        awrefs = refs[9 + n_in: 9 + n_in + n_acc]
+        stats_ref = refs[9 + n_in + n_acc]
+        at_ref = refs[10 + n_in + n_acc]
+        lane_ref = refs[11 + n_in + n_acc]
+        (y_s, ay_s, cy_s, cay_s, at_s, sdt_s, li_s) = \
+            refs[12 + n_in + n_acc:]
+
+        rtol = rtol_ref[0, 0]
+        atol = atol_ref[0, 0]
+        dt_min = dtmin_ref[0, 0]
+        sf = sf_ref[0, 0]
+        B = y_s.shape[1]
+
+        dyn_eval = dyn_factory(wrefs)
+        quad_eval = quad_factory(wrefs)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        is_real = lane < B_true
+
+        for r in awrefs:
+            r[:] = jnp.zeros_like(r)
+        ay_s[:] = jnp.zeros_like(ay_s)
+        at_s[:] = jnp.zeros_like(at_s)
+        sdt_s[1:2, :] = dt0_ref[:]
+        zi = jnp.zeros((1, B), jnp.int32)
+        li_s[0:1, :] = zi
+        li_s[1:2, :] = zi
+        li_s[2:3, :] = zi
+        li_s[3:4, :] = zi
+
+        def interval_body(ii, _):
+            i = T - 1 - ii
+            y_s[:] = ys_ref[pl.ds(i, 1)][0]
+            ay_s[:] = ay_s[:] + g_ref[pl.ds(i, 1)][0]
+            cy_s[:] = jnp.zeros_like(cy_s)
+            cay_s[:] = jnp.zeros_like(cay_s)
+            s_start = sigma_ref[0, i]
+            s_end = sigma_ref[0, i - 1]
+            # Pad lanes (and already-failed lanes) start AT the interval
+            # end: never active.
+            sdt_s[0:1, :] = jnp.where(is_real, s_start, s_end)
+
+            def cond(alive):
+                return alive
+
+            def body(_):
+                s = sdt_s[0:1, :]
+                dt = sdt_s[1:2, :]
+                status_l = li_s[3:4, :]
+                active = (s < s_end) & (status_l == 0)
+                rem = s_end - s
+                dt_eff = jnp.minimum(dt, rem)
+                is_last = dt >= rem
+                s1 = jnp.where(is_last, s_end, s + dt_eff)
+                # Inactive lanes use a dummy dth=1 so stage math stays
+                # finite; their updates are masked below.
+                dth = jnp.where(active, s1 - s, jnp.ones_like(s))
+
+                y0 = y_s[:]
+                ay0 = ay_s[:]
+
+                # ---- pass 1: per-lane RK trial chain on (y, a_y) ----
+                ky, kay = [], []
+                for st in range(stages):
+                    yi, ayi = y0, ay0
+                    if st > 0:
+                        for aij, (kyj, kayj) in zip(tab.a[st - 1],
+                                                    zip(ky, kay)):
+                            if aij != 0.0:
+                                yi = yi + (dth * aij) * kyj
+                                ayi = ayi + (dth * aij) * kayj
+                    t_st = s + tab.c[st] * dth          # [1, B] row
+                    f, v_y = dyn_eval(-sf * t_st, yi, ayi)
+                    ky.append(-sf * f)
+                    kay.append(sf * v_y)
+
+                def comb(coeffs, ks):
+                    acc = None
+                    for cjj, kj in zip(coeffs, ks):
+                        if cjj != 0.0:
+                            term = (dth * cjj) * kj
+                            acc = term if acc is None else acc + term
+                    return acc
+
+                d_y = comb(tab.b_sol, ky)
+                d_ay = comb(tab.b_sol, kay)
+                e_y = comb(tab.b_err, ky)
+                e_ay = comb(tab.b_err, kay)
+                y1 = y0 + d_y
+                ay1 = ay0 + d_ay
+
+                # ---- per-lane seminorm over the 2D features ----
+                def esc_sq(e, v0, v1):
+                    scale = atol + rtol * jnp.maximum(jnp.abs(v0),
+                                                      jnp.abs(v1))
+                    esc = e / scale
+                    return jnp.sum(esc * esc, axis=0, keepdims=True)
+
+                ss = esc_sq(e_y, y0, y1) + esc_sq(e_ay, ay0, ay1)  # [1,B]
+                ratio = jnp.sqrt(ss / float(2 * D))
+                finite = (jnp.isfinite(ss)
+                          & jnp.all(jnp.isfinite(y1), axis=0,
+                                    keepdims=True)
+                          & jnp.all(jnp.isfinite(ay1), axis=0,
+                                    keepdims=True))
+                acc_raw = (ratio <= 1.0) & finite
+                accept = acc_raw & active
+
+                fac = _controller_factor(ratio, finite, acc_raw, safety,
+                                         ifactor, dfactor, tab.order)
+                dt_next = jnp.where(active, dth * fac, dt)
+
+                # ---- pass 2: lane-weighted parameter quadrature ----
+                acc_f = accept.astype(y0.dtype)
+
+                @pl.when(jnp.any(accept))
+                def _():
+                    for st in range(stages):
+                        if tab.b_sol[st] == 0.0:
+                            continue
+                        yi, ayi = y0, ay0
+                        if st > 0:
+                            for aij, (kyj, kayj) in zip(tab.a[st - 1],
+                                                        zip(ky, kay)):
+                                if aij != 0.0:
+                                    yi = yi + (dth * aij) * kyj
+                                    ayi = ayi + (dth * aij) * kayj
+                        wq = acc_f * dth * tab.b_sol[st]     # [1, B]
+                        t_st = s + tab.c[st] * dth
+                        flat, v_t = quad_eval(-sf * t_st, yi, ayi * wq)
+                        for j in range(n_acc):
+                            awrefs[j][:] = awrefs[j][:] + sf * flat[j]
+                        if time_input:
+                            at_s[:] = at_s[:] + sf * v_t
+
+                # ---- per-lane masked state update (Kahan) ----
+                comp = cy_s[:]
+                adj = d_y - comp
+                y_new = y0 + adj
+                cy_s[:] = jnp.where(accept, (y_new - y0) - adj, comp)
+                y_s[:] = jnp.where(accept, y_new, y0)
+                compa = cay_s[:]
+                adja = d_ay - compa
+                ay_new = ay0 + adja
+                cay_s[:] = jnp.where(accept, (ay_new - ay0) - adja, compa)
+                ay_s[:] = jnp.where(accept, ay_new, ay0)
+                s_new = jnp.where(accept, s1, s)
+
+                nfe_l = li_s[0:1, :] + stages * active.astype(jnp.int32)
+                acc_l = li_s[1:2, :] + accept.astype(jnp.int32)
+                rej_l = li_s[2:3, :] + (active & ~accept).astype(jnp.int32)
+                att = acc_l + rej_l
+                status_l = jnp.where(
+                    active & ~acc_raw & (dt_next < dt_min)
+                    & (status_l == 0), jnp.int32(2), status_l)
+                status_l = jnp.where(
+                    (att >= max_steps) & (s_new < s_end) & (status_l == 0),
+                    jnp.int32(1), status_l)
+                sdt_s[0:1, :] = s_new
+                sdt_s[1:2, :] = dt_next
+                li_s[0:1, :] = nfe_l
+                li_s[1:2, :] = acc_l
+                li_s[2:3, :] = rej_l
+                li_s[3:4, :] = status_l
+                return jnp.any((s_new < s_end) & (status_l == 0))
+
+            jax.lax.while_loop(cond, body, B_true > 0)
+            return 0
+
+        jax.lax.fori_loop(0, T - 1, interval_body, 0)
+
+        ay0_ref[:] = ay_s[:] + g_ref[pl.ds(0, 1)][0]
+        at_ref[0, 0] = jnp.sum(jnp.where(is_real, at_s[:], 0.0))
+        zi = jnp.zeros((1, B), jnp.int32)
+        stats_ref[0, 0] = jnp.sum(jnp.where(is_real, li_s[0:1, :], zi))
+        stats_ref[0, 1] = jnp.sum(jnp.where(is_real, li_s[1:2, :], zi))
+        stats_ref[0, 2] = jnp.sum(jnp.where(is_real, li_s[2:3, :], zi))
+        stats_ref[0, 3] = jnp.max(jnp.where(is_real, li_s[3:4, :], zi))
+        lane_ref[:] = li_s[0:4, :]
+
+    return kernel
+
+
+def perlane_adjoint_call(dyn_factory, quad_factory, aux_arrays, acc_shapes,
+                         ys: Array, g: Array, tau: Array, dt0_row, rtol,
+                         atol, sign, *, tab, safety: float, ifactor: float,
+                         dfactor: float, max_steps: int, B_true: int,
+                         time_input: bool, interpret: bool):
+    """Launch plumbing for the per-lane adjoint kernel (single block,
+    unpacked lanes — each lane IS its own controller; the callers force
+    pack=1 and reject n_blocks>1 like the per-lane forward).
+
+    acc_shapes: shapes of the n_acc parameter-cotangent accumulators.
+    dt0_row: per-lane initial backward steps (sigma space), broadcastable
+    to [1, B]. Returns (ay0 [D, B], accs, at scalar, stats [4] int32,
+    lane_stats [4, B])."""
+    T, D, B = ys.shape
+    dtype = ys.dtype
+
+    dt_min = (4.0 * jnp.finfo(dtype).eps
+              * jnp.maximum(jnp.maximum(jnp.abs(tau[0]), jnp.abs(tau[-1])),
+                            1.0)).astype(dtype)
+    sigma = (-tau).astype(dtype)
+    dt0_row = jnp.maximum(jnp.abs(jnp.asarray(dt0_row, dtype)),
+                          dt_min).reshape(1, -1)
+    if dt0_row.shape[1] not in (1, B):
+        dt0_row = jnp.pad(dt0_row, ((0, 0), (0, B - dt0_row.shape[1])),
+                          constant_values=dt_min)
+    dt0_row = jnp.broadcast_to(dt0_row, (1, B)).astype(dtype)
+
+    n_in = len(aux_arrays)
+    n_acc = len(acc_shapes)
+    kernel = _make_perlane_adjoint_kernel(
+        tab, T, safety, ifactor, dfactor, int(max_steps), D, B_true,
+        dyn_factory, quad_factory, n_in, n_acc, time_input)
+
+    smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = ([jax.ShapeDtypeStruct((D, B), dtype)]
+                 + [jax.ShapeDtypeStruct(s, dtype) for s in acc_shapes]
+                 + [jax.ShapeDtypeStruct((1, 4), jnp.int32),
+                    jax.ShapeDtypeStruct((1, 1), dtype),
+                    jax.ShapeDtypeStruct((4, B), jnp.int32)])
+    scratch = ([pltpu.VMEM((D, B), dtype)] * 4
+               + [pltpu.VMEM((1, B), dtype), pltpu.VMEM((2, B), dtype),
+                  pltpu.VMEM((4, B), jnp.int32)])
+
+    res = solver_pallas_call(
+        kernel,
+        in_specs=[smem_t] * 5 + [vmem] * (3 + n_in),
+        out_specs=[vmem] * (1 + n_acc) + [smem_t, smem_t, vmem],
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(sigma.reshape(1, T),
+      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+      jnp.reshape(dt_min, (1, 1)),
+      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+      ys, g, dt0_row, *aux_arrays)
+
+    ay0 = res[0]
+    accs = list(res[1:1 + n_acc])
+    stats = res[1 + n_acc][0]
+    at = res[2 + n_acc][0, 0]
+    lane_stats = res[3 + n_acc]
+    return ay0, accs, at, stats, lane_stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "activation", "final_activation", "input_power",
+                     "method", "safety", "ifactor", "dfactor", "max_steps",
+                     "matmul", "time_input", "interpret"))
+def mlp_perlane_adjoint_solve(warrays, dims, ys: Array, g: Array,
+                              tau: Array, dt0_row, rtol, atol, sign, *,
+                              activation: str = "tanh",
+                              final_activation: str = "identity",
+                              input_power: int = 1, method: str = "dopri5",
+                              safety: float = 0.9, ifactor: float = 10.0,
+                              dfactor: float = 0.2,
+                              max_steps: int = 2 ** 31 - 1,
+                              matmul: str = "vpu",
+                              time_input: bool = False,
+                              interpret: bool = False):
+    """Per-lane fused adjoint backward sweep for MLP neural ODEs, one
+    kernel launch (round-4 verdict item 3) — `mlp_adjoint_solve` with a
+    per-sample step controller (`_make_perlane_adjoint_kernel`): stiff
+    samples step at their own pace through the backward sweep too.
+
+    Same contract as `mlp_adjoint_solve` with the per-lane deltas:
+    dt0_row may carry PER-LANE initial backward steps ([B] or scalar);
+    the step-control norm is ALWAYS the (y, a_y) seminorm (a lane-shared
+    parameter quadrature cannot drive per-lane control); lanes stay
+    unpacked and single-block (each lane IS its own controller). Returns
+    (ay0 [D, B], aw_list, at, stats [4], lane_stats [4, B])."""
+    from . import tableaus as _tabs
+    tab = _tabs.TABLEAUS_BY_NAME[method]
+    T, D, B_in = ys.shape
+    dtype = ys.dtype
+    warrays = [jnp.asarray(w, dtype) for w in warrays]
+    L = len(dims)
+
+    # Lane-pad with zero cotangent seeds: pad adjoints stay identically 0.
+    B = _round_up(max(B_in, _LANE), _LANE)
+    if B != B_in:
+        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, B - B_in)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, B - B_in)))
+
+    def dyn_factory(wrefs):
+        return _make_aug_eval(wrefs, dims, activation, final_activation,
+                              input_power, matmul, time_input, parts="dyn")
+
+    def quad_factory(wrefs):
+        return _make_aug_eval(wrefs, dims, activation, final_activation,
+                              input_power, matmul, time_input,
+                              parts="quad")
+
+    acc_shapes = [w.shape for w in warrays]
+    ay0, accs, at, stats, lane_stats = perlane_adjoint_call(
+        dyn_factory, quad_factory, warrays, acc_shapes, ys, g, tau,
+        dt0_row, rtol, atol, sign, tab=tab, safety=safety,
+        ifactor=ifactor, dfactor=dfactor, max_steps=int(max_steps),
+        B_true=B_in, time_input=time_input, interpret=interpret)
+    if B != B_in:
+        ay0 = ay0[:, :B_in]
+        lane_stats = lane_stats[:, :B_in]
+    aws = [(accs[2 * l], accs[2 * l + 1]) for l in range(L)]
+    return ay0, aws, at, stats, lane_stats
 
 
 @functools.partial(

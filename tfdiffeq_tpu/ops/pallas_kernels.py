@@ -37,6 +37,7 @@ Design notes (per /opt/skills/guides/pallas_guide.md):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -341,7 +342,33 @@ def packed_make_f(make_f, k: int, D: int):
 #: 'bf16' = one systolic pass (~2e-3 rel err, 3x the MXU rate —
 #: measured 190 vs 62 TFLOP/s on v5e). bf16 is for FIXED-GRID serving,
 #: where there is no embedded error estimate to poison.
-_DOT_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST, "bf16": None}
+#: 'mixed' = TWO systolic passes: the WEIGHTS are quantized to bf16 once
+#: (the standard serving-time model transform) and the activations are
+#: split hi/lo-bf16 so y @ W_bf16 is computed to ~2^-16 relative accuracy
+#: (f32 MXU accumulation; the dropped activation residual is the only
+#: error term, ~2^-18 relative). The dynamics stays DETERMINISTIC — it
+#: is the bf16-weight model integrated to ~2^-18 dots — so, unlike
+#: 'bf16', adaptive error control keeps working: NFE parity with
+#: 'highest' at serving tolerances, ~10% inflation at rtol 1e-6, at 2/3
+#: the passes (tests/test_mixed_precision.py pins the economics). The
+#: gap to the f32-weight model is the weight-quantization error (~2e-3
+#: relative), same ballpark as the 'bf16' serving tier but with full
+#: adaptive step control.
+_DOT_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST, "bf16": None,
+                   "mixed": "mixed"}
+
+
+def _mixed_dot(wT, hp):
+    """wT @ hp with bf16-quantized weights and hi/lo-split activations:
+    two single-pass bf16 dots with f32 accumulation (~2^-16 relative
+    error vs the exact bf16-weight product; one-third less MXU time than
+    Mosaic's 3-pass HIGHEST decomposition)."""
+    f32 = hp.dtype
+    w16 = wT.astype(jnp.bfloat16)
+    h_hi = hp.astype(jnp.bfloat16)
+    h_lo = (hp - h_hi.astype(f32)).astype(jnp.bfloat16)
+    return (jnp.dot(w16, h_hi, preferred_element_type=f32)
+            + jnp.dot(w16, h_lo, preferred_element_type=f32))
 
 
 def _make_net(wrefs, dims, activation: str, final_activation: str,
@@ -389,10 +416,15 @@ def _make_net(wrefs, dims, activation: str, final_activation: str,
                 # v5e vs 190 for one bf16 pass). Mosaic's DEFAULT dot is
                 # that single bf16 pass (~2e-3 rel err) — noise above the
                 # embedded error estimate that inflates adaptive NFE ~5x,
-                # so 'bf16' is opt-in for fixed-grid serving only.
-                acc = jnp.dot(wT[:, :], hp,
-                              preferred_element_type=hp.dtype,
-                              precision=prec)
+                # so 'bf16' is opt-in for fixed-grid serving only and
+                # 'mixed' (two passes, bf16 weights + split activations,
+                # deterministic ~2^-16 dots) is the adaptive-safe tier.
+                if prec == "mixed":
+                    acc = _mixed_dot(wT[:, :], hp)
+                else:
+                    acc = jnp.dot(wT[:, :], hp,
+                                  preferred_element_type=hp.dtype,
+                                  precision=prec)
             else:
                 acc = None
                 for i in range(n_state):

@@ -151,7 +151,7 @@ def _rows_of(v) -> int:
     return 1 if jnp.ndim(v) == 0 else v.shape[0]
 
 
-def make_plan_aug_eval(plan: FusedPlan, wrefs):
+def make_plan_aug_eval(plan: FusedPlan, wrefs, parts: str = "all"):
     """Build aug_eval(t, y [D, B], a_y [D, B]) ->
     (f [D, B], v_y = (df/dy)^T a_y [D, B],
      dconsts: one block per packed const (same shapes as `pack_consts`),
@@ -160,6 +160,13 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
     — the `aug_factory` contract of `pallas_adjoint._make_adjoint_kernel`,
     for a jaxpr-bridge plan RHS. Forward values come from re-walking the
     plan (`eval_plan`); cotangents walk the instruction list in reverse.
+
+    `parts` trims the walk for the per-lane adjoint's two-pass structure
+    (pallas_adjoint._make_perlane_adjoint_kernel): 'dyn' -> (f, v_y),
+    skipping the weight-cotangent outer products and the const-cotangent
+    collection; 'quad' -> (dconsts, v_t) — the dh chain still runs. Every
+    returned cotangent is linear in a_y, so the per-lane caller folds its
+    quadrature weight row into a_y.
     """
     B_true = plan.batch
 
@@ -339,26 +346,30 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
                 else:
                     c_p = c_m
                 if mxu:
-                    h_p = _pad_rows(h, dinP)
-                    dW = jax.lax.dot_general(
-                        c_p, h_p, (((1,), (1,)), ((), ())),
-                        preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                    if parts != "dyn":
+                        h_p = _pad_rows(h, dinP)
+                        dW = jax.lax.dot_general(
+                            c_p, h_p, (((1,), (1,)), ((), ())),
+                            preferred_element_type=dtype,
+                            precision=jax.lax.Precision.HIGHEST)
                     dh = jax.lax.dot_general(
                         wT, c_p, (((0,), (0,)), ((), ())),
                         preferred_element_type=dtype,
                         precision=jax.lax.Precision.HIGHEST)[:din, :]
                 else:
-                    cols = [jnp.sum(h[i:i + 1, :] * c_p, axis=1,
-                                    keepdims=True) for i in range(din)]
-                    if dinP != din:
-                        cols.append(jnp.zeros((doutP, dinP - din), dtype))
-                    dW = jnp.concatenate(cols, axis=1)
+                    if parts != "dyn":
+                        cols = [jnp.sum(h[i:i + 1, :] * c_p, axis=1,
+                                        keepdims=True) for i in range(din)]
+                        if dinP != din:
+                            cols.append(
+                                jnp.zeros((doutP, dinP - din), dtype))
+                        dW = jnp.concatenate(cols, axis=1)
                     rows = [jnp.sum(wT[:, i:i + 1] * c_p, axis=0,
                                     keepdims=True) for i in range(din)]
                     dh = jnp.concatenate(rows, axis=0)
-                dw_acc[cidx] = (dW if cidx not in dw_acc
-                                else dw_acc[cidx] + dW)
+                if parts != "dyn":
+                    dw_acc[cidx] = (dW if cidx not in dw_acc
+                                    else dw_acc[cidx] + dW)
                 addct(("v", a_id), dh)
             else:                                  # pragma: no cover
                 raise AssertionError(f"bad instr {op}")
@@ -367,6 +378,8 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
         v_y = ct[plan.y_id]
         if v_y is None:
             v_y = jnp.zeros((plan.dim, B), dtype)
+        if parts == "dyn":
+            return f, v_y
         tct = ct[plan.t_id]
         v_t = (jnp.where(lane_ok, tct, 0.0) if tct is not None
                else jnp.zeros((1, B), dtype))
@@ -394,6 +407,8 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs):
                 dconsts.append(s.reshape(shape))
             else:                                  # bvec / batch
                 dconsts.append(jnp.where(lane_ok, cc, 0.0))
+        if parts == "quad":
+            return dconsts, v_t
         return f, v_y, dconsts, v_t
 
     return aug_eval
@@ -422,6 +437,65 @@ def _true_elems(plan: FusedPlan) -> int:
         elif tag == "batch":
             n += layout[1] * plan.batch
     return n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
+                     "max_steps", "interpret"))
+def plan_perlane_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array,
+                               g: Array, tau: Array, dt0_row, rtol, atol,
+                               sign, *, method: str = "dopri5",
+                               safety: float = 0.9, ifactor: float = 10.0,
+                               dfactor: float = 0.2,
+                               max_steps: int = 2 ** 31 - 1,
+                               interpret: bool = False):
+    """Per-lane fused adjoint backward sweep for a jaxpr-bridge plan
+    (round-4 verdict item 3): `plan_adjoint_solve` with a per-sample step
+    controller. dt0_row may carry per-lane initial backward steps; the
+    step-control norm is always the (y, a_y) seminorm; lanes stay
+    unpacked/single-block. Batch-coupled plans are rejected (a bsum makes
+    lanes interdependent — per-lane time skew would change the dynamics).
+
+    Returns (ay0 [D, B], dconsts, at, stats [4], lane_stats [4, B])."""
+    from . import tableaus as _tabs
+    from .pallas_adjoint import perlane_adjoint_call
+
+    check_plan_adjoint(plan)
+    if plan.batch_coupled:
+        raise ValueError("per_sample=True with batch-coupled dynamics is "
+                         "unsupported (lanes are interdependent)")
+    tab = _tabs.TABLEAUS_BY_NAME[method]
+    T, D, B_in = ys.shape
+    dtype = ys.dtype
+    if B_in != plan.batch:
+        raise ValueError(f"ys batch {B_in} != plan batch {plan.batch}")
+
+    consts_packed = tuple(jnp.asarray(c, dtype) for c in consts_packed)
+    time_input = plan_uses_t(plan)
+
+    B = _round_up(max(B_in, _LANE), _LANE)
+    if B != B_in:
+        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, B - B_in)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, B - B_in)))
+
+    def dyn_factory(wrefs):
+        return make_plan_aug_eval(plan, wrefs, parts="dyn")
+
+    def quad_factory(wrefs):
+        return make_plan_aug_eval(plan, wrefs, parts="quad")
+
+    acc_shapes = [((1, 1) if jnp.ndim(c) == 0 else c.shape)
+                  for c in consts_packed]
+    ay0, dconsts, at, stats, lane_stats = perlane_adjoint_call(
+        dyn_factory, quad_factory, consts_packed, acc_shapes, ys, g, tau,
+        dt0_row, rtol, atol, sign, tab=tab, safety=safety,
+        ifactor=ifactor, dfactor=dfactor, max_steps=int(max_steps),
+        B_true=B_in, time_input=time_input, interpret=interpret)
+    if B != B_in:
+        ay0 = ay0[:, :B_in]
+        lane_stats = lane_stats[:, :B_in]
+    return ay0, dconsts, at, stats, lane_stats
 
 
 @functools.partial(
