@@ -514,7 +514,27 @@ def bench_meanfield_nfe_per_sec(reps: int = 16):
         make_one({"fuse": True}), y0, reps, k=5)
     g_nfe_s, _, _, _, _, _ = _bench_sustained(
         make_one({"loop": "while"}), y0, max(reps // 2, 4), k=3)
-    return f_nfe_s, f_marg_us, g_nfe_s
+
+    # Round-4 verdict item 7: B=131072 puts the [T, D, B] trajectory
+    # past the VMEM budget; a bsum cannot grid-block (per-block
+    # controllers = a different ODE), so the kernel keeps ONE controller
+    # and STREAMS rows through HBM (whole_solve_call stream_out). Short
+    # horizon (fewer output times) keeps this a marginal-cost row.
+    try:
+        y0_big = jnp.asarray(
+            np.random.RandomState(2).randn(131072, 2) * 1.5, jnp.float32)
+        t_big = jnp.linspace(0.0, SPAN / 4, 16, dtype=jnp.float32)
+
+        def one_big(y):
+            r = solve(dyn, y, t_big, rtol=RTOL, atol=ATOL,
+                      method="dopri5", options={"fuse": True})
+            return r.ys, r.stats.nfe
+
+        _, big_marg_us, _, _, _, _ = _bench_sustained(
+            one_big, y0_big, 8, k=3, chains=3)
+    except Exception:
+        big_marg_us = None
+    return f_nfe_s, f_marg_us, g_nfe_s, big_marg_us
 
 
 def bench_doublefloat():
@@ -916,9 +936,10 @@ def main():
     except Exception:
         df_err = df_nfe = df_sec = df_nfe_s = None
     try:
-        mf_nfe_s, mf_marg_us, mf_gen_nfe_s = bench_meanfield_nfe_per_sec()
+        mf_nfe_s, mf_marg_us, mf_gen_nfe_s, mf_big_marg_us = \
+            bench_meanfield_nfe_per_sec()
     except Exception:
-        mf_nfe_s = mf_marg_us = mf_gen_nfe_s = None
+        mf_nfe_s = mf_marg_us = mf_gen_nfe_s = mf_big_marg_us = None
 
     # FLOPs/MFU accounting (tfdiffeq_tpu/utils/flops.py): achieved FLOP/s
     # and fraction-of-peak for each workload at its measured throughput.
@@ -1059,6 +1080,8 @@ def main():
             round(mf_marg_us, 3) if mf_marg_us else None,
         "meanfield_generic_nfe_per_sec":
             round(mf_gen_nfe_s, 1) if mf_gen_nfe_s else None,
+        "meanfield_streamed_b131072_marginal_us_per_step":
+            round(mf_big_marg_us, 3) if mf_big_marg_us else None,
         "batch_sweep_nfe_per_sec":
             None if "--no-sweep" in sys.argv else batch_sweep(),
         "device": str(jax.devices()[0]),

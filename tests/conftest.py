@@ -30,8 +30,23 @@ jax.config.update("jax_enable_x64", True)
 # every executable makes warm runs test-bound instead; the cache dir is
 # repo-local and gitignored. min thresholds are zeroed so even sub-second
 # compiles cache (they dominate by count).
+#
+# The cache dir is keyed by the host's CPU feature fingerprint: XLA:CPU
+# cache entries are AOT results compiled for a specific machine-feature
+# set, and this sandbox can resume on hosts with different features —
+# reusing a stale entry risks SIGILL (observed as a worker segfault with
+# a cpu_aot_loader feature-mismatch warning). A migrated host gets a
+# cold cache instead.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next(line for line in _f if line.startswith("flags"))
+    _tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+except (OSError, StopIteration):
+    _tag = "generic"
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    os.path.join(os.path.dirname(__file__), ".jax_cache", _tag))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

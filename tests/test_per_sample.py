@@ -151,3 +151,30 @@ def test_per_sample_rejects_non_adaptive():
                        match="per_sample|adaptive"):
         solve(lambda tt, yy: -yy, y0, t, method="rk4",
               options={"per_sample": True})
+
+
+def test_per_lane_past_vmem_budget_grid_blocks(monkeypatch):
+    """Round-4 verdict item 3 (forward): per-lane controllers are
+    independent, so batches past the VMEM budget run as sequential
+    lane-block grid programs with BIT-identical results (forced by
+    shrinking the budget)."""
+    import tfdiffeq_tpu.fast as fast
+
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    y0 = jnp.asarray(np.linspace(0.2, 2.0, 4096)[:, None], jnp.float32)
+
+    def stiff2(tt, yy):
+        return -(1.0 + 30.0 * yy * yy) * yy
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r1 = solve(stiff2, y0, t, rtol=1e-6, atol=1e-8,
+                   options={"fuse": True, "per_sample": True})
+    monkeypatch.setattr(fast, "_VMEM_BUDGET", 1_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # no fallback allowed
+        r2 = solve(stiff2, y0, t, rtol=1e-6, atol=1e-8,
+                   options={"fuse": True, "per_sample": True})
+    np.testing.assert_array_equal(np.asarray(r2.ys), np.asarray(r1.ys))
+    assert bool(jnp.all(r2.lane_stats.nfe == r1.lane_stats.nfe))
+    assert int(r2.stats.nfe) == int(r1.stats.nfe)

@@ -78,18 +78,92 @@ def test_tuple_state_other_methods(method, opts):
         assert int(rf.stats.nfe) == int(rg.stats.nfe)
 
 
-def test_rank3_leaf_falls_back_to_generic():
-    """Rank-3 intermediates are outside the bridge ISA: the solve must
-    fall back (warning) and still be correct."""
+def test_rank3_leaf_fuses_flatten_to_features():
+    """Round-4 verdict item 4: rank-3 batch-leading states FUSE via the
+    bridge's flatten-to-features layout (elementwise/broadcast dynamics;
+    reshapes between [B, ...] views are block identities)."""
     y3 = jnp.asarray(rng.randn(B, 2, 3), jnp.float32)
 
     def dyn3(tt, y):
         return -0.5 * y + 0.1 * jnp.tanh(y)
 
-    with pytest.warns(UserWarning, match="falling back"):
-        rf = solve(dyn3, y3, T, rtol=1e-6, atol=1e-8, method="dopri5",
-                   options={"fuse": True})
+    rf = _fused_silently(dyn3, y3, T, rtol=1e-6, atol=1e-8,
+                         method="dopri5")
     rg = solve(dyn3, y3, T, rtol=1e-6, atol=1e-8, method="dopri5",
+               options={"loop": "while"})
+    assert float(jnp.max(jnp.abs(rf.ys - rg.ys))) < 1e-5
+    assert int(rf.stats.nfe) == int(rg.stats.nfe)
+
+
+def test_field_plus_aux_state_fuses_and_trains():
+    """The verdict's done criterion: a {field [B, H, W], scalar-aux [B]}
+    augmented state solves FUSED with parity vs generic — including
+    cross-leaf coupling (aux scales the field; the field's energy drives
+    the aux) and tier-1 two-kernel training with a PER-SAMPLE rank-3
+    param const."""
+    y0 = {"field": jnp.asarray(rng.randn(B, 4, 4), jnp.float32),
+          "aux": jnp.asarray(rng.randn(B), jnp.float32)}
+    K = jnp.asarray(rng.rand(B, 4, 4) + 0.5, jnp.float32)
+
+    def dynf(tt, y, k):
+        f = y["field"]
+        df = -k * f + 0.2 * jnp.tanh(f) * y["aux"][:, None, None]
+        da = -0.1 * y["aux"] + 0.01 * jnp.sum(f * f, axis=(1, 2))
+        return {"field": df, "aux": da}
+
+    rf = _fused_silently(lambda tt, y: dynf(tt, y, K), y0, T,
+                         rtol=1e-6, atol=1e-8, method="dopri5")
+    rg = solve(lambda tt, y: dynf(tt, y, K), y0, T, rtol=1e-6, atol=1e-8,
+               method="dopri5", options={"loop": "while"})
+    for k in y0:
+        assert float(jnp.max(jnp.abs(rf.ys[k] - rg.ys[k]))) < 1e-5, k
+    # f32 summation-order differences (feature-concat vs ravel) may flip
+    # one borderline accept; trajectories above are the contract.
+    assert abs(int(rf.stats.n_accepted) - int(rg.stats.n_accepted)) <= 1
+
+    def loss(k, y, fuse):
+        with warnings.catch_warnings():
+            if fuse:
+                warnings.simplefilter("error")
+            ys = odeint_adjoint(dynf, y, T, params=k, rtol=1e-6,
+                                atol=1e-8,
+                                options={"fuse": True} if fuse else None)
+        return jnp.sum(ys["field"] ** 2) + jnp.sum(jnp.sin(ys["aux"]))
+
+    gf = jax.tree_util.tree_leaves(
+        jax.grad(loss, argnums=(0, 1))(K, y0, True))
+    gg = jax.tree_util.tree_leaves(
+        jax.grad(loss, argnums=(0, 1))(K, y0, False))
+    for a, b in zip(gf, gg):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert d / m < 1e-4, (d, m)
+
+
+def test_rank3_spatial_ops_fall_back():
+    """Ops whose flattened-row semantics would differ (partial-axis
+    reduce, inner-axis slice) must REJECT — fallback with parity, never
+    silent wrongness."""
+    y3 = jnp.asarray(rng.randn(B, 2, 3), jnp.float32)
+
+    def dynsp(tt, y):                 # partial (inner-axis) reduce
+        return -y + 0.1 * jnp.sum(y, axis=2, keepdims=True)
+
+    with pytest.warns(UserWarning, match="falling back"):
+        rf = solve(dynsp, y3, T, rtol=1e-6, atol=1e-8, method="dopri5",
+                   options={"fuse": True})
+    rg = solve(dynsp, y3, T, rtol=1e-6, atol=1e-8, method="dopri5",
+               options={"loop": "while"})
+    assert float(jnp.max(jnp.abs(rf.ys - rg.ys))) < 1e-5
+
+    def dynsl(tt, y):                 # inner-axis slice
+        return -y + 0.1 * jnp.concatenate(
+            [y[:, :, 1:], y[:, :, :1]], axis=2)
+
+    with pytest.warns(UserWarning, match="falling back"):
+        rf = solve(dynsl, y3, T, rtol=1e-6, atol=1e-8, method="dopri5",
+                   options={"fuse": True})
+    rg = solve(dynsl, y3, T, rtol=1e-6, atol=1e-8, method="dopri5",
                options={"loop": "while"})
     assert float(jnp.max(jnp.abs(rf.ys - rg.ys))) < 1e-5
 

@@ -200,7 +200,18 @@ class FusedPlan:
 
 def _kind(shape: Tuple[int, ...], B: int):
     """Map an aval shape to its block layout ('scalar' | (rows, cols) |
-    'mat'). Raises FusionError for unsupported ranks."""
+    'mat'). Raises FusionError for unsupported ranks.
+
+    Rank >= 3 batch-leading shapes [B, r1, ..., rk] FLATTEN TO FEATURES
+    (round-4 verdict item 4): the block is (prod(r), B) with rows in
+    row-major order over the trailing dims — exactly the layout
+    jnp.reshape(x, (B, -1)) produces, so reshapes between [B, ...] views
+    of the same element count are block identities. Ops whose flattened-
+    row semantics would differ from their rank-3 semantics (partial-axis
+    reduces, inner-axis slices/concats/flips, rank-3 dots, row-tiling
+    broadcasts) are rejected at their handlers — flatten-to-features
+    covers elementwise/broadcast dynamics on field-shaped states, not
+    spatial ops (the conv tier handles those)."""
     if shape == ():
         return "scalar"
     if len(shape) == 1:
@@ -213,6 +224,11 @@ def _kind(shape: Tuple[int, ...], B: int):
         if shape[1] == 1:
             return (shape[0], 1)
         return "mat"
+    r = int(np.prod(shape[1:]))
+    if shape[0] == B:
+        return (r, B)
+    if shape[0] == 1:
+        return (r, 1)
     raise FusionError(f"rank-{len(shape)} intermediate {shape} unsupported")
 
 
@@ -422,9 +438,23 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
         return
     if prim == "broadcast_in_dim":
         a = _atom(builder, env, eqn.invars[0])
-        to_k = _kind(tuple(eqn.params["shape"]), B)
+        to_shape = tuple(eqn.params["shape"])
+        to_k = _kind(to_shape, B)
         if to_k == "mat":
             raise FusionError(f"broadcast to mat {eqn.params['shape']}")
+        src_shape = (tuple(eqn.invars[0].aval.shape)
+                     if hasattr(eqn.invars[0], "aval") else ())
+        if len(to_shape) >= 3 or len(src_shape) >= 3:
+            # Flattened-rank-3 guard: only whole-row broadcasts are block
+            # ops (source rows 1 or == target rows). A middle-axis tile
+            # like [B, 1, r2] -> [B, r1, r2] would need row tiling the
+            # bcast instr does not do.
+            src_k = _kind(src_shape, B)
+            src_rows = 0 if src_k == "scalar" else src_k[0]
+            if src_k != "scalar" and src_rows not in (1, to_k[0]):
+                raise FusionError(
+                    f"broadcast {src_shape} -> {to_shape} tiles feature "
+                    "rows (outside the flatten-to-features subset)")
         builder.instrs.append(("bcast", out_id(), a, to_k))
         return
     if prim in ("reshape", "squeeze", "expand_dims"):
@@ -444,11 +474,15 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
     if prim == "concatenate":
         dim = int(eqn.params["dimension"])
         shapes = [tuple(v.aval.shape) for v in eqn.invars]
-        ok = all(len(s) == 2 and s[0] == B for s in shapes) and dim == 1
+        # Batch-leading, concat on the OUTERMOST feature axis: flattened
+        # rows stay contiguous per input (rank >= 3 rides the
+        # flatten-to-features layout; inner-axis concats would interleave
+        # rows and are rejected).
+        ok = all(len(s) >= 2 and s[0] == B for s in shapes) and dim == 1
         ok = ok or (all(len(s) == 1 and s[0] != B for s in shapes)
                     and dim == 0)
         ok = ok or (B == 1 and dim == 1
-                    and all(len(s) == 2 and s[0] == 1 for s in shapes))
+                    and all(len(s) >= 2 and s[0] == 1 for s in shapes))
         if not ok:
             raise FusionError(f"concatenate dim={dim} shapes={shapes}")
         atoms = tuple(_atom(builder, env, v) for v in eqn.invars)
@@ -460,11 +494,26 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
         k = _kind(shape, B)
         if k == "scalar" or k == "mat":
             raise FusionError(f"reduce over {shape}")
+        out_k = _kind(tuple(eqn.outvars[0].aval.shape), B)
+        if out_k == "mat":
+            raise FusionError(f"reduce over {shape} axes {axes} leaves a "
+                              "mat-layout result")
         r, c = k
         # Size-1 axes reduce to the identity at block level (e.g. the
         # axis-0 "reduce" of a (1, d) value is a squeeze) — without this,
         # the generic reduce instr would wrongly fold the FEATURE rows.
         eff_axes = tuple(ax for ax in axes if shape[ax] != 1)
+        if len(shape) >= 3:
+            # Flattened rank-3: the block reduce folds ALL feature rows,
+            # so a partial reduce (some non-size-1 trailing axis kept)
+            # would be silently wrong — reject it.
+            lead_batch = 1 if (shape[0] in (B, 1)) else 0
+            feat = {i for i in range(lead_batch, len(shape))
+                    if shape[i] != 1}
+            if eff_axes and not feat.issubset(set(eff_axes)):
+                raise FusionError(
+                    f"partial feature reduce over {shape} axes {axes} "
+                    "(flatten-to-features folds all feature rows)")
         a = _atom(builder, env, eqn.invars[0])
         if not eff_axes:
             builder.instrs.append(("un", out_id(), a, "copy"))
@@ -504,7 +553,20 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
         k = _kind(shape, B)
         if k == "scalar" or k == "mat":
             raise FusionError(f"slice of {shape} unsupported")
-        if len(shape) == 1:
+        if len(shape) >= 3:
+            # Flattened rank-3: only outermost-feature-axis slices keep
+            # contiguous rows; inner-axis slices stride and are rejected.
+            if shape[0] == B and B != 1 and (start[0], limit[0]) != (0, B):
+                raise FusionError("slice along the batch axis")
+            if any((start[i], limit[i]) != (0, shape[i])
+                   for i in range(2, len(shape))):
+                raise FusionError(
+                    f"inner-axis slice {start}:{limit} of {shape} "
+                    "(flatten-to-features keeps rows contiguous only for "
+                    "outermost-feature slices)")
+            inner = int(np.prod(shape[2:]))
+            r0, r1 = start[1] * inner, limit[1] * inner
+        elif len(shape) == 1:
             if shape[0] == B and B != 1:
                 raise FusionError("slice along the batch axis")
             r0, r1 = start[0], limit[0]
@@ -531,6 +593,10 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
         # stays unsupported.
         shape = tuple(eqn.invars[0].aval.shape)
         dims = tuple(int(d) for d in eqn.params["dimensions"])
+        if len(shape) >= 3:
+            raise FusionError(
+                f"rev of {shape} unsupported (a rank-3 axis flip "
+                "permutes flattened feature rows non-contiguously)")
         k = _kind(shape, B)
         if k == "scalar" or k == "mat":
             raise FusionError(f"rev of {shape} unsupported")
@@ -719,7 +785,9 @@ def pack_consts(plan: FusedPlan, consts: Sequence, dtype, BP: int) -> list:
             out.append(jnp.pad(c.reshape(1, b), ((0, 0), (0, BP - b))))
         elif tag == "batch":
             d = layout[1]
-            cT = c.T                                # [d, B]
+            # Flatten trailing feature dims first (rank-3 consts ride the
+            # flatten-to-features layout), then transpose to [d, B].
+            cT = c.reshape(c.shape[0], d).T
             out.append(jnp.pad(cT, ((0, 0), (0, BP - cT.shape[1]))))
         elif tag == "unused":
             out.append(jnp.zeros((1, 1), dtype))
@@ -941,14 +1009,14 @@ import functools                                           # noqa: E402
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
                      "max_steps", "emit_dense", "interpret", "pack",
-                     "n_blocks", "per_sample"))
+                     "n_blocks", "per_sample", "stream_out"))
 def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
                rtol, atol, sign, f0: Array, *, method: str = "dopri5",
                safety: float = 0.9, ifactor: float = 10.0,
                dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                emit_dense: int = 0, interpret: bool = False,
                pack: int = 1, n_blocks: int = 1,
-               per_sample: bool = False):
+               per_sample: bool = False, stream_out: bool = False):
     """Whole-solve fused adaptive RK over a FusedPlan RHS: the plan is
     interpreted inside ONE Pallas kernel launch (same engine as
     pallas_kernels.mlp_solve; plan is a static arg, so equal-structure
@@ -975,22 +1043,31 @@ def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
         make_f = packed_make_f(make_f, int(pack), plan.dim)
     if per_sample:
         # Per-lane controllers (see pallas_kernels._make_perlane_kernel):
-        # unpacked single-block only; dt0 may be a per-lane row. The plan
-        # RHS sees a LANE-RESOLVED [1, B] time row at the stage times —
-        # valid because cross-sample paths are rejected at trace time, so
+        # unpacked lanes; dt0 may be a per-lane row. The plan RHS sees a
+        # LANE-RESOLVED [1, B] time row at the stage times — valid
+        # because cross-sample paths are rejected at trace time, so
         # per-lane t flows through the instrs like any lane-resolved val.
-        if pack > 1 or n_blocks > 1 or emit_dense:
-            raise ValueError("per_sample=True is unpacked single-block "
-                             "only (no emit_dense)")
+        # Grid blocks compose (independent controllers); B_true is then
+        # the per-block lane count (callers wrap-pad).
+        if pack > 1 or emit_dense:
+            raise ValueError("per_sample=True is unpacked only "
+                             "(no emit_dense)")
+        if n_blocks > 1 and any(
+                l[0] in ("batch", "bvec") for l in plan.const_layouts):
+            raise ValueError(
+                "per-sample consts are not block-shardable (grid "
+                "programs replicate const refs)")
         return perlane_solve_call(
             make_f, list(consts_packed), y0, tau, dt0, rtol, atol, sign,
             f0, tab=tab, safety=safety, ifactor=ifactor, dfactor=dfactor,
-            max_steps=int(max_steps), B_true=plan.batch,
-            interpret=interpret)
+            max_steps=int(max_steps),
+            B_true=plan.batch // int(n_blocks),
+            interpret=interpret, n_blocks=int(n_blocks))
     return whole_solve_call(
         make_f, list(consts_packed),
         y0, tau, dt0, rtol, atol, sign, f0, tab=tab, safety=safety,
         ifactor=ifactor, dfactor=dfactor, max_steps=int(max_steps),
         B_true=plan.batch // (int(pack) * int(n_blocks)),
         interpret=interpret,
-        emit_dense=int(emit_dense), n_blocks=int(n_blocks))
+        emit_dense=int(emit_dense), n_blocks=int(n_blocks),
+        stream_out=stream_out)

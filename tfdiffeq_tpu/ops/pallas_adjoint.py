@@ -431,7 +431,8 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
                          dfactor: float, max_steps: int, denom: float,
                          B_true: int, aug_factory, n_in: int, n_acc: int,
                          seminorm: bool, time_input: bool = False,
-                         per_block_io: bool = False):
+                         per_block_io: bool = False,
+                         stream_io: bool = False):
     """Kernel: the full backward sweep. Ref layout (inputs then outputs then
     scratch):
 
@@ -447,6 +448,14 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
     `aug_factory(wrefs)` builds aug_eval(t, y, a_y) ->
     (f, v_y, flat_dparams[n_acc], v_t) — the augmented-dynamics evaluator
     (MLP VJP, CNF second-order VJP, or a jaxpr-bridge plan VJP).
+
+    stream_io (round-4 verdict item 7): ys and g stay in HBM
+    (memory_space ANY) and one [1, D, B] row of each DMAs into VMEM
+    staging buffers per observation interval — for batch-coupled (bsum)
+    dynamics whose ys+g trajectory buffers exceed the VMEM budget but
+    whose [D, B] state fits (grid blocks cannot serve a bsum: per-block
+    controllers would integrate a different ODE). O(T) synchronous row
+    copies per sweep.
     """
     stages = tab.stages
 
@@ -458,8 +467,26 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         awrefs = refs[9 + n_in: 9 + n_in + n_acc]
         stats_ref = refs[9 + n_in + n_acc]
         at_ref = refs[10 + n_in + n_acc]
-        y_s, ay_s, cy_s, cay_s = refs[11 + n_in + n_acc:]
+        if stream_io:
+            (y_s, ay_s, cy_s, cay_s, ysrow_s, grow_s,
+             dma_sem) = refs[11 + n_in + n_acc:]
+        else:
+            y_s, ay_s, cy_s, cay_s = refs[11 + n_in + n_acc:]
         pid = pl.program_id(0) if per_block_io else 0
+
+        def load_rows(i):
+            """Return (ys[i], g[i]) as [D, B] values."""
+            if stream_io:
+                cp = pltpu.make_async_copy(
+                    ys_ref.at[pl.ds(i, 1)], ysrow_s, dma_sem)
+                cp.start()
+                cp.wait()
+                cp = pltpu.make_async_copy(
+                    g_ref.at[pl.ds(i, 1)], grow_s, dma_sem)
+                cp.start()
+                cp.wait()
+                return ysrow_s[0], grow_s[0]
+            return ys_ref[pl.ds(i, 1)][0], g_ref[pl.ds(i, 1)][0]
 
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
@@ -499,8 +526,9 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
             dt, at, nfe, nacc, nrej, status = carry
             i = T - 1 - ii
             # Reset y to the stored forward state; inject the cotangent.
-            y_s[:] = ys_ref[pl.ds(i, 1)][0]
-            ay_s[:] = ay_s[:] + g_ref[pl.ds(i, 1)][0]
+            ys_i, g_i = load_rows(i)
+            y_s[:] = ys_i
+            ay_s[:] = ay_s[:] + g_i
             cy_s[:] = jnp.zeros_like(cy_s)
             cay_s[:] = jnp.zeros_like(cay_s)
             s_start = sigma_ref[0, i]
@@ -639,7 +667,8 @@ def _make_adjoint_kernel(tab, T: int, safety: float, ifactor: float,
         dt, at, nfe, nacc, nrej, status = jax.lax.fori_loop(
             0, T - 1, interval_body, carry0)
 
-        ay0_ref[:] = ay_s[:] + g_ref[pl.ds(0, 1)][0]
+        _, g_0 = load_rows(0)
+        ay0_ref[:] = ay_s[:] + g_0
         at_ref[0, pid] = at
         stats_ref[pid, 0] = nfe
         stats_ref[pid, 1] = nacc

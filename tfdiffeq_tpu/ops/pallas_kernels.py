@@ -726,7 +726,8 @@ def dopri5_mlp_step(params: dict, y: Array, f0: Array, dt: Array,
 def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                        dfactor: float, max_steps: int, denom: float,
                        B_true: int, make_f, n_wrefs: int,
-                       per_block_io: bool = False, emit_dense: int = 0):
+                       per_block_io: bool = False, emit_dense: int = 0,
+                       stream_out: bool = False):
     """Whole-solve kernel, dynamics-generic: `make_f(wrefs)` builds the
     in-kernel RHS from `n_wrefs` VMEM weight refs. A runtime sign scalar
     (SMEM) multiplies the RHS so one compiled kernel serves both time
@@ -736,7 +737,16 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
     a [1, n_blocks] SMEM row read at program_id, and stats write to row
     program_id of an [n_blocks, 4] SMEM output (Mosaic rejects sub-(8,128)
     SMEM *blocks*, so per-block scalars ride full arrays + explicit
-    indexing instead of index maps)."""
+    indexing instead of index maps).
+
+    stream_out (round-4 verdict item 7): the [T, D, B] trajectory stays
+    in HBM (memory_space ANY) and each drain row DMAs out of a [1, D, B]
+    VMEM staging buffer — for BATCH-COUPLED (bsum) dynamics whose batch
+    exceeds the trajectory VMEM budget but whose [D, B] state still fits.
+    Grid-blocking cannot serve those (per-block controllers take
+    different step sequences, so a block-local bsum would integrate a
+    different ODE); one controller + streamed output preserves the exact
+    semantics at any B with O(T) synchronous row copies."""
     evals = tab.evals_per_step
 
     def kernel(*refs):
@@ -749,6 +759,9 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
             # t1s initialized to +inf: unused tail rows then never win a
             # searchsorted query within [t0, t_end] (DenseOutput.eval).
             meta_ref[:] = jnp.full_like(meta_ref, jnp.inf)
+        elif stream_out:
+            (out_ref, stats_ref, y_s, f_s, comp_s, row_s,
+             dma_sem) = refs[9 + n_wrefs:]
         else:
             out_ref, stats_ref, y_s, f_s, comp_s = refs[9 + n_wrefs:]
         pid = pl.program_id(0) if per_block_io else 0
@@ -759,9 +772,25 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
         t_start = tau_ref[0, 0]
         sign = sign_ref[0, 0]
 
+        def write_row(o, val2d):
+            """Emit one [D, B] output row at index o (dynamic)."""
+            if stream_out:
+                row_s[:] = val2d[None]
+                cp = pltpu.make_async_copy(
+                    row_s, out_ref.at[pl.ds(o, 1)], dma_sem)
+                cp.start()
+                cp.wait()
+            else:
+                out_ref[pl.ds(o, 1)] = val2d[None]
+
         # Deterministic output on early exit: zero-fill, then y0 row.
-        out_ref[:] = jnp.zeros_like(out_ref)
-        out_ref[0] = y0_ref[:]
+        if stream_out:
+            jax.lax.fori_loop(
+                1, T, lambda o, _: (write_row(o, jnp.zeros_like(y_s)), 0)[1],
+                0)
+        else:
+            out_ref[:] = jnp.zeros_like(out_ref)
+        write_row(0, y0_ref[:])
         y_s[:] = y0_ref[:]
         f_s[:] = f0_ref[:]
         comp_s[:] = jnp.zeros_like(comp_s)
@@ -859,8 +888,7 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
                 tj = tau_ref[0, o]
                 x = (tj - t) / dth
                 val = (((ca * x + cb) * x + cc) * x + df0) * x + y0
-                out_ref[pl.ds(o, 1)] = jnp.where(tj == t1, y_new,
-                                                 val)[None]
+                write_row(o, jnp.where(tj == t1, y_new, val))
                 return o + 1
 
             oi_new = jax.lax.while_loop(wcond, wbody, oi)
@@ -900,7 +928,8 @@ def _make_solve_kernel(tab, T: int, safety: float, ifactor: float,
 
 def _make_perlane_kernel(tab, T: int, safety: float, ifactor: float,
                          dfactor: float, max_steps: int, D: int,
-                         B_true: int, make_f, n_wrefs: int):
+                         B_true: int, make_f, n_wrefs: int,
+                         per_block_io: bool = False):
     """PER-LANE adaptive whole-solve kernel: every batch lane (sample)
     carries its own controller state — t, dt, accept/reject decision, NFE
     count, and status — as [1, B] rows, so one stiff sample no longer
@@ -934,6 +963,7 @@ def _make_perlane_kernel(tab, T: int, safety: float, ifactor: float,
         wrefs = refs[9:9 + n_wrefs]
         (out_ref, stats_ref, lane_ref,
          y_s, f_s, comp_s, tdt_s, li_s) = refs[9 + n_wrefs:]
+        pid = pl.program_id(0) if per_block_io else 0
         rtol = rtol_ref[0, 0]
         atol = atol_ref[0, 0]
         dt_min = dtmin_ref[0, 0]
@@ -1066,10 +1096,10 @@ def _make_perlane_kernel(tab, T: int, safety: float, ifactor: float,
         jax.lax.while_loop(cond, body, (jnp.int32(1), ok & (B_true > 0)))
 
         zi = jnp.zeros((1, B), jnp.int32)
-        stats_ref[0, 0] = jnp.sum(jnp.where(is_real, li_s[0:1, :], zi))
-        stats_ref[0, 1] = jnp.sum(jnp.where(is_real, li_s[1:2, :], zi))
-        stats_ref[0, 2] = jnp.sum(jnp.where(is_real, li_s[2:3, :], zi))
-        stats_ref[0, 3] = jnp.max(jnp.where(is_real, li_s[3:4, :], zi))
+        stats_ref[pid, 0] = jnp.sum(jnp.where(is_real, li_s[0:1, :], zi))
+        stats_ref[pid, 1] = jnp.sum(jnp.where(is_real, li_s[1:2, :], zi))
+        stats_ref[pid, 2] = jnp.sum(jnp.where(is_real, li_s[2:3, :], zi))
+        stats_ref[pid, 3] = jnp.max(jnp.where(is_real, li_s[3:4, :], zi))
         lane_ref[:] = li_s[0:4, :]
 
     return kernel
@@ -1078,13 +1108,21 @@ def _make_perlane_kernel(tab, T: int, safety: float, ifactor: float,
 def perlane_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0_row,
                        rtol, atol, sign, f0, *, tab, safety: float,
                        ifactor: float, dfactor: float, max_steps: int,
-                       B_true: int, interpret: bool):
+                       B_true: int, interpret: bool, n_blocks: int = 1):
     """Launch plumbing for the per-lane whole-solve kernel.
 
     dt0_row: per-lane initial steps, any shape broadcastable to [1, B]
     (e.g. a vmapped `select_initial_step` per sample). Returns
     (out [T, D, B], stats [4] int32 with nfe/acc/rej SUMMED over lanes,
-    lane_stats int32 [4, B]: per-lane nfe/accepted/rejected/status)."""
+    lane_stats int32 [4, B]: per-lane nfe/accepted/rejected/status).
+
+    n_blocks > 1 (round-4 verdict item 3: per-lane forward past the VMEM
+    budget): lane blocks run as SEQUENTIAL GRID PROGRAMS — per-lane
+    controllers are independent, so blocking changes nothing semantically
+    (unlike the shared-controller kernel, where each block gets its own
+    controller). The caller wrap-pads the batch to n_blocks equal
+    lane-aligned slices; B_true is then the per-block lane count and
+    stats come back [n_blocks, 4] for the caller to merge."""
     D, B = y0.shape
     T = int(tau.shape[0])
     dtype = y0.dtype
@@ -1104,29 +1142,60 @@ def perlane_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0_row,
                           constant_values=dt_min)
     dt0_row = jnp.broadcast_to(dt0_row, (1, B))
 
+    if B % n_blocks:
+        raise ValueError(f"lane count {B} not divisible by n_blocks "
+                         f"{n_blocks}")
+    NB = B // n_blocks
     kernel = _make_perlane_kernel(tab, T, safety, ifactor, dfactor,
                                   int(max_steps), D, B_true, make_f,
-                                  len(aux_arrays))
+                                  len(aux_arrays),
+                                  per_block_io=n_blocks > 1)
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scalar_ins = (tau.reshape(1, T),
+                  jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
+                  jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
+                  jnp.reshape(dt_min, (1, 1)),
+                  jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
+                  jnp.reshape(valid, (1, 1)))
+    scratch = ([pltpu.VMEM((D, NB), dtype)] * 3
+               + [pltpu.VMEM((2, NB), dtype),
+                  pltpu.VMEM((4, NB), jnp.int32)])
+    if n_blocks == 1:
+        out, stats, lane_stats = solver_pallas_call(
+            kernel,
+            in_specs=[smem_t] * 6 + [vmem] * (3 + len(aux_arrays)),
+            out_specs=[vmem, smem_t, vmem],
+            out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
+                       jax.ShapeDtypeStruct((1, 4), jnp.int32),
+                       jax.ShapeDtypeStruct((4, B), jnp.int32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*scalar_ins, y0, f0, dt0_row, *aux_arrays)
+        return out, stats[0], lane_stats
+
+    state_spec = pl.BlockSpec((D, NB), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, NB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     out, stats, lane_stats = solver_pallas_call(
         kernel,
-        in_specs=[smem_t] * 6 + [vmem] * (3 + len(aux_arrays)),
-        out_specs=[vmem, smem_t, vmem],
+        grid=(n_blocks,),
+        in_specs=([smem_t] * 6 + [state_spec, state_spec, row_spec]
+                  + [rep_spec(np.shape(w)) for w in aux_arrays]),
+        out_specs=[pl.BlockSpec((T, D, NB), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM), smem_t,
+                   pl.BlockSpec((4, NB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((T, D, B), dtype),
-                   jax.ShapeDtypeStruct((1, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((n_blocks, 4), jnp.int32),
                    jax.ShapeDtypeStruct((4, B), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((D, B), dtype)] * 3
-        + [pltpu.VMEM((2, B), dtype), pltpu.VMEM((4, B), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(tau.reshape(1, T),
-      jnp.reshape(jnp.asarray(rtol, dtype), (1, 1)),
-      jnp.reshape(jnp.asarray(atol, dtype), (1, 1)),
-      jnp.reshape(dt_min, (1, 1)),
-      jnp.reshape(jnp.asarray(sign, dtype), (1, 1)),
-      jnp.reshape(valid, (1, 1)),
-      y0, f0, dt0_row, *aux_arrays)
-    return out, stats[0], lane_stats
+    )(*scalar_ins, y0, f0, dt0_row, *aux_arrays)
+    stats = jnp.concatenate(
+        [jnp.sum(stats[:, :3], axis=0), stats[:, 3:4].max(axis=0)])
+    return out, stats, lane_stats
 
 
 def padded_mlp_f(warrays, dims, y: Array, activation: str,
@@ -1205,11 +1274,11 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
                                  t=sign * tau[0], time_input=time_input)
 
     if per_sample:
-        # Per-lane controllers need unpacked per-sample lanes and a
-        # single block (each lane IS its own controller; grid blocking
-        # adds nothing and packing would merge k samples per controller).
-        if n_blocks != 1:
-            raise ValueError("per_sample=True is single-block only")
+        # Per-lane controllers need unpacked per-sample lanes (packing
+        # would merge k samples per controller). Grid blocks compose
+        # freely — per-lane controllers are independent, so sequential
+        # lane-block programs change nothing semantically (round-4
+        # verdict item 3: per-lane forward past the VMEM budget).
         pack = 1
     y0, f0, k, Lb = prep_state_blocks(y0, f0, D, pack, n_blocks)
     B_true = Lb
@@ -1232,7 +1301,8 @@ def mlp_solve(warrays, dims, y0: Array, tau: Array, dt0: Array, rtol, atol,
         return perlane_solve_call(
             make_f, warrays, y0, tau, dt0, rtol, atol, sign, f0, tab=tab,
             safety=safety, ifactor=ifactor, dfactor=dfactor,
-            max_steps=int(max_steps), B_true=B_true, interpret=interpret)
+            max_steps=int(max_steps), B_true=B_true, interpret=interpret,
+            n_blocks=n_blocks)
 
     out, stats = whole_solve_call(
         make_f, warrays, y0, tau, dt0, rtol, atol, sign, f0, tab=tab,
@@ -1252,7 +1322,7 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
                      atol, sign, f0, *, tab, safety: float, ifactor: float,
                      dfactor: float, max_steps: int, B_true: int,
                      interpret: bool, emit_dense: int = 0,
-                     n_blocks: int = 1):
+                     n_blocks: int = 1, stream_out: bool = False):
     """Shared pallas_call plumbing for whole-solve kernels.
 
     y0/f0: [D, B] feature-major with B already lane-padded; aux_arrays:
@@ -1288,11 +1358,15 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
         raise ValueError(f"lane count {B} not divisible by n_blocks "
                          f"{n_blocks}")
     NB = B // n_blocks
+    if stream_out and (n_blocks > 1 or emit_dense):
+        raise ValueError("stream_out is single-block, no-dense-output "
+                         "only (one controller streaming rows to HBM)")
     kernel = _make_solve_kernel(tab, T, safety, ifactor, dfactor,
                                 int(max_steps), float(D * B_true), B_true,
                                 make_f, len(aux_arrays),
                                 per_block_io=n_blocks > 1,
-                                emit_dense=int(emit_dense))
+                                emit_dense=int(emit_dense),
+                                stream_out=stream_out)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1318,6 +1392,12 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
         out_shape = [jax.ShapeDtypeStruct((T, D, B), dtype),
                      jax.ShapeDtypeStruct((1, 4), jnp.int32)]
         out_specs = [vmem, smem_t]
+        if stream_out:
+            # Trajectory lives in HBM; the kernel DMAs one [1, D, B]
+            # staging row per drain write.
+            out_specs[0] = pl.BlockSpec(memory_space=pl.ANY)
+            scratch = scratch + [pltpu.VMEM((1, D, B), dtype),
+                                 pltpu.SemaphoreType.DMA]
         if emit_dense:
             S = int(emit_dense)
             out_shape += [jax.ShapeDtypeStruct((S, 3), dtype),

@@ -502,14 +502,14 @@ def plan_perlane_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array,
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
                      "max_steps", "seminorm", "interpret", "pack",
-                     "n_blocks"))
+                     "n_blocks", "stream_io"))
 def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
                        tau: Array, dt0: Array, rtol, atol, sign, *,
                        method: str = "dopri5", safety: float = 0.9,
                        ifactor: float = 10.0, dfactor: float = 0.2,
                        max_steps: int = 2 ** 31 - 1, seminorm: bool = False,
                        interpret: bool = False, pack: str | int = "auto",
-                       n_blocks: int = 1):
+                       n_blocks: int = 1, stream_io: bool = False):
     """Fused adjoint backward sweep for a jaxpr-bridge plan, one kernel.
 
     consts_packed: tuple from `pack_consts` (BP = lane-padded batch).
@@ -547,12 +547,15 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
         raise ValueError("batch-coupled plans are not block-shardable "
                          "(block-local sums)")
 
+    if stream_io and n_blocks > 1:
+        raise ValueError("stream_io is single-block only (one controller "
+                         "streaming trajectory rows from HBM)")
     # Sublane packing (see pallas_adjoint._adjoint_pack): skipped for
     # plans with per-sample consts — their cotangent blocks are
     # lane-resolved at the FULL batch width — and for batch-coupled
     # plans (the masked lane sum assumes lanes == samples).
     kpk = 1
-    if not plan.batch_coupled and not any(
+    if not stream_io and not plan.batch_coupled and not any(
             l[0] in ("batch", "bvec") for l in plan.const_layouts):
         kpk = _adjoint_pack(pack, D, Bb)
     if n_blocks > 1 and (Bb // kpk) % _LANE:
@@ -594,7 +597,8 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
                                   int(max_steps), denom, B_true,
                                   aug_factory, n_c, n_c,
                                   seminorm, time_input,
-                                  per_block_io=n_blocks > 1)
+                                  per_block_io=n_blocks > 1,
+                                  stream_io=stream_io)
 
     smem_t = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -615,9 +619,13 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
         jnp.reshape(dt_min, (1, 1)),
         jnp.reshape(jnp.asarray(sign, dtype), (1, 1)))
     scratch = [pltpu.VMEM((D, NB), dtype)] * 4
+    if stream_io:
+        scratch = scratch + [pltpu.VMEM((1, D, NB), dtype)] * 2 \
+            + [pltpu.SemaphoreType.DMA]
 
     if n_blocks == 1:
-        in_specs = [smem_t] * 6 + [vmem] * (2 + n_c)
+        traj = pl.BlockSpec(memory_space=pl.ANY) if stream_io else vmem
+        in_specs = [smem_t] * 6 + [traj, traj] + [vmem] * n_c
         out_specs = [vmem] * (1 + n_c) + [smem_t, smem_t]
         grid_kw = {}
     else:
@@ -635,6 +643,14 @@ def plan_adjoint_solve(plan: FusedPlan, consts_packed, ys: Array, g: Array,
                      + [smem_t, smem_t])
         grid_kw = {"grid": (n_blocks,)}
 
+    if stream_io and not interpret:
+        # The streamed sweep's stage liveness (ky/kay chains + the plan
+        # re-walk + VJP temps, each [D, B] at the FULL batch) measured
+        # ~69 x D*B*4 bytes at B=131072 — past the 64 MB default scoped
+        # limit but well under the v5e 128 MB VMEM; raise the budget for
+        # this launch only (the front-end guard caps B accordingly).
+        grid_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     res = solver_pallas_call(
         kernel,
         in_specs=in_specs,
