@@ -132,3 +132,94 @@ def test_mixed_fixed_grid_and_method_gates():
     with pytest.raises(ValueError, match="not supported"):
         solve_mlp_spec(spec_mx, weights, y0, T, method="adams",
                        interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Plan/bridge path: options={'fuse': True, 'dot_precision': ...} brings the
+# same tiers to ARBITRARY bridge-compiled dynamics (round 5).
+# ---------------------------------------------------------------------------
+
+import warnings
+
+import jax
+
+from tfdiffeq_tpu import odeint_adjoint, solve
+
+
+def _plain_mlp_dyn(weights):
+    def dyn(tt, y):
+        h = y
+        for i, (W, b) in enumerate(weights):
+            h = h @ W + b
+            if i < len(weights) - 1:
+                h = jnp.tanh(h)
+        return h
+    return dyn
+
+
+def test_plan_mixed_integrates_the_bf16_weight_model():
+    """The fused-option tier must match 'highest' fusion of the SAME
+    pre-quantized closed-over weights (the model it claims to solve)."""
+    weights, y0 = _wide()
+    wq = [(W.astype(jnp.bfloat16).astype(jnp.float32), b)
+          for W, b in weights]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # no fallback allowed
+        r_mx = solve(_plain_mlp_dyn(weights), y0, T, rtol=1e-6, atol=1e-6,
+                     options={"fuse": True, "dot_precision": "mixed",
+                              "first_step": 0.01})
+        r_ref = solve(_plain_mlp_dyn(wq), y0, T, rtol=1e-6, atol=1e-6,
+                      options={"fuse": True, "first_step": 0.01})
+    err = float(jnp.max(jnp.abs(r_mx.ys - r_ref.ys)))
+    assert err < 5e-5, err
+    # NFE economics: same gate as the MLPSpec tier.
+    assert (int(r_mx.stats.nfe) * DOT_PASSES["mixed"]
+            < int(r_ref.stats.nfe) * DOT_PASSES["highest"])
+    # And it is NOT the f32-weight trajectory.
+    r_f32 = solve(_plain_mlp_dyn(weights), y0, T, rtol=1e-6, atol=1e-6,
+                  options={"fuse": True, "first_step": 0.01})
+    assert float(jnp.max(jnp.abs(r_mx.ys - r_f32.ys))) > 1e-4
+
+
+def test_plan_mixed_fixed_grid_and_gates():
+    """rk4 accepts 'mixed' and 'bf16'; adaptive rejects 'bf16'; the
+    Adams kernels reject both; unfusable dynamics must raise (a
+    precision request never silently falls back to a differently-
+    precisioned generic solve)."""
+    weights, y0 = _wide(B=32)
+    wq = [(W.astype(jnp.bfloat16).astype(jnp.float32), b)
+          for W, b in weights]
+    r = solve(_plain_mlp_dyn(weights), y0, T, method="rk4",
+              options={"fuse": True, "dot_precision": "mixed",
+                       "num_steps": 64})
+    ref = solve(_plain_mlp_dyn(wq), y0, T, method="rk4",
+                options={"fuse": True, "num_steps": 64})
+    np.testing.assert_allclose(np.asarray(r.ys), np.asarray(ref.ys),
+                               atol=5e-5)
+    with pytest.raises(ValueError, match="fixed-grid"):
+        solve(_plain_mlp_dyn(weights), y0, T, rtol=1e-4, atol=1e-4,
+              options={"fuse": True, "dot_precision": "bf16"})
+    with pytest.raises(ValueError, match="Adams"):
+        solve(_plain_mlp_dyn(weights), y0, T, rtol=1e-4, atol=1e-4,
+              method="adams",
+              options={"fuse": True, "dot_precision": "mixed"})
+    with pytest.raises(ValueError, match="fusion failed"):
+        # jnp.argmax routing is outside the bridge ISA -> FusionError ->
+        # must surface as ValueError, not a generic-engine fallback.
+        solve(lambda tt, yy: -yy * jnp.max(yy),
+              y0, T, rtol=1e-4, atol=1e-4,
+              options={"fuse": True, "dot_precision": "mixed"})
+
+
+def test_plan_mixed_rejected_for_training():
+    weights, y0 = _wide(B=32)
+
+    def loss(w):
+        dyn = lambda tt, yy, ww: jnp.tanh(yy @ ww[0][0]) @ ww[1][0]
+        ys = odeint_adjoint(dyn, y0, T, params=w, rtol=1e-4, atol=1e-4,
+                            options={"fuse": True,
+                                     "dot_precision": "mixed"})
+        return jnp.sum(ys ** 2)
+
+    with pytest.raises(ValueError, match="serving"):
+        jax.grad(loss)(weights[:2])

@@ -170,6 +170,18 @@ def odeint_adjoint(
     # backward, else all-generic.
     use_fuse = bool(fwd_options.pop("fuse", False))
     bwd_options.pop("fuse", None)
+    if (fwd_options.get("dot_precision", "highest") != "highest"
+            or bwd_options.get("dot_precision", "highest") != "highest"):
+        # Reduced-precision MXU tiers are SERVING-only: training would
+        # differentiate the bf16-weight model (a different program than
+        # the f32 weights being optimized). Refuse rather than silently
+        # train something else.
+        raise ValueError(
+            "odeint_adjoint does not support reduced dot_precision "
+            "('mixed'/'bf16' are serving tiers); train at the default "
+            "'highest' and apply the precision tier at inference")
+    fwd_options.pop("dot_precision", None)
+    bwd_options.pop("dot_precision", None)
     if adjoint_mode not in ("resets", "interpolated"):
         raise ValueError(f"adjoint_mode must be 'resets' or 'interpolated',"
                          f" got {adjoint_mode!r}")

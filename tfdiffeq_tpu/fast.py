@@ -789,7 +789,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                 num_steps=None, step_size=None,
                 max_order: Optional[int] = None,
                 max_iters: int = 4,
-                per_sample: bool = False) -> SolveResult:
+                per_sample: bool = False,
+                dot_precision: str = "highest") -> SolveResult:
     """Whole-solve fused adaptive RK for ARBITRARY plain-jnp dynamics via
     the jaxpr -> Pallas bridge (ops/jaxpr_bridge.py).
 
@@ -837,6 +838,25 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
     if vcabm and dense_output:
         raise jb.FusionError(
             "dense_output applies to adaptive RK methods only")
+    if dot_precision not in ("highest", "bf16", "mixed"):
+        raise ValueError(f"dot_precision must be 'highest', 'bf16' or "
+                         f"'mixed', got {dot_precision!r}")
+    if dot_precision != "highest":
+        # Same tier rules as MLPSpec.dot_precision: Adams kernels need
+        # f32-accurate dots; one-pass 'bf16' noise poisons the embedded
+        # error estimate, so it stays fixed-grid; 2-pass deterministic
+        # 'mixed' is adaptive-safe. ValueError (not FusionError): a
+        # precision request must fail loudly, never silently fall back
+        # to a differently-precisioned generic solve.
+        if vcabm or adams:
+            raise ValueError(
+                f"dot_precision={dot_precision!r} is not supported on "
+                "the Adams kernels; use an RK method")
+        if dot_precision == "bf16" and not fixed:
+            raise ValueError(
+                "dot_precision='bf16' is fixed-grid serving only (its "
+                "~2e-3 single-pass noise poisons the embedded error "
+                "estimate); use 'mixed' for adaptive methods")
     if max_order is None:
         max_order = 12 if vcabm else 4     # generic engines' defaults
     if fixed and dense_output:
@@ -1091,7 +1111,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
         else:
             out, stats = _pf.plan_solve_fixed(
                 plan, packed, y0p, tau, grid, sign, f0p, method=method,
-                interpret=interpret, pack=kpack, n_blocks=n_blocks)
+                interpret=interpret, pack=kpack, n_blocks=n_blocks,
+                dot_precision=dot_precision)
         if n_blocks > 1:
             # Every block walks the SAME fixed grid: per-solve stats are
             # block-count-invariant (nfe/steps from block 0, status max).
@@ -1112,7 +1133,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
             dfactor=dfactor,
             max_steps=(int(max_num_steps) if max_num_steps is not None
                        else 2 ** 31 - 1),
-            interpret=interpret, per_sample=True, n_blocks=n_blocks)
+            interpret=interpret, per_sample=True, n_blocks=n_blocks,
+            dot_precision=dot_precision)
         ys = jnp.transpose(out, (0, 2, 1))[:, :B_orig]
         lanes = lanes[:, :B_orig]
         if squeeze:
@@ -1144,7 +1166,8 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
             plan, packed, y0p, tau, dt0, rtol, atol, sign, f0p,
             method=method, safety=safety, ifactor=ifactor,
             dfactor=dfactor, max_steps=S, emit_dense=S,
-            interpret=interpret, n_blocks=n_blocks)
+            interpret=interpret, n_blocks=n_blocks,
+            dot_precision=dot_precision)
         if n_blocks == 1:
             from .solvers.base import DenseOutput
             coeffs = dcoef[:, :, :B].reshape(S, 5, D, B)
@@ -1172,7 +1195,7 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
             max_steps=(int(max_num_steps) if max_num_steps is not None
                        else 2 ** 31 - 1),
             interpret=interpret, pack=kpack, n_blocks=n_blocks,
-            stream_out=stream_out)
+            stream_out=stream_out, dot_precision=dot_precision)
     if n_blocks > 1:
         stats = _merge_grid_stats(stats, per_block_work=True)
     if out.shape[-1] != Bk:

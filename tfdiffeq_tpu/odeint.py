@@ -94,12 +94,20 @@ def _resolve_tolerance(tol, y0) -> Any:
 #: 'per_sample' runs the PER-LANE controller kernel (each batch element
 #: steps adaptively on its own; SolveResult.lane_stats carries per-sample
 #: nfe/accepted/rejected/status).
+#: 'dot_precision' selects the MXU dot tier for the kernel's matmuls
+#: ('highest' default / 'mixed' 2-pass adaptive-safe / 'bf16' one-pass
+#: fixed-grid serving — MLPSpec.dot_precision's rules, applied to
+#: arbitrary bridge-compiled dynamics). It is kernel-only by nature, so
+#: unfusable dynamics raise instead of silently falling back to a
+#: differently-precisioned generic solve.
 _FUSABLE_OPTIONS = frozenset({"first_step", "max_num_steps", "safety",
-                              "ifactor", "dfactor", "loop", "per_sample"})
+                              "ifactor", "dfactor", "loop", "per_sample",
+                              "dot_precision"})
 
 #: fixed-grid options the fused fixed kernel honors (arbitrary
 #: `grid_constructor` callables stay on the generic engine).
-_FUSABLE_FIXED_OPTIONS = frozenset({"step_size", "num_steps"})
+_FUSABLE_FIXED_OPTIONS = frozenset({"step_size", "num_steps",
+                                    "dot_precision"})
 
 #: fixed-step Adams methods with a whole-solve kernel (ops/pallas_fixed)
 #: and the options it honors.
@@ -127,6 +135,13 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
     from .ops.jaxpr_bridge import FusionError
 
     try:
+        if (options.get("dot_precision", "highest") != "highest"
+                and (method == "adams"
+                     or method in _FUSABLE_ADAMS_METHODS)):
+            raise ValueError(
+                f"dot_precision={options['dot_precision']!r} is not "
+                "supported on the Adams kernels (their corrector/order "
+                "machinery assumes f32-accurate dots); use an RK method")
         if kind == "adaptive":
             allowed = _FUSABLE_OPTIONS
         elif method == "adams":
@@ -192,7 +207,8 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
             res = solve_fused(
                 func, y0, t, method=method,
                 num_steps=options.get("num_steps"),
-                step_size=options.get("step_size"))
+                step_size=options.get("step_size"),
+                dot_precision=options.get("dot_precision", "highest"))
         else:
             res = solve_fused(
                 func, y0, t, rtol=rtol, atol=atol, method=method,
@@ -201,11 +217,20 @@ def _try_fused(func, y0, t, rtol, atol, method, options, kind="adaptive"):
                 safety=float(options.get("safety", 0.9)),
                 ifactor=float(options.get("ifactor", 10.0)),
                 dfactor=float(options.get("dfactor", 0.2)),
-                per_sample=bool(options.get("per_sample", False)))
+                per_sample=bool(options.get("per_sample", False)),
+                dot_precision=options.get("dot_precision", "highest"))
         if rebuild is not None:
             res = res._replace(ys=rebuild(res.ys))
         return res
     except FusionError as e:
+        if options.get("dot_precision", "highest") != "highest":
+            # A reduced-precision request is kernel-only; the generic
+            # engine would integrate a DIFFERENT (f32-weight, HIGHEST)
+            # model, so fail loudly instead of silently falling back.
+            raise ValueError(
+                f"options={{'dot_precision': "
+                f"{options['dot_precision']!r}}} requires the fused "
+                f"kernel, but fusion failed: {e}") from e
         if (kind == "adaptive" and options.get("per_sample")
                 and hasattr(y0, "ndim") and jnp.ndim(y0) == 2):
             # Per-sample semantics must survive the fallback: a shared-
@@ -278,7 +303,22 @@ def solve(
                          "adaptive RK, fixed-grid, Adams, hypersolvers — "
                          "has a whole-solve kernel; custom registered "
                          "solvers run the generic engine)")
+    if (options or {}).get("dot_precision", "highest") != "highest":
+        # Kernel-only knob: validated here (ahead of the per-method
+        # allowlists, which don't know it) so a reduced-precision request
+        # can never silently run a HIGHEST generic solve.
+        if not (options or {}).get("fuse"):
+            raise ValueError(
+                "options={'dot_precision': ...} requires the fused "
+                "kernel: pass options={'fuse': True, 'dot_precision': "
+                "...}")
+    options = dict(options or {})
+    _dot_prec = options.pop("dot_precision", None)
     options = check_options(options, allowed)
+    if _dot_prec is not None and _dot_prec != "highest":
+        # (an explicit 'highest' is the default — dropped so the generic
+        # paths below never see the kernel-only key)
+        options["dot_precision"] = _dot_prec
 
     # jaxpr -> Pallas auto-fusion (options={'fuse': True}): compile the
     # user dynamics into the whole-solve kernel when they fall inside the

@@ -822,12 +822,20 @@ def _materialize(v, rows, cols, dtype):
     return jnp.broadcast_to(v, (rows, cols))
 
 
-def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
+def eval_plan(plan: FusedPlan, cvals: Sequence, t, y,
+              dot_precision: str = "highest") -> list:
     """Interpret the plan's instructions; returns the fully-populated env
     (val id -> scalar | [rows, lanes] block). `cvals` are const VALUES in
     plan order (from `read_const_refs`); y is [D, B] feature-major with B
-    possibly lane-padded past plan.batch."""
-    from .pallas_kernels import _pad_rows
+    possibly lane-padded past plan.batch.
+
+    dot_precision applies to MXU 'dot' instrs only (VPU contractions are
+    exact f32 regardless): 'highest' = Mosaic 3-pass f32-accurate,
+    'mixed' = 2-pass bf16-weight/hi-lo-activation (deterministic ~2^-16
+    dots of the bf16-weight model — adaptive-safe), 'bf16' = one pass
+    (~2e-3 noise, fixed-grid serving only). Same tiers and rules as
+    MLPSpec.dot_precision (ops/pallas_kernels.py)."""
+    from .pallas_kernels import _mixed_dot, _pad_rows
 
     B = y.shape[1]
     dtype = y.dtype
@@ -959,9 +967,14 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
                              dtype)
             if mxu:
                 hp = _pad_rows(h, wT.shape[1])
-                acc = jnp.dot(wT, hp,
-                              preferred_element_type=dtype,
-                              precision=jax.lax.Precision.HIGHEST)
+                if dot_precision == "mixed":
+                    acc = _mixed_dot(wT, hp)
+                elif dot_precision == "bf16":
+                    acc = jnp.dot(wT, hp, preferred_element_type=dtype)
+                else:
+                    acc = jnp.dot(wT, hp,
+                                  preferred_element_type=dtype,
+                                  precision=jax.lax.Precision.HIGHEST)
             else:
                 acc = None
                 for i in range(din):
@@ -973,13 +986,13 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y) -> list:
     return env
 
 
-def make_plan_f(plan: FusedPlan, wrefs):
+def make_plan_f(plan: FusedPlan, wrefs, dot_precision: str = "highest"):
     """Build f(t, y[D, B]) -> [D, B] evaluating the plan against VMEM
     const refs (the `make_f` contract of _make_solve_kernel)."""
 
     def f(t, y):
         cvals = read_const_refs(plan, wrefs)
-        env = eval_plan(plan, cvals, t, y)
+        env = eval_plan(plan, cvals, t, y, dot_precision=dot_precision)
         return _materialize(env[plan.out_id], plan.out_rows, y.shape[1],
                             y.dtype)
 
@@ -1009,14 +1022,16 @@ import functools                                           # noqa: E402
     jax.jit,
     static_argnames=("plan", "method", "safety", "ifactor", "dfactor",
                      "max_steps", "emit_dense", "interpret", "pack",
-                     "n_blocks", "per_sample", "stream_out"))
+                     "n_blocks", "per_sample", "stream_out",
+                     "dot_precision"))
 def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
                rtol, atol, sign, f0: Array, *, method: str = "dopri5",
                safety: float = 0.9, ifactor: float = 10.0,
                dfactor: float = 0.2, max_steps: int = 2 ** 31 - 1,
                emit_dense: int = 0, interpret: bool = False,
                pack: int = 1, n_blocks: int = 1,
-               per_sample: bool = False, stream_out: bool = False):
+               per_sample: bool = False, stream_out: bool = False,
+               dot_precision: str = "highest"):
     """Whole-solve fused adaptive RK over a FusedPlan RHS: the plan is
     interpreted inside ONE Pallas kernel launch (same engine as
     pallas_kernels.mlp_solve; plan is a static arg, so equal-structure
@@ -1038,7 +1053,8 @@ def plan_solve(plan: FusedPlan, consts_packed, y0: Array, tau: Array, dt0,
                                  whole_solve_call)
 
     tab = _tabs.TABLEAUS_BY_NAME[method]
-    make_f = lambda wrefs: make_plan_f(plan, wrefs)      # noqa: E731
+    make_f = lambda wrefs: make_plan_f(                  # noqa: E731
+        plan, wrefs, dot_precision=dot_precision)
     if pack > 1:
         make_f = packed_make_f(make_f, int(pack), plan.dim)
     if per_sample:

@@ -1162,18 +1162,20 @@ def plan_solve_adams(plan, consts_packed, y0: Array, tau: Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "method", "interpret", "pack", "n_blocks"))
+    static_argnames=("plan", "method", "interpret", "pack", "n_blocks",
+                     "dot_precision"))
 def plan_solve_fixed(plan, consts_packed, y0: Array, tau: Array, grid: Array,
                      sign, f0: Array, *, method: str = "rk4",
                      interpret: bool = False, pack: int = 1,
-                     n_blocks: int = 1):
+                     n_blocks: int = 1, dot_precision: str = "highest"):
     """Whole-solve fused fixed-grid RK over a FusedPlan RHS (the
     jaxpr-bridge counterpart of `mlp_solve_fixed`; same layout contracts
     as `jaxpr_bridge.plan_solve`)."""
     from .jaxpr_bridge import make_plan_f
 
     tab = FIXED_TABLEAUS_BY_NAME[method]
-    make_f = lambda wrefs: make_plan_f(plan, wrefs)      # noqa: E731
+    make_f = lambda wrefs: make_plan_f(                  # noqa: E731
+        plan, wrefs, dot_precision=dot_precision)
     if pack > 1:
         make_f = packed_make_f(make_f, int(pack), plan.dim)
     return fixed_solve_call(

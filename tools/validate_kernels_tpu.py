@@ -9,6 +9,13 @@ Phases (each prints PASS/FAIL; keep going on failure to map breakage):
   6. grid-ADJOINT big-batch training parity
   7. PLAN-adjoint (arbitrary plain-jnp dynamics, adaptive dopri5)
      cotangent parity vs the generic continuous adjoint
+  8. mixed-precision ADAPTIVE tier (2-pass dots) vs HIGHEST on the same
+     quantized-weight model (error estimate stays usable)
+  9. per-lane ADJOINT training vs vmap-of-generic (exact per-sample
+     oracle, incl. per-sample parameter cotangents)
+ 10. streamed bsum solves (batch-coupled past VMEM): bit-identical to
+     the in-VMEM kernel, forward and training
+ 11. rank-3 pytree fused state parity vs the generic engine
 """
 import sys
 sys.path.insert(0, '/root/repo')
@@ -40,6 +47,14 @@ TOL = {
     # step sequences, so parity is solve-tolerance-noise-bound (~1e-3
     # worst-element measured on a sensitivity-amplified config).
     "plan-adjoint": 2e-3,
+    # Round-5 kernels. mixed-adaptive compares against HIGHEST run on
+    # the SAME quantized weights (both sides integrate the bf16-weight
+    # model; the gap is dot-split noise through the controller, measured
+    # ~8e-6 on the CPU interpret battery, amplified on chip by each
+    # side's own step sequence).
+    "mixed-adaptive": 5e-3,
+    "perlane-adjoint": 1e-5,      # measured 5.6e-7 compiled on chip
+    "tree-rank3": 5e-5,           # measured 1.5e-5 flat-leaf analogue
 }
 
 print("devices:", jax.devices(), flush=True)
@@ -224,6 +239,158 @@ def p7():
     print(f"  plan-adjoint worst rel: {worst:.2e}", flush=True)
 
 
+def p8():
+    # Mixed-precision ADAPTIVE tier: dopri5 with bf16-quantized weights x
+    # hi/lo-split activations (2 systolic passes, f32 accumulation) must
+    # track the HIGHEST solve of the SAME quantized-weight model to
+    # ~dot-split accuracy — far inside the ~2e-3 weight-quantization gap
+    # to the f32 model, proving the error estimate stayed usable.
+    import dataclasses
+    from tfdiffeq_tpu.fast import MLPSpec, solve_mlp_spec
+    dims = (64, 128, 128, 64)
+    ws = [(jnp.asarray(rng.randn(dims[i], dims[i + 1])
+                       / np.sqrt(dims[i]), jnp.float32),
+           jnp.zeros((dims[i + 1],), jnp.float32)) for i in range(3)]
+    yw = jnp.asarray(rng.randn(256, 64) * 0.5, jnp.float32)
+    tw = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    spec = MLPSpec(activation="tanh", matmul="mxu")
+    wq = [(W.astype(jnp.bfloat16).astype(jnp.float32), b) for W, b in ws]
+    r_mx = solve_mlp_spec(dataclasses.replace(spec, dot_precision="mixed"),
+                          ws, yw, tw, rtol=1e-6, atol=1e-6,
+                          first_step=0.01)
+    r_hq = solve_mlp_spec(spec, wq, yw, tw, rtol=1e-6, atol=1e-6,
+                          first_step=0.01)
+    d = float(jnp.max(jnp.abs(r_mx.ys - r_hq.ys)))
+    nfe_m, nfe_h = int(r_mx.stats.nfe), int(r_hq.stats.nfe)
+    print(f"  mixed vs highest-on-quantized: maxdiff {d:.2e} "
+          f"nfe {nfe_m}/{nfe_h}", flush=True)
+    assert d < TOL["mixed-adaptive"], d
+    assert nfe_m <= 1.3 * nfe_h + 6, (nfe_m, nfe_h)  # estimate usable
+
+    # Same tier through the PLAN path (arbitrary bridge-compiled
+    # dynamics, options={'fuse': True, 'dot_precision': 'mixed'}).
+    def dyn(tt, yy, w):
+        h = yy
+        for i, (W, b) in enumerate(w):
+            h = h @ W + b
+            if i < len(w) - 1:
+                h = jnp.tanh(h)
+        return h
+
+    r_pm = solve(lambda tt, yy: dyn(tt, yy, ws), yw, tw,
+                 rtol=1e-6, atol=1e-6,
+                 options={"fuse": True, "dot_precision": "mixed",
+                          "first_step": 0.01})
+    r_pq = solve(lambda tt, yy: dyn(tt, yy, wq), yw, tw,
+                 rtol=1e-6, atol=1e-6,
+                 options={"fuse": True, "first_step": 0.01})
+    d2 = float(jnp.max(jnp.abs(r_pm.ys - r_pq.ys)))
+    print(f"  plan-mixed vs highest-on-quantized: maxdiff {d2:.2e} "
+          f"nfe {int(r_pm.stats.nfe)}/{int(r_pq.stats.nfe)}", flush=True)
+    assert d2 < TOL["mixed-adaptive"], d2
+
+
+def p9():
+    # Per-lane ADJOINT training: per-sample stepping both sweeps; grads
+    # must match jax.vmap of the generic adjoint (the exact per-sample
+    # oracle) on a stiffness-spread battery, incl. per-sample ('batch')
+    # parameter cotangents.
+    Bl = 256
+    wl = jnp.asarray(rng.rand(Bl) * 31 + 1, jnp.float32)   # 32x spread
+    yl = jnp.asarray(rng.randn(Bl, 2) + 2, jnp.float32)
+    tl = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+
+    def dynl(tt, yy, ww):
+        return -ww[:, None] * yy * 0.1 + 0.05 * jnp.tanh(yy)
+
+    def loss_pl(ww, yy):
+        ys = odeint_adjoint(dynl, yy, tl, params=ww, rtol=1e-5, atol=1e-7,
+                            options={"fuse": True, "per_sample": True})
+        return jnp.sum(ys ** 2)
+
+    def one(ww, yy):
+        ys = odeint_adjoint(
+            lambda tt, y1, w1: -w1 * y1 * 0.1 + 0.05 * jnp.tanh(y1),
+            yy, tl, params=ww, rtol=1e-5, atol=1e-7)
+        return jnp.sum(ys ** 2)
+
+    gf = jax.jit(jax.grad(loss_pl, argnums=(0, 1)))(wl, yl)
+    go = jax.vmap(jax.grad(one, argnums=(0, 1)))(wl, yl)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(go)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(b))) + 1e-8
+        print(f"  {a.shape}: rel {d/m:.2e}", flush=True)
+        assert d / m < TOL["perlane-adjoint"]
+
+
+def p10():
+    # Streamed bsum solves (batch-coupled past the VMEM budget): one
+    # controller + HBM-streamed trajectory must be BIT-identical to the
+    # in-VMEM fused kernel, forward and training. Budget forced tiny so
+    # the 256-lane problem takes the streamed path.
+    import warnings
+    import tfdiffeq_tpu.fast as fast
+
+    def mf(tt, yy):
+        return jnp.tanh(yy) - 0.5 * (yy - jnp.mean(yy, axis=0))
+
+    def loss(w_, yy, fuse):
+        def dyn(tt, y1, ww):
+            return jnp.tanh(y1 @ ww) - 0.5 * (y1 - jnp.mean(y1, axis=0))
+        ys = odeint_adjoint(dyn, yy, t, params=w_, rtol=1e-6, atol=1e-8,
+                            options={"fuse": True} if fuse else None)
+        return jnp.sum(ys ** 2)
+
+    wmf = jnp.asarray(rng.randn(2, 2) * 0.3, jnp.float32)
+    r_ref = solve(mf, y0, t, rtol=1e-6, atol=1e-8,
+                  options={"fuse": True})
+    g_ref = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                    static_argnums=2)(wmf, y0, True)
+    old = fast._VMEM_BUDGET
+    try:
+        fast._VMEM_BUDGET = 10_000
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")   # fallback warning = FAIL
+            r_st = solve(mf, y0, t, rtol=1e-6, atol=1e-8,
+                         options={"fuse": True})
+            g_st = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                           static_argnums=2)(wmf, y0, True)
+    finally:
+        fast._VMEM_BUDGET = old
+    d_f = float(jnp.max(jnp.abs(r_st.ys - r_ref.ys)))
+    assert d_f == 0.0 and int(r_st.stats.nfe) == int(r_ref.stats.nfe), d_f
+    for a, b in zip(jax.tree_util.tree_leaves(g_st),
+                    jax.tree_util.tree_leaves(g_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+    print(f"  streamed forward+training bit-identical "
+          f"(nfe {int(r_st.stats.nfe)})", flush=True)
+
+
+def p11():
+    # Rank-3 pytree {field [B,4,4], aux [B]} fused state with cross-leaf
+    # coupling: on-chip parity vs the precision-pinned generic engine.
+    import warnings
+    yp = {"field": jnp.asarray(rng.randn(256, 4, 4), jnp.float32),
+          "aux": jnp.asarray(rng.randn(256), jnp.float32)}
+
+    def dynp(tt, yy):
+        fld = yy["field"]
+        df = -fld + 0.2 * jnp.tanh(fld) * yy["aux"][:, None, None]
+        da = -0.1 * yy["aux"] + 0.01 * jnp.sum(fld * fld, axis=(1, 2))
+        return {"field": df, "aux": da}
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # fallback warning = FAIL
+        rf = solve(dynp, yp, t, rtol=1e-6, atol=1e-8,
+                   options={"fuse": True})
+    rg = solve(dynp, yp, t, rtol=1e-6, atol=1e-8,
+               options={"loop": "while"})
+    worst = max(float(jnp.max(jnp.abs(rf.ys[k] - rg.ys[k]))) for k in yp)
+    print(f"  rank-3 tree fused maxdiff {worst:.2e}", flush=True)
+    assert worst < TOL["tree-rank3"], worst
+
+
 phase("fixed-forward", p1)
 phase("fixed-adjoint", p2)
 phase("adams-abm", p3)
@@ -231,6 +398,10 @@ phase("vcabm", p4)
 phase("hyper", p5)
 phase("grid-adjoint-bigbatch", p6)
 phase("plan-adjoint", p7)
+phase("mixed-adaptive", p8)
+phase("perlane-adjoint", p9)
+phase("streamed-bsum", p10)
+phase("tree-rank3", p11)
 print("SUMMARY:", results, flush=True)
 if all(v == "PASS" for v in results.values()):
     print("ALL KERNELS VALIDATED ON CHIP", flush=True)
