@@ -337,10 +337,12 @@ def test_build_plan_batch_reduction_and_computed_weights():
         lambda t, y: y - jnp.mean(y, axis=0, keepdims=True), T[0], Y0)
     assert plan.batch_coupled
     assert any(ins[0] == "bsum" for ins in plan.instrs)
-    # batch-axis max/min still must not fuse (argmax routing)
-    with pytest.raises(FusionError):
-        build_plan(lambda t, y: y - jnp.max(y, axis=0, keepdims=True),
-                   T[0], Y0)
+    # batch-axis max/min fuse since round 5 ('bmax', lane-masked extrema
+    # with tie-split adjoint routing — tests/test_meanfield.py)
+    plan_mx, _ = build_plan(
+        lambda t, y: y - jnp.max(y, axis=0, keepdims=True), T[0], Y0)
+    assert plan_mx.batch_coupled
+    assert any(ins[0] == "bmax" for ins in plan_mx.instrs)
     # computed (non-const) dot weights must not fuse
     with pytest.raises(FusionError):
         build_plan(lambda t, y: y @ (A @ A), T[0], Y0)

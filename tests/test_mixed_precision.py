@@ -204,9 +204,9 @@ def test_plan_mixed_fixed_grid_and_gates():
               method="adams",
               options={"fuse": True, "dot_precision": "mixed"})
     with pytest.raises(ValueError, match="fusion failed"):
-        # jnp.argmax routing is outside the bridge ISA -> FusionError ->
+        # A batch-axis cumsum is outside the bridge ISA -> FusionError ->
         # must surface as ValueError, not a generic-engine fallback.
-        solve(lambda tt, yy: -yy * jnp.max(yy),
+        solve(lambda tt, yy: -yy * jnp.cumsum(yy, axis=0),
               y0, T, rtol=1e-4, atol=1e-4,
               options={"fuse": True, "dot_precision": "mixed"})
 

@@ -519,20 +519,21 @@ def _trace_eqn(builder: _PlanBuilder, env, eqn):
             builder.instrs.append(("un", out_id(), a, "copy"))
             return
         if c == B and B != 1 and 0 in eff_axes:
-            # Batch-axis reduction: a mean-field coupling (jnp.mean/sum
-            # over samples). Only SUM fuses (its transpose is a masked
-            # lane broadcast; max/min would need argmax routing across
-            # lanes). Executed as a pad-lane-masked cross-lane reduction;
-            # the plan is marked batch_coupled so front-ends keep it
-            # unpacked/single-block (jaxpr_bridge.FusedPlan.batch_coupled).
-            if prim != "reduce_sum":
-                raise FusionError(
-                    "batch-axis reduce_max/reduce_min couples samples "
-                    "through argmax routing; only reduce_sum/mean "
-                    "(mean-field couplings) fuses")
+            # Batch-axis reduction: a mean-field coupling (jnp.mean/sum/
+            # max/min over samples). Executed as a pad-lane-masked
+            # cross-lane reduction; the plan is marked batch_coupled so
+            # front-ends keep it unpacked/single-block (or streamed)
+            # (jaxpr_bridge.FusedPlan.batch_coupled). SUM transposes as
+            # a masked lane broadcast; MAX/MIN route their cotangent to
+            # the extremal lanes with JAX's even tie split (the 'bmax'
+            # reverse rule in plan_adjoint).
             to_scalar = (_kind(tuple(eqn.outvars[0].aval.shape), B)
                          == "scalar")
-            builder.instrs.append(("bsum", out_id(), a, r, to_scalar))
+            if prim == "reduce_sum":
+                builder.instrs.append(("bsum", out_id(), a, r, to_scalar))
+            else:
+                builder.instrs.append(("bmax", out_id(), a, r, to_scalar,
+                                       prim == "reduce_min"))
             builder.batch_coupled = True
             return
         to_scalar = _kind(tuple(eqn.outvars[0].aval.shape), B) == "scalar"
@@ -959,6 +960,16 @@ def eval_plan(plan: FusedPlan, cvals: Sequence, t, y,
             v = jnp.where(lane2 < plan.batch, v, 0.0)
             s = jnp.sum(v, axis=1, keepdims=True)        # [r, 1]
             env[ins[1]] = jnp.sum(s) if ins[4] else s
+        elif op == "bmax":
+            # Batch-axis max/min: pad lanes masked to the reduction's
+            # neutral element (-/+inf) so only true samples compete.
+            v = _materialize(get(ins[2]), ins[3], B, dtype)
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            fill = jnp.inf if ins[5] else -jnp.inf
+            v = jnp.where(lane2 < plan.batch, v, fill)
+            red = jnp.min if ins[5] else jnp.max
+            s = red(v, axis=1, keepdims=True)            # [r, 1]
+            env[ins[1]] = red(s) if ins[4] else s
         elif op == "dot":
             _, out, a_id, cidx, din, dout, mxu = ins
             h = env[a_id]                    # [din, B-ish]

@@ -329,6 +329,29 @@ def make_plan_aug_eval(plan: FusedPlan, wrefs, parts: str = "all"):
                     cc = jnp.sum(cc)
                 cb = _materialize(cc, r, B, dtype)
                 addct(ins[2], jnp.where(lane_ok, cb, 0.0))
+            elif op == "bmax":
+                # Batch-axis max/min: route the cotangent to the
+                # extremal lane(s), split evenly across exact ties
+                # (JAX's reduce_max VJP semantics, so fused gradients
+                # agree with the generic adjoint at ties). Pad lanes
+                # never win (lane_ok mask; their primal may even be
+                # non-finite).
+                r = ins[3]
+                v = _materialize(getp(ins[2]), r, B, dtype)
+                s = env[ins[1]]                       # [r, 1] or scalar
+                tie = jnp.where(lane_ok, (v == s).astype(dtype), 0.0)
+                cc = c
+                if jnp.ndim(cc) == 2 and cc.shape[1] > 1:
+                    cc = jnp.sum(jnp.where(lane_ok, cc, 0.0), axis=1,
+                                 keepdims=True)
+                if ins[4]:                            # to-scalar
+                    if jnp.ndim(cc) == 2:
+                        cc = jnp.sum(cc)
+                    cnt = jnp.sum(tie)
+                else:
+                    cnt = jnp.sum(tie, axis=1, keepdims=True)
+                cb = _materialize(cc / cnt, r, B, dtype)
+                addct(ins[2], tie * cb)
             elif op == "dot":
                 _, out, a_id, cidx, din, dout, mxu = ins
                 wT = cvals[cidx]                   # [doutP, dinP]
