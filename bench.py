@@ -480,6 +480,61 @@ def bench_per_lane(reps: int = 16):
     return k_marg_us * 1e3, v_marg_us * 1e3, k_nfe // reps
 
 
+def bench_per_lane_training(reps: int = 8):
+    """Per-lane TRAINING (round-5 two-pass per-lane adjoint kernel):
+    `odeint_adjoint(options={'fuse': True, 'per_sample': True})` vs
+    jax.vmap of the generic adjoint (the exact per-sample oracle) on the
+    same stiffness battery. Marginal ms per TRAIN STEP (fwd+bwd),
+    chain-regressed; lane counts are inside the step so the marginal is
+    per optimization step at B=4096.
+
+    Returns (kernel_ms_per_step, vmap_ms_per_step)."""
+    from tfdiffeq_tpu import odeint_adjoint
+
+    B = 4096
+    p = _params()
+    sc = jnp.asarray(np.logspace(0.0, 2.0, B), jnp.float32)
+    y0 = jnp.asarray(np.random.RandomState(1).randn(B, 2) * 1.5,
+                     jnp.float32)
+    t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+    W = (p["w1"], p["b1"], p["w2"])
+
+    def dyn(tt, yy, pp):
+        w1, b1, w2 = pp
+        return sc[:, None] * (jnp.tanh((yy ** 3) @ w1 + b1) @ w2)
+
+    def make_one(fuse):
+        opts = ({"fuse": True, "per_sample": True} if fuse else None)
+
+        def one(y):
+            def loss(pp):
+                if fuse:
+                    ys = odeint_adjoint(dyn, y, t, params=pp, rtol=RTOL,
+                                        atol=ATOL, options=opts)
+                    return jnp.sum(ys ** 2)
+
+                def single(yb, kb):
+                    ys = odeint_adjoint(
+                        lambda tt, yy, p2: kb * (jnp.tanh(
+                            (yy ** 3) @ p2[0] + p2[1]) @ p2[2]),
+                        yb[None, :], t, params=pp, rtol=RTOL, atol=ATOL)
+                    return jnp.sum(ys ** 2)
+
+                return jnp.sum(jax.vmap(single)(y, sc))
+            g = jax.grad(loss)(W)
+            # Chain links re-start from y0 + a data dependency on g.
+            y_next = y0 + 0.0 * jnp.sum(g[0]) + 0.0 * y
+            return y_next[None], jnp.int32(1)
+        return one
+
+    _, k_us, _, _, _, _ = _bench_sustained(make_one(True), y0, reps, k=3,
+                                           chains=3)
+    _, v_us, _, _, _, _ = _bench_sustained(make_one(False), y0,
+                                           max(reps // 2, 3), k=3,
+                                           chains=3)
+    return k_us / 1e3, v_us / 1e3
+
+
 def bench_meanfield_nfe_per_sec(reps: int = 16):
     """Batch-coupled (mean-field) dynamics — the class that fell back to
     the generic engine before round 4's `bsum` bridge op: the headline
@@ -932,6 +987,10 @@ def main():
     except Exception:
         pl_kern_ns = pl_vmap_ns = pl_lane_nfe = None
     try:
+        plt_kern_ms, plt_vmap_ms = bench_per_lane_training()
+    except Exception:
+        plt_kern_ms = plt_vmap_ms = None
+    try:
         df_err, df_nfe, df_sec, df_nfe_s = bench_doublefloat()
     except Exception:
         df_err = df_nfe = df_sec = df_nfe_s = None
@@ -1069,6 +1128,13 @@ def main():
             round(pl_vmap_ns / pl_kern_ns, 2)
             if pl_kern_ns and pl_vmap_ns else None,
         "per_lane_lane_nfe_per_solve": pl_lane_nfe,
+        "per_lane_train_marginal_ms_per_step":
+            round(plt_kern_ms, 3) if plt_kern_ms else None,
+        "per_lane_train_vmap_marginal_ms_per_step":
+            round(plt_vmap_ms, 3) if plt_vmap_ms else None,
+        "per_lane_train_vs_vmap":
+            round(plt_vmap_ms / plt_kern_ms, 2)
+            if plt_kern_ms and plt_vmap_ms else None,
         "df_traj_err_vs_f64":
             float(f"{df_err:.3g}") if df_err is not None else None,
         "df_nfe": df_nfe,

@@ -983,12 +983,18 @@ def solve_fused(func, y0: Array, t, *, rtol=1e-6, atol=1e-8,
                     "the trajectory to HBM, which only the adaptive-RK "
                     "whole-solve kernel implements; batch exceeds the "
                     "VMEM budget for this method family")
-            state_bytes = 4 * D * B_user_pre_pad * (
+            # Stage buffers live SUBLANE-PADDED in VMEM ([2, B] -> [8, B]
+            # physically, measured 73.13 MB at D=2 B=131072 vs this
+            # model's 71.3); the launch raises its scoped limit to
+            # 100 MB (whole_solve_call stream path), so cap where the
+            # padded model still fits with headroom.
+            state_bytes = 4 * _round_up(D, 8) * B_user_pre_pad * (
                 len(tableaus.TABLEAUS_BY_NAME[method].c) + 10)
-            if state_bytes > 48 * 1024 * 1024:
+            if state_bytes > 96 * 1024 * 1024:
                 raise jb.FusionError(
                     "batch-coupled dynamics: even the streamed solve's "
-                    "[D, B] stage state exceeds the scoped-VMEM ceiling")
+                    "[D, B] stage state exceeds the raised scoped-VMEM "
+                    "ceiling")
             if B != B_user_pre_pad:
                 y0 = y0[:B_user_pre_pad]
                 B = B_user_pre_pad

@@ -1392,12 +1392,28 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
         out_shape = [jax.ShapeDtypeStruct((T, D, B), dtype),
                      jax.ShapeDtypeStruct((1, 4), jnp.int32)]
         out_specs = [vmem, smem_t]
+        stream_kw = {}
         if stream_out:
             # Trajectory lives in HBM; the kernel DMAs one [1, D, B]
             # staging row per drain write.
             out_specs[0] = pl.BlockSpec(memory_space=pl.ANY)
             scratch = scratch + [pltpu.VMEM((1, D, B), dtype),
                                  pltpu.SemaphoreType.DMA]
+            state_mb = (4 * _round_up(D, _SUBLANE) * B
+                        * (tab.evals_per_step + 10)) // 2 ** 20
+            if not interpret and state_mb > 56:
+                # Streamed solves run at the FULL batch: the stage
+                # chain's [D, B] buffers live SUBLANE-PADDED (D=2 -> 8
+                # rows, 4x), measured 73.13 MB at D=2 B=131072 — past
+                # the 64 MB default scoped limit but under the v5e
+                # 128 MB VMEM. Raise the budget for THOSE launches only
+                # (the front-end guard caps B with the padded model;
+                # same recipe as plan_adjoint's streamed sweep). Smaller
+                # streamed batches keep the default limit — Mosaic's
+                # allocation search near a raised ceiling has been
+                # observed to blow up compile time.
+                stream_kw["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024)
         if emit_dense:
             S = int(emit_dense)
             out_shape += [jax.ShapeDtypeStruct((S, 3), dtype),
@@ -1410,6 +1426,7 @@ def whole_solve_call(make_f, aux_arrays, y0: Array, tau: Array, dt0, rtol,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
+            **stream_kw,
         )(*scalar_ins, y0, f0, *aux_arrays)
         if emit_dense:
             out, stats, meta, dcoef = res
